@@ -1,0 +1,242 @@
+"""Centrality kernels: degree, eigenvector, Katz — plus HITS.
+
+All share the pagerank superstep template (SURVEY §2.2 [S] tier):
+
+* ``degree_centrality`` — ``centrality/degree_alg.py:6-32``:
+  degree * 1/(n-1).
+* ``eigenvector_centrality`` — ``centrality/eigenvector.py:9-33``:
+  ``x <- x + x@A``, L2 normalize, L1 converge ``err < n*tol``.
+* ``katz_centrality`` — ``centrality/katz.py:11-55``:
+  ``x <- alpha*(x@A) + beta``; the reference folds iso edge values into
+  alpha (``:35-40``) — our analog: unweighted graphs have no weight
+  column so the multiply constant-folds (O3).
+* ``hits`` — ``link_analysis/hits_alg.py:9-62``: alternating
+  ``a <- h@A``, ``h <- A@a`` with L-inf normalization per iteration.
+
+Each normalization scalar is cross-joined in lazily so a superstep
+remains ONE action (O12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..exceptions import ConvergenceFailure
+from ..functions.semiring import mxv, vxm
+from ..plans.superstep import Superstep, scalar_agg
+
+
+def degree_centrality(G) -> DataFrame:
+    """(id, centrality) — degree/(n-1), self-edges counted twice
+    (matches nx.degree_centrality on graphs with self-loops)."""
+    n = G.n
+    if G.is_directed_flag:
+        deg = G.get_property("total_degrees")
+    else:
+        diag = G.get_property("diag").select(F.col("src").alias("id"), F.lit(1).alias("_d"))
+        deg = (
+            G.get_property("degrees_plus")
+            .join(diag, "id", "left")
+            .select("id", (F.col("degree") + F.coalesce("_d", F.lit(0))).alias("degree"))
+        )
+    scale = 1.0 / (n - 1) if n > 1 else 1.0
+    out = deg.select("id", (F.col("degree") * F.lit(scale)).alias("centrality"))
+    return G.nodes.join(out, "id", "left").select(
+        "id", F.coalesce("centrality", F.lit(0.0)).alias("centrality")
+    )
+
+
+def in_degree_centrality(G) -> DataFrame:
+    n = G.n
+    scale = 1.0 / (n - 1) if n > 1 else 1.0
+    out = G.get_property("in_degrees").select(
+        "id", (F.col("degree") * F.lit(scale)).alias("centrality")
+    )
+    return G.nodes.join(out, "id", "left").select(
+        "id", F.coalesce("centrality", F.lit(0.0)).alias("centrality")
+    )
+
+
+def out_degree_centrality(G) -> DataFrame:
+    n = G.n
+    scale = 1.0 / (n - 1) if n > 1 else 1.0
+    out = G.get_property("out_degrees").select(
+        "id", (F.col("degree") * F.lit(scale)).alias("centrality")
+    )
+    return G.nodes.join(out, "id", "left").select(
+        "id", F.coalesce("centrality", F.lit(0.0)).alias("centrality")
+    )
+
+
+def _adj(G) -> DataFrame:
+    return G.edges if G.is_directed_flag else G.get_property("sym_edges")
+
+
+def eigenvector_centrality(G, max_iter: int = 100, tol: float = 1e-6, nstart: dict | None = None) -> DataFrame:
+    """(id, centrality) — power iteration (``eigenvector.py:9-33``)."""
+    spark = G.spark
+    n = G.n
+    adj = _adj(G).persist()
+    if nstart is None:
+        x = G.nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("value"))
+    else:
+        x = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in nstart.items()], "id long, value double"
+        )
+    x = x.persist()
+    harness = Superstep(spark)
+    for it in range(max_iter):
+        prop = vxm(x, adj, add="sum", mul="times").withColumnRenamed("value", "_p")
+        y = x.join(prop, "id", "left").select(
+            "id", (F.col("value") + F.coalesce("_p", F.lit(0.0))).alias("_y")
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("_y") * F.col("_y"))).alias("_norm"))
+        new_x = y.crossJoin(F.broadcast(norm)).select(
+            "id",
+            F.when(F.col("_norm") > 0, F.col("_y") / F.col("_norm"))
+            .otherwise(F.col("_y"))
+            .alias("value"),
+        )
+        new_x = harness.materialize(new_x, it, {"kernel": "eigenvector"})
+        err = scalar_agg(
+            new_x.join(x.withColumnRenamed("value", "_prev"), "id", "left"),
+            err=F.sum(F.abs(F.col("value") - F.coalesce("_prev", F.lit(0.0)))),
+        )["err"]
+        x = new_x
+        if err is not None and err < n * tol:
+            adj.unpersist()
+            return x.select("id", F.col("value").alias("centrality"))
+    adj.unpersist()
+    raise ConvergenceFailure(f"eigenvector: no convergence in {max_iter} iterations")
+
+
+def katz_centrality(
+    G,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 1000,
+    tol: float = 1e-6,
+    nstart: dict | None = None,
+    normalized: bool = True,
+) -> DataFrame:
+    """(id, centrality) — ``katz.py:11-55``."""
+    spark = G.spark
+    n = G.n
+    adj = _adj(G).persist()
+    if nstart is None:
+        x = G.nodes.select("id", F.lit(0.0).alias("value"))
+    else:
+        x = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in nstart.items()], "id long, value double"
+        )
+    x = x.persist()
+    harness = Superstep(spark)
+    for it in range(max_iter):
+        prop = vxm(x, adj, add="sum", mul="times").withColumnRenamed("value", "_p")
+        new_x = G.nodes.join(prop, "id", "left").select(
+            "id",
+            (F.lit(alpha) * F.coalesce("_p", F.lit(0.0)) + F.lit(beta)).alias("value"),
+        )
+        new_x = harness.materialize(new_x, it, {"kernel": "katz"})
+        err = scalar_agg(
+            new_x.join(x.withColumnRenamed("value", "_prev"), "id", "left"),
+            err=F.sum(F.abs(F.col("value") - F.coalesce("_prev", F.lit(0.0)))),
+        )["err"]
+        x = new_x
+        if err is not None and err < n * tol:
+            break
+    else:
+        adj.unpersist()
+        raise ConvergenceFailure(f"katz: no convergence in {max_iter} iterations")
+    adj.unpersist()
+    if normalized:
+        norm = x.agg(F.sqrt(F.sum(F.col("value") * F.col("value"))).alias("_n"))
+        x = x.crossJoin(F.broadcast(norm)).select(
+            "id",
+            F.when(F.col("_n") > 0, F.col("value") / F.col("_n"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+    return x.select("id", F.col("value").alias("centrality"))
+
+
+def hits(
+    G,
+    max_iter: int = 100,
+    tol: float = 1e-8,
+    nstart: dict | None = None,
+    normalized: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """((id, hub), (id, authority)) — ``hits_alg.py:9-62``.
+
+    Per iteration: a = hlast@A (L-inf normalized), h = A@a (L-inf
+    normalized), converge on L1(h - hlast) < tol*n.
+    """
+    spark = G.spark
+    n = G.n
+    adj = _adj(G).persist()
+    if nstart is None:
+        h = G.nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("value"))
+    else:
+        h = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in nstart.items()], "id long, value double"
+        )
+    h = h.persist()
+    harness = Superstep(spark)
+    a = None
+    for it in range(max_iter):
+        a_raw = vxm(h, adj, add="sum", mul="times")  # a = h @ A
+        amax = a_raw.agg(F.max("value").alias("_m"))
+        a = a_raw.crossJoin(F.broadcast(amax)).select(
+            "id",
+            F.when(F.col("_m") != 0, F.col("value") / F.col("_m"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        h_raw = mxv(adj, a, add="sum", mul="times")  # h = A @ a
+        hmax = h_raw.agg(F.max("value").alias("_m"))
+        new_h = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "id",
+            F.when(F.col("_m") != 0, F.col("value") / F.col("_m"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        # keep dense over nodes so the L1 error sees dropped-to-zero nodes
+        new_h = G.nodes.join(new_h, "id", "left").select(
+            "id", F.coalesce("value", F.lit(0.0)).alias("value")
+        )
+        new_h = harness.materialize(new_h, it, {"kernel": "hits"})
+        err = scalar_agg(
+            new_h.join(h.withColumnRenamed("value", "_prev"), "id", "left"),
+            err=F.sum(F.abs(F.col("value") - F.coalesce("_prev", F.lit(0.0)))),
+        )["err"]
+        h = new_h
+        if err is not None and err < tol * n:
+            break
+    else:
+        adj.unpersist()
+        raise ConvergenceFailure(f"hits: no convergence in {max_iter} iterations")
+    a = G.nodes.join(a, "id", "left").select(
+        "id", F.coalesce("value", F.lit(0.0)).alias("value")
+    )
+    if normalized:
+        hs = h.agg(F.sum("value").alias("_s"))
+        h = h.crossJoin(F.broadcast(hs)).select(
+            "id",
+            F.when(F.col("_s") != 0, F.col("value") / F.col("_s"))
+            .otherwise(F.col("value"))
+            .alias("hub"),
+        )
+        as_ = a.agg(F.sum("value").alias("_s"))
+        a = a.crossJoin(F.broadcast(as_)).select(
+            "id",
+            F.when(F.col("_s") != 0, F.col("value") / F.col("_s"))
+            .otherwise(F.col("value"))
+            .alias("authority"),
+        )
+    else:
+        h = h.select("id", F.col("value").alias("hub"))
+        a = a.select("id", F.col("value").alias("authority"))
+    adj.unpersist()
+    return h, a

@@ -1,0 +1,288 @@
+"""Shortest paths: unweighted (BFS) and weighted (delta Bellman-Ford).
+
+Reference ``algorithms/shortest_paths/``:
+
+* ``single_source_shortest_path_length`` -> ``_bfs_level``
+  (``unweighted.py:14-15``).
+* ``single_source_bellman_ford_path_length`` (``weighted.py:17-111``):
+  frontier-delta Bellman-Ford — only improved vertices stay in ``cur``
+  (``:66-83``); iso-weight graphs degrade to BFS (``:25-38``, our O3
+  analog: no weight column -> BFS); negative-cycle check after n-1
+  rounds (``:87-100``).
+* multi-source variant batches sources as a matrix (``weighted.py:118-197``)
+  -> extra ``source`` key column.
+* ``bellman_ford_path`` reconstructs parents (``weighted.py:213-308``) —
+  here a single ``min_by(struct(dist, src))`` carries (dist, parent) in
+  one agg (SURVEY table row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..exceptions import Unbounded
+from .traversal import bfs_levels, bfs_levels_multi
+
+
+def _wadj(G, transpose: bool = False) -> DataFrame:
+    if G.is_directed_flag:
+        adj = G.edges
+    else:
+        adj = G.get_property("sym_edges")
+    if "weight" not in adj.columns:
+        adj = adj.withColumn("weight", F.lit(1.0))
+    cols = ["src", "dst", "weight"]
+    if transpose:
+        return adj.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    return adj.select(*cols)
+
+
+def single_source_shortest_path_length(G, source: int, cutoff: int | None = None) -> DataFrame:
+    """(id, length: long) — BFS levels (``unweighted.py:14-15``)."""
+    return bfs_levels(G, source, cutoff=cutoff).withColumnRenamed("level", "length")
+
+
+def single_target_shortest_path_length(G, target: int, cutoff: int | None = None) -> DataFrame:
+    """Transpose BFS (``unweighted.py:18-19``)."""
+    return bfs_levels(G, target, cutoff=cutoff, transpose=True).withColumnRenamed(
+        "level", "length"
+    )
+
+
+def all_pairs_shortest_path_length(G, sources: list[int] | None = None) -> DataFrame:
+    """(source, id, length) — batched multi-source BFS
+    (``unweighted.py:22-29``; chunking advice in nxapi:30-45 is subsumed
+    by Spark partitioning of the widened frontier)."""
+    if sources is None:
+        sources = [r["id"] for r in G.nodes.collect()]
+    return bfs_levels_multi(G, sources).withColumnRenamed("level", "length")
+
+
+def bellman_ford_path_length(
+    G,
+    source: int,
+    fixed_iters: int | None = None,
+    check_negative_cycle: bool = True,
+) -> DataFrame:
+    """(id, dist: double) — frontier-delta Bellman-Ford
+    (``weighted.py:17-111``). Unweighted graphs take the BFS fast path
+    (``:25-38``)."""
+    if not G.weighted and fixed_iters is None:
+        lv = bfs_levels(G, source)
+        return lv.select("id", F.col("level").cast("double").alias("dist"))
+    spark = G.spark
+    adj = _wadj(G).persist()
+    dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double").persist()
+    frontier = dist
+    n = G.n
+    rounds = fixed_iters if fixed_iters is not None else n - 1
+    improved_after = False
+    for it in range(max(rounds, 0) + (1 if check_negative_cycle and fixed_iters is None else 0)):
+        # min_plus semiring step over the delta frontier only (O7)
+        cand = (
+            frontier.join(adj, frontier["id"] == adj["src"])
+            .groupBy(adj["dst"].alias("id"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("_cand"))
+        )
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "_cur"), "id", "left")
+            .filter(F.col("_cur").isNull() | (F.col("_cand") < F.col("_cur")))
+            .select("id", F.col("_cand").alias("dist"))
+            .persist()
+        )
+        n_improved = improved.count()
+        if n_improved == 0:
+            improved.unpersist()
+            break
+        if it >= rounds:
+            improved_after = True
+            break
+        dist = (
+            dist.join(improved.withColumnRenamed("dist", "_new"), "id", "full")
+            .select(
+                "id",
+                F.when(
+                    F.col("_new").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("_new") < F.col("dist"))),
+                    F.col("_new"),
+                )
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    adj.unpersist()
+    if improved_after:
+        raise Unbounded("negative cycle detected")  # weighted.py:87-100
+    return dist
+
+
+def bellman_ford_path_lengths(G, sources: list[int]) -> DataFrame:
+    """(source, id, dist) — multi-source batched (``weighted.py:118-197``)."""
+    spark = G.spark
+    adj = _wadj(G).persist()
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0.0) for s in sources], "source long, id long, dist double"
+    ).persist()
+    frontier = dist
+    n = G.n
+    for _ in range(n - 1):
+        cand = (
+            frontier.join(adj, frontier["id"] == adj["src"])
+            .groupBy("source", adj["dst"].alias("id"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("_cand"))
+        )
+        improved = (
+            cand.join(
+                dist.withColumnRenamed("dist", "_cur"), ["source", "id"], "left"
+            )
+            .filter(F.col("_cur").isNull() | (F.col("_cand") < F.col("_cur")))
+            .select("source", "id", F.col("_cand").alias("dist"))
+            .persist()
+        )
+        if improved.count() == 0:
+            improved.unpersist()
+            break
+        dist = (
+            dist.join(
+                improved.withColumnRenamed("dist", "_new"), ["source", "id"], "full"
+            )
+            .select(
+                "source",
+                "id",
+                F.when(
+                    F.col("_new").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("_new") < F.col("dist"))),
+                    F.col("_new"),
+                )
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    adj.unpersist()
+    return dist
+
+
+def bellman_ford_path(G, source: int) -> DataFrame:
+    """(id, dist, parent) — parent carried through the min agg as
+    min(struct(dist, parent)) (vs the reference's reverse-engineering at
+    ``weighted.py:268-284``)."""
+    spark = G.spark
+    adj = _wadj(G).persist()
+    dist = spark.createDataFrame(
+        [(int(source), 0.0, int(source))], "id long, dist double, parent long"
+    ).persist()
+    frontier = dist.select("id", "dist")
+    n = G.n
+    for _ in range(n - 1):
+        cand = (
+            frontier.join(adj, frontier["id"] == adj["src"])
+            .groupBy(adj["dst"].alias("id"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("dist") + F.col("weight")).alias("d"),
+                        adj["src"].alias("p"),
+                    )
+                ).alias("_m")
+            )
+            .select("id", F.col("_m.d").alias("_cand"), F.col("_m.p").alias("_par"))
+        )
+        improved = (
+            cand.join(dist.select("id", F.col("dist").alias("_cur")), "id", "left")
+            .filter(F.col("_cur").isNull() | (F.col("_cand") < F.col("_cur")))
+            .select("id", F.col("_cand").alias("dist"), F.col("_par").alias("parent"))
+            .persist()
+        )
+        if improved.count() == 0:
+            improved.unpersist()
+            break
+        dist = (
+            dist.join(
+                improved.select(
+                    "id", F.col("dist").alias("_nd"), F.col("parent").alias("_np")
+                ),
+                "id",
+                "full",
+            )
+            .select(
+                "id",
+                F.when(
+                    F.col("_nd").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("_nd") < F.col("dist"))),
+                    F.col("_nd"),
+                )
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+                F.when(
+                    F.col("_nd").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("_nd") < F.col("dist"))),
+                    F.col("_np"),
+                )
+                .otherwise(F.col("parent"))
+                .alias("parent"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved.select("id", "dist")
+    adj.unpersist()
+    return dist
+
+
+def has_path(G, source: int, target: int) -> bool:
+    """``generic.py:7-12`` via bidirectional meet (``unweighted.py:32-64``
+    simplified: forward BFS with target check per level)."""
+    lv = bfs_levels(G, source)
+    return lv.filter(F.col("id") == target).limit(1).count() > 0
+
+
+def negative_edge_cycle(G) -> bool:
+    """``weighted.py:311-348``: BF from a virtual super-source connected to
+    all nodes; improvement after n-1 rounds = negative cycle."""
+    spark = G.spark
+    adj = _wadj(G).persist()
+    dist = G.nodes.select("id", F.lit(0.0).alias("dist")).persist()
+    frontier = dist
+    n = G.n
+    for it in range(n):
+        cand = (
+            frontier.join(adj, frontier["id"] == adj["src"])
+            .groupBy(adj["dst"].alias("id"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("_cand"))
+        )
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "_cur"), "id", "left")
+            .filter(F.col("_cur").isNull() | (F.col("_cand") < F.col("_cur")))
+            .select("id", F.col("_cand").alias("dist"))
+            .persist()
+        )
+        cnt = improved.count()
+        if cnt == 0:
+            adj.unpersist()
+            return False
+        if it == n - 1:
+            adj.unpersist()
+            return True
+        dist = (
+            dist.join(improved.withColumnRenamed("dist", "_new"), "id", "full")
+            .select(
+                "id",
+                F.when(
+                    F.col("_new").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("_new") < F.col("dist"))),
+                    F.col("_new"),
+                )
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    adj.unpersist()
+    return False

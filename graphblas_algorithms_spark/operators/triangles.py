@@ -1,0 +1,156 @@
+"""Triangle counting / clustering via degree-ordered oriented wedge joins.
+
+Reference: ``algorithms/cluster.py:44-98`` — masked matmuls
+``plus_pair(L @ L.T).new(mask=L.S)`` etc.  The masked matmul never
+materializes A² (SURVEY O1); the Spark translation pushes the mask INTO
+the join order: wedges are generated from the oriented edge set and
+immediately closed by a semi-join against the same oriented edge set, so
+only actual triangles ever materialize.
+
+Orientation is by (degree, id) — each undirected edge points from the
+lower-degree endpoint to the higher — which bounds every vertex's
+oriented out-fanout by O(sqrt(m)) and kills power-law hub skew in the
+wedge self-join (SURVEY O5: "we go further than the reference's U/L
+halving: orient by degree to bound wedge fan-out").
+
+Self-edges are ignored throughout (reference computes on ``offdiag``/
+U-/L- views, ``cluster.py:47``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _oriented_edges(G) -> DataFrame:
+    """(src, dst) with (deg[src], src) < (deg[dst], dst); one row per
+    undirected off-diagonal edge."""
+    deg = G.get_property("degrees_minus")  # (id, degree), excludes self-edges
+    e = G.get_property("offdiag").select("src", "dst")
+    e = (
+        e.join(
+            deg.select(F.col("id").alias("src"), F.col("degree").alias("_ds")), "src"
+        )
+        .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("_dd")), "dst")
+    )
+    fwd_ok = (F.col("_ds") < F.col("_dd")) | (
+        (F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst"))
+    )
+    return e.select(
+        F.when(fwd_ok, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(fwd_ok, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        F.when(fwd_ok, F.col("_ds")).otherwise(F.col("_dd")).alias("deg_src"),
+        F.when(fwd_ok, F.col("_dd")).otherwise(F.col("_ds")).alias("deg_dst"),
+    )
+
+
+def triangle_list(G) -> DataFrame:
+    """(a, b, c) — one row per triangle, each exactly once."""
+    eo = _oriented_edges(G).persist()
+    e1 = eo.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("deg_dst").alias("_dv"),
+    )
+    e2 = eo.select(
+        F.col("src").alias("u2"),
+        F.col("dst").alias("w"),
+        F.col("deg_dst").alias("_dw"),
+    )
+    # wedges centered at the (low-degree) source u, ordered v < w in the
+    # same (degree, id) orientation order so the closing edge is oriented v->w
+    wedges = e1.join(e2, F.col("u") == F.col("u2")).filter(
+        (F.col("_dv") < F.col("_dw"))
+        | ((F.col("_dv") == F.col("_dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = eo.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"], "left_semi").select(
+        F.col("u").alias("a"), F.col("v").alias("b"), F.col("w").alias("c")
+    )
+    return tris
+
+
+def triangles(G, dense: bool = True) -> DataFrame:
+    """Per-vertex triangle count (id: long, triangles: long).
+
+    Reference ``cluster.py:44-64`` returns a dense count vector via the
+    nxapi wrapper; ``dense=True`` fills zeros over all nodes.
+    """
+    tris = triangle_list(G)
+    corners = (
+        tris.select(F.col("a").alias("id"))
+        .unionByName(tris.select(F.col("b").alias("id")))
+        .unionByName(tris.select(F.col("c").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+    if not dense:
+        return counts
+    return G.nodes.join(counts, "id", "left").select(
+        "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+
+
+def total_triangles(G) -> int:
+    """Global triangle count — "SandiaDot" ``plus_pair(L @ U.T).new(mask=L.S)``
+    (``cluster.py:67-71``); here: count of the oriented triangle list."""
+    return triangle_list(G).count()
+
+
+def transitivity(G) -> float:
+    """3*triangles / #wedges = 6*total / sum d(d-1) (``cluster.py:74-80``)."""
+    deg = G.get_property("degrees_minus")
+    denom = deg.agg(
+        F.sum(F.col("degree") * (F.col("degree") - 1)).alias("s")
+    ).collect()[0]["s"]
+    if not denom:
+        return 0.0
+    return 6.0 * total_triangles(G) / float(denom)
+
+
+def clustering(G, dense: bool = True) -> DataFrame:
+    """(id, clustering: double) = 2*tri / (d*(d-1)) (``cluster.py:94-98``);
+    nodes with degree < 2 get 0.0 (networkx convention)."""
+    tri = triangles(G, dense=False)
+    deg = G.get_property("degrees_minus")
+    out = deg.join(tri, "id", "left").select(
+        "id",
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce("triangles", F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("clustering"),
+    )
+    if not dense:
+        return out
+    return G.nodes.join(out, "id", "left").select(
+        "id", F.coalesce("clustering", F.lit(0.0)).alias("clustering")
+    )
+
+
+def average_clustering(G, count_zeros: bool = True) -> float:
+    """``cluster.py:176-193``."""
+    c = clustering(G, dense=True)
+    if not count_zeros:
+        c = c.filter(F.col("clustering") != 0.0)
+    row = c.agg(F.avg("clustering").alias("m")).collect()[0]
+    return float(row["m"]) if row["m"] is not None else 0.0
+
+
+def transitivity_directed(G) -> float:
+    """``cluster.py:83-91``: |{(i,j,k): i->j, j->k, i->k}| /
+    (paths of length 2) = plus_pair(A@A.T) masked to A, off-diagonal."""
+    e = G.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).persist()
+    ab = e.select(F.col("src").alias("i"), F.col("dst").alias("j"))
+    bc = e.select(F.col("src").alias("j"), F.col("dst").alias("k"))
+    paths2 = ab.join(bc, "j").filter(F.col("i") != F.col("k"))
+    closed = paths2.join(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("k")), ["i", "k"], "left_semi"
+    )
+    numer = closed.count()
+    denom = paths2.count()
+    e.unpersist()
+    return numer / denom if denom else 0.0

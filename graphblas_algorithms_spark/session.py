@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the link-graph engine.
+
+Local-mode defaults mirror what we would set per-executor on a real
+cluster: AQE on (runtime shuffle coalescing + skew-join splitting),
+Arrow on (every pandas UDF crosses via Arrow batches), shuffle
+partitions sized to cores rather than the 200 default, UTC timezone
+pinned so DuckDB-oracle comparisons are stable.
+
+At 100 TB the same settings translate to: AQE + skew join handle
+moderate skew, ``spark.sql.shuffle.partitions`` sized to ~2-3x total
+cores, ``spark.sql.files.maxPartitionBytes`` left at 128 MiB so scans
+parallelize, and broadcast threshold raised so per-iteration frontier/
+rank vectors (small relative to edges) broadcast instead of shuffling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "graphblas-algorithms-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``cores=None`` honours ``$SPARK_GRAFT_CPUS`` (driver contract).
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    """Stop the active session (used by the two-parallelism bench)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,97 @@
+"""Components / reachability vs networkx (exact — integer labels only)."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+
+from graphblas_algorithms_spark import from_networkx
+from graphblas_algorithms_spark.operators.components import (
+    bfs_reach,
+    connected_components,
+    is_connected,
+    is_weakly_connected,
+    node_connected_component,
+    number_connected_components,
+    strongly_connected_components,
+)
+
+
+def _cc_oracle(nxg):
+    comps = (
+        nx.connected_components(nxg)
+        if not nxg.is_directed()
+        else nx.weakly_connected_components(nxg)
+    )
+    out = {}
+    for comp in comps:
+        m = min(comp)
+        for u in comp:
+            out[u] = m
+    return out
+
+
+def test_two_component(spark):
+    nxg = nx.Graph([(0, 1), (1, 2), (3, 4), (4, 5), (3, 5)])
+    G = from_networkx(spark, nxg)
+    got = {r["id"]: r["component"] for r in connected_components(G).collect()}
+    assert got == _cc_oracle(nxg)
+    assert not is_connected(G)
+    assert number_connected_components(G) == 2
+
+
+def test_er_components(spark):
+    nxg = nx.gnp_random_graph(150, 0.012, seed=11)
+    nxg.add_nodes_from(range(150, 160))  # isolated nodes
+    G = from_networkx(spark, nxg)
+    got = {r["id"]: r["component"] for r in connected_components(G).collect()}
+    assert got == _cc_oracle(nxg)
+    assert number_connected_components(G) == nx.number_connected_components(nxg)
+
+
+def test_weakly_connected(spark):
+    nxg = nx.DiGraph([(0, 1), (2, 1), (3, 4)])
+    G = from_networkx(spark, nxg)
+    assert not is_weakly_connected(G)
+    got = {r["id"]: r["component"] for r in connected_components(G).collect()}
+    assert got == _cc_oracle(nxg)
+    nxg2 = nx.DiGraph([(0, 1), (2, 1)])
+    assert is_weakly_connected(from_networkx(spark, nxg2))
+
+
+def test_node_connected_component(spark):
+    nxg = nx.Graph([(0, 1), (1, 2), (3, 4)])
+    G = from_networkx(spark, nxg)
+    got = {r["id"] for r in node_connected_component(G, 0).collect()}
+    assert got == {0, 1, 2}
+
+
+def test_bfs_reach_directed(spark):
+    nxg = nx.DiGraph([(0, 1), (1, 2), (3, 0)])
+    G = from_networkx(spark, nxg)
+    assert {r["id"] for r in bfs_reach(G, 0).collect()} == {0, 1, 2}
+    assert {r["id"] for r in bfs_reach(G, 0, transpose=True).collect()} == {0, 3}
+
+
+def _scc_oracle(nxg):
+    out = {}
+    for comp in nx.strongly_connected_components(nxg):
+        m = min(comp)
+        for u in comp:
+            out[u] = m
+    return out
+
+
+def test_scc_simple(spark):
+    # cycle 0-1-2, tail 3->4, cycle 5<->6
+    nxg = nx.DiGraph([(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 6), (6, 5)])
+    G = from_networkx(spark, nxg)
+    got = {r["id"]: r["component"] for r in strongly_connected_components(G).collect()}
+    assert got == _scc_oracle(nxg)
+
+
+def test_scc_random(spark):
+    nxg = nx.gnp_random_graph(60, 0.05, seed=5, directed=True)
+    G = from_networkx(spark, nxg)
+    got = {r["id"]: r["component"] for r in strongly_connected_components(G).collect()}
+    assert got == _scc_oracle(nxg)

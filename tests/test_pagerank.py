@@ -1,0 +1,102 @@
+"""PageRank differential tests vs a numpy power-iteration oracle that
+mirrors the reference's comparison baseline
+(``/root/reference/scripts/scipy_impl.py:7-54``) — same math, same
+``err < n*tol`` stop rule (``_helpers.py:21-29``).
+
+Fixtures follow FIXTURES.md F2: the 4-node weighted digraph from the
+reference README (README.md:41-48), the dangling-node digraph, the
+two-component graph, and ER G(200, 0.05, seed=42).
+
+Most tests pin ``fixed_iters`` so the Spark and oracle trajectories are
+iteration-identical (tight tolerance, few supersteps); two tests run the
+real convergence loop end-to-end.
+"""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+
+from graphblas_algorithms_spark import from_networkx
+from graphblas_algorithms_spark.classes._utils import vector_to_dict
+from graphblas_algorithms_spark.operators.pagerank import pagerank
+
+from .oracles import pagerank_oracle
+
+
+def _check(spark, nxg, atol=1e-9, **kw):
+    G = from_networkx(spark, nxg)
+    got = vector_to_dict(pagerank(G, **kw), val_col="rank")
+    want = pagerank_oracle(nxg, **kw)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=atol), f"node {k}"
+
+
+def test_readme_weighted_digraph_converged(spark):
+    # reference README.md:41-48 COO example — full convergence loop
+    rows = [0, 0, 1, 2, 2, 3]
+    cols = [1, 3, 0, 0, 1, 2]
+    vals = [1, 2, 3, 4, 5, 6]
+    nxg = nx.DiGraph()
+    for r, c, v in zip(rows, cols, vals):
+        nxg.add_edge(r, c, weight=float(v))
+    _check(spark, nxg, atol=1e-5)
+
+
+def test_er200_converged(spark):
+    nxg = nx.gnp_random_graph(200, 0.05, seed=42)
+    _check(spark, nxg, atol=1e-5)
+
+
+def test_dangling_digraph(spark):
+    # FIXTURES.md F2.5: 0->1->2, 2 dangling, 3 isolated
+    nxg = nx.DiGraph()
+    nxg.add_edges_from([(0, 1), (1, 2)])
+    nxg.add_node(3)
+    _check(spark, nxg, fixed_iters=12)
+
+
+def test_two_component_undirected(spark):
+    nxg = nx.Graph([(0, 1), (1, 2), (3, 4), (4, 5), (3, 5)])
+    _check(spark, nxg, fixed_iters=12)
+
+
+def test_personalization_and_nstart(spark):
+    nxg = nx.gnp_random_graph(60, 0.08, seed=7, directed=True)
+    pers = {i: (i % 3) + 1.0 for i in nxg.nodes}
+    nstart = {i: 1.0 + (i % 5) for i in nxg.nodes}
+    _check(
+        spark, nxg, alpha=0.9, personalization=pers, nstart=nstart, fixed_iters=10
+    )
+
+
+def test_dangling_weights(spark):
+    nxg = nx.DiGraph([(0, 1), (1, 2), (2, 3)])  # 3 dangling
+    dang = {i: float(i + 1) for i in nxg.nodes}
+    _check(spark, nxg, dangling=dang, fixed_iters=12)
+
+
+def test_csr_udf_path_matches(spark):
+    # CSR-block pandas-UDF gather-scatter path == pure-SQL path
+    nxg = nx.gnp_random_graph(80, 0.1, seed=3)
+    G = from_networkx(spark, nxg)
+    got = vector_to_dict(pagerank(G, use_csr_udf=True, fixed_iters=10), val_col="rank")
+    want = pagerank_oracle(nxg, fixed_iters=10)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_salted_path_matches(spark):
+    # star graph = one hub: the skew-salting target shape
+    nxg = nx.star_graph(50)
+    G = from_networkx(spark, nxg)
+    got = vector_to_dict(pagerank(G, skew_salt=4, fixed_iters=10), val_col="rank")
+    want = pagerank_oracle(nxg, fixed_iters=10)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_self_loops(spark):
+    nxg = nx.Graph([(0, 0), (0, 1), (1, 2), (2, 2)])
+    _check(spark, nxg, fixed_iters=12)
