@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.joins import edge_join
 from ..plans.superstep import Superstep
 
 
@@ -60,17 +61,18 @@ def connected_components(
     it = start_iter
     while True:
         # candidate labels: min over incoming frontier labels (P1 min_first)
-        cand = (
-            frontier.join(adj, frontier["id"] == adj["src"])
-            .groupBy(adj["dst"].alias("id"))
-            .agg(F.min("component").alias("_cand"))
+        cand = edge_join(frontier, adj).groupBy("id").agg(
+            F.min("component").alias("_cand")
         )
         improved = (
             cand.join(labels.withColumnRenamed("component", "_cur"), "id")
             .filter(F.col("_cand") < F.col("_cur"))
             .select("id", F.col("_cand").alias("component"))
         )
-        improved = improved.persist()
+        # frontier AND labels cross-reference each other, so without a hard
+        # plan cut every superstep the lineage tree grows exponentially
+        # (Fibonacci-style); localCheckpoint truncates it in the same action
+        improved = improved.localCheckpoint(eager=True)
         n_improved = improved.count()
         if n_improved == 0:
             improved.unpersist()
@@ -106,8 +108,7 @@ def bfs_reach(G, source: int, transpose: bool = False) -> DataFrame:
     frontier = visited
     while True:
         nxt = (
-            frontier.join(adj, frontier["id"] == adj["src"])
-            .select(adj["dst"].alias("id"))
+            edge_join(frontier, adj)
             .distinct()
             .join(visited, "id", "left_anti")  # q(~v.S, replace) — _bfs.py:39
             .persist()
@@ -189,10 +190,8 @@ def strongly_connected_components(G, max_rounds: int = 100) -> DataFrame:
         color = active.select("id", F.col("id").alias("color")).persist()
         frontier = color
         while True:
-            cand = (
-                frontier.join(act_edges, frontier["id"] == act_edges["src"])
-                .groupBy(act_edges["dst"].alias("id"))
-                .agg(F.min("color").alias("_cand"))
+            cand = edge_join(frontier, act_edges).groupBy("id").agg(
+                F.min("color").alias("_cand")
             )
             improved = (
                 cand.join(color.withColumnRenamed("color", "_cur"), "id")
@@ -221,10 +220,9 @@ def strongly_connected_components(G, max_rounds: int = 100) -> DataFrame:
         frontier = reached
         while True:
             nxt = (
-                frontier.join(same_color_rev, frontier["id"] == same_color_rev["src"])
-                .select(same_color_rev["dst"].alias("id"), "color")
+                edge_join(frontier, same_color_rev, payload=["color"])
                 .distinct()
-                .join(reached, "id", "left_anti")
+                .join(reached.select("id"), "id", "left_anti")
                 .persist()
             )
             if nxt.count() == 0:

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.joins import edge_join
 from ..plans.superstep import Superstep
 
 
@@ -47,10 +48,8 @@ def label_propagation(
 
     for it in range(start_iter, max_iter):
         # neighbor votes + one self-vote
-        votes = (
-            labels.join(adj, labels["id"] == adj["src"])
-            .select(adj["dst"].alias("id"), "label")
-            .unionByName(labels.select("id", "label"))
+        votes = edge_join(labels, adj, payload=["label"]).unionByName(
+            labels.select("id", "label")
         )
         counted = votes.groupBy("id", "label").agg(F.count("*").alias("_c"))
         # argmax(count) with min-label tie-break: max(struct(c, -label))

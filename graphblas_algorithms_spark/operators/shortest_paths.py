@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..exceptions import Unbounded
+from ..functions.joins import edge_join
 from .traversal import bfs_levels, bfs_levels_multi
 
 
@@ -83,9 +84,9 @@ def bellman_ford_path_length(
     for it in range(max(rounds, 0) + (1 if check_negative_cycle and fixed_iters is None else 0)):
         # min_plus semiring step over the delta frontier only (O7)
         cand = (
-            frontier.join(adj, frontier["id"] == adj["src"])
-            .groupBy(adj["dst"].alias("id"))
-            .agg(F.min(F.col("dist") + F.col("weight")).alias("_cand"))
+            edge_join(frontier, adj, payload=["dist"], keep_weight="_w")
+            .groupBy("id")
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("_cand"))
         )
         improved = (
             cand.join(dist.withColumnRenamed("dist", "_cur"), "id", "left")
@@ -132,9 +133,9 @@ def bellman_ford_path_lengths(G, sources: list[int]) -> DataFrame:
     n = G.n
     for _ in range(n - 1):
         cand = (
-            frontier.join(adj, frontier["id"] == adj["src"])
-            .groupBy("source", adj["dst"].alias("id"))
-            .agg(F.min(F.col("dist") + F.col("weight")).alias("_cand"))
+            edge_join(frontier, adj, payload=["source", "dist"], keep_weight="_w")
+            .groupBy("source", "id")
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("_cand"))
         )
         improved = (
             cand.join(
@@ -182,13 +183,13 @@ def bellman_ford_path(G, source: int) -> DataFrame:
     n = G.n
     for _ in range(n - 1):
         cand = (
-            frontier.join(adj, frontier["id"] == adj["src"])
-            .groupBy(adj["dst"].alias("id"))
+            edge_join(frontier, adj, payload=["dist"], keep_src="_p", keep_weight="_w")
+            .groupBy("id")
             .agg(
                 F.min(
                     F.struct(
-                        (F.col("dist") + F.col("weight")).alias("d"),
-                        adj["src"].alias("p"),
+                        (F.col("dist") + F.col("_w")).alias("d"),
+                        F.col("_p").alias("p"),
                     )
                 ).alias("_m")
             )
@@ -252,9 +253,9 @@ def negative_edge_cycle(G) -> bool:
     n = G.n
     for it in range(n):
         cand = (
-            frontier.join(adj, frontier["id"] == adj["src"])
-            .groupBy(adj["dst"].alias("id"))
-            .agg(F.min(F.col("dist") + F.col("weight")).alias("_cand"))
+            edge_join(frontier, adj, payload=["dist"], keep_weight="_w")
+            .groupBy("id")
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("_cand"))
         )
         improved = (
             cand.join(dist.withColumnRenamed("dist", "_cur"), "id", "left")

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.joins import edge_join
+
 
 def _adj(G, transpose: bool = False) -> DataFrame:
     adj = (
@@ -38,8 +40,7 @@ def bfs_levels(G, source: int, cutoff: int | None = None, transpose: bool = Fals
     while cutoff is None or level < cutoff:
         level += 1
         nxt = (
-            frontier.join(adj, frontier["id"] == adj["src"])
-            .select(adj["dst"].alias("id"))
+            edge_join(frontier, adj)
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
             .persist()
@@ -68,8 +69,8 @@ def bfs_levels_multi(G, sources: list[int], transpose: bool = False) -> DataFram
     while True:
         level += 1
         nxt = (
-            frontier.join(adj, frontier["id"] == adj["src"])
-            .select("source", adj["dst"].alias("id"))
+            edge_join(frontier, adj, payload=["source"])
+            .select("source", "id")
             .distinct()
             .join(visited.select("source", "id"), ["source", "id"], "left_anti")
             .persist()
@@ -95,9 +96,9 @@ def bfs_parent(G, source: int) -> DataFrame:
     frontier = visited.select("id")
     while True:
         nxt = (
-            frontier.join(adj, frontier["id"] == adj["src"])
-            .groupBy(adj["dst"].alias("id"))
-            .agg(F.min(adj["src"]).alias("parent"))  # min_first — _bfs.py:126
+            edge_join(frontier, adj, payload=[], keep_src="_src")
+            .groupBy("id")
+            .agg(F.min("_src").alias("parent"))  # min_first — _bfs.py:126
             .join(visited.select("id"), "id", "left_anti")
             .persist()
         )
@@ -122,8 +123,7 @@ def bfs_layers(G, sources) -> list[DataFrame]:
     layers = [frontier]
     while True:
         nxt = (
-            frontier.join(adj, frontier["id"] == adj["src"])
-            .select(adj["dst"].alias("id"))
+            edge_join(frontier, adj)
             .distinct()
             .join(visited, "id", "left_anti")
             .persist()

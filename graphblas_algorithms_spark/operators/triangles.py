@@ -141,16 +141,17 @@ def average_clustering(G, count_zeros: bool = True) -> float:
 
 
 def transitivity_directed(G) -> float:
-    """``cluster.py:83-91``: |{(i,j,k): i->j, j->k, i->k}| /
-    (paths of length 2) = plus_pair(A@A.T) masked to A, off-diagonal."""
+    """``cluster.py:83-91``: numerator = plus_pair(A @ A.T).new(mask=A.S)
+    summed = |{(i,j,k): i->j, i->k, j->k}| (common OUT-neighbors of the
+    endpoints of each edge); denominator = sum over out-degrees d(d-1)
+    (``row_degrees-``)."""
     e = G.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).persist()
-    ab = e.select(F.col("src").alias("i"), F.col("dst").alias("j"))
-    bc = e.select(F.col("src").alias("j"), F.col("dst").alias("k"))
-    paths2 = ab.join(bc, "j").filter(F.col("i") != F.col("k"))
-    closed = paths2.join(
-        e.select(F.col("src").alias("i"), F.col("dst").alias("k")), ["i", "k"], "left_semi"
-    )
-    numer = closed.count()
-    denom = paths2.count()
+    ij = e.select(F.col("src").alias("i"), F.col("dst").alias("j"))
+    ik = e.select(F.col("src").alias("i"), F.col("dst").alias("k"))
+    jk = e.select(F.col("src").alias("j"), F.col("dst").alias("k"))
+    numer = ij.join(ik, "i").join(jk, ["j", "k"], "left_semi").count()
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    row = deg.agg(F.sum(F.col("d") * (F.col("d") - 1)).alias("s")).collect()[0]
     e.unpersist()
+    denom = float(row["s"] or 0)
     return numer / denom if denom else 0.0

@@ -1,0 +1,278 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Driver mandate: first-class pipeline components over the ``documents``
+and ``embeddings`` tables, each with a DuckDB-SQL oracle.
+
+Engine-portable hashing: every hash is ``md5`` of a string — identical
+in Spark and DuckDB — and MinHash minimizes over the HEX STRING (fixed
+length, lowercase), which is order-isomorphic to the underlying 128-bit
+integer.  No engine-specific hash (Spark's murmur3 ``hash()`` would not
+reproduce in an oracle).
+
+Scale shapes:
+* exact: one groupBy on the fingerprint — minimal shuffle, partial agg.
+* MinHash+LSH: shingle explode -> per-doc signature agg -> band keys ->
+  self-join on band key.  Candidate pairs only (never all-pairs); the
+  verify step computes true Jaccard only on candidates.
+* SimHash: per-token bit votes aggregated per doc — explode + sum, all
+  codegen'd integer math.
+* n-gram Jaccard: inverted-index self-join on shingle -> pair intersect
+  counts -> filter by threshold (exact but O(pairs-sharing-a-shingle);
+  the LSH path is the 100TB route).
+* embedding cosine: brute-force pair filter at small scale; the ANN
+  module (similarity.py) holds the bucketed scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id) for every doc in a >=2-member exact-dup
+    group; canonical = min doc_id of the group (normalized-text md5)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = docs.select("doc_id", F.md5(norm).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("_n")
+    )
+    return (
+        fp.join(groups.filter(F.col("_n") >= 2), "fp")
+        .select("doc_id", "canonical_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles of the lowercased,
+    whitespace-normalized text.  Docs shorter than k words contribute
+    their full text as one shingle."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 12) -> DataFrame:
+    """(doc_id, sig: array<string>) — n_hashes MinHash values; hash i of a
+    shingle is md5(i || ':' || shingle), minimized as hex string."""
+    sh = word_shingles(docs, k)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 3, n_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs agreeing on ALL
+    rows of at least one band (n_hashes/bands rows per band)."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, k, n_hashes)
+    band_cols = []
+    for b in range(bands):
+        band_key = F.md5(
+            F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])
+        )
+        band_cols.append(
+            sig.select("doc_id", F.lit(b).alias("band"), band_key.alias("key"))
+        )
+    banded = band_cols[0]
+    for extra in band_cols[1:]:
+        banded = banded.unionByName(extra)
+    left = banded.select("band", "key", F.col("doc_id").alias("doc_a"))
+    right = banded.select("band", "key", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — LSH candidates verified with TRUE shingle
+    Jaccard >= threshold (computed only on candidates)."""
+    cand = lsh_candidate_pairs(docs, k, n_hashes, bands)
+    return _verify_jaccard(docs, cand, k, threshold)
+
+
+def _verify_jaccard(
+    docs: DataFrame, pairs: DataFrame, k: int, threshold: float
+) -> DataFrame:
+    sh = word_shingles(docs, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("_s2")), "doc_b")
+        .filter(F.col("shingle") == F.col("_s2"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("_na") + F.col("_nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact all-candidate variant)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact: inverted-index join on shingles,
+    so only pairs sharing >=1 shingle are scored."""
+    sh = word_shingles(docs, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("_na") + F.col("_nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash: long) — per-token md5, one vote per bit,
+    bit set iff positive vote sum.  Bits come from the first bits/4
+    hex nibbles of the token hash (engine-portable integer math)."""
+    assert bits % 4 == 0 and bits <= 32
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+        ).alias("token"),
+    ).withColumn("h", F.md5("token"))
+    hexmap = "0123456789abcdef"
+    votes = []
+    for b in range(bits):
+        nib = b // 4
+        shift = b % 4
+        nib_val = F.instr(F.lit(hexmap), F.substring(F.col("h"), nib + 1, 1)) - 1
+        bit = F.floor(nib_val / (2 ** shift)) % 2
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, bits: int = 16, max_hamming: int = 2) -> DataFrame:
+    """(doc_a, doc_b, hamming) — pairs within Hamming distance over the
+    simhash; banded by the two halves of the hash (a pair within distance
+    <= bits/2-1 shares at least one exact half — classic pigeonhole LSH)."""
+    sh = simhash(docs, bits).persist()
+    half = bits // 2
+    lo = (F.col("simhash") % (2 ** half)).alias("k")
+    hi = F.floor(F.col("simhash") / (2 ** half)).alias("k")
+    banded = sh.select("doc_id", "simhash", F.lit(0).alias("band"), lo).unionByName(
+        sh.select("doc_id", "simhash", F.lit(1).alias("band"), hi)
+    )
+    cand = (
+        banded.select("band", "k", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa"))
+        .join(
+            banded.select("band", "k", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sb")),
+            ["band", "k"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sa", "_sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """(id_a, id_b, cosine) — brute-force pair scan with cosine >=
+    threshold.  Exact; the LSH/IVF route for scale is similarity.py."""
+    v = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

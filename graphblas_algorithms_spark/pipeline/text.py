@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's graph surface (driver mandate): language-ID,
+quality scoring, token counting, document fingerprinting — all pure
+Catalyst expressions (JVM-side, whole-stage-codegen'd; no Python in the
+hot path), each with an exact DuckDB-SQL oracle in __spark_entry__.py.
+
+Input: the ``documents`` table (doc_id: long, text: string,
+lang: string, source: string, n_chars: long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# (The sf documents corpus is synthetic English-ish; the operator's value
+# is the plan shape — scan-side scoring with zero shuffles.)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "data", "value"],
+    "de": ["der", "die", "und", "nicht", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "es": ["el", "la", "los", "que", "una", "por"],
+}
+
+_BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens) — whitespace tokens and a BPE-ish
+    regex token count (letters runs / digit runs / single punctuation)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_ISH), F.lit(0))
+        ).cast("long").alias("bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_q, n_tokens, mean_token_len, punct_ratio,
+    stopword_ratio, quality) — length/punct/stopword heuristics; the
+    composite ``quality`` in [0,1] mirrors common pretraining filters
+    (Gopher-style rules re-expressed as one scan projection)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), F.lit(0)))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_len = (n_chars - (n_tok - 1)) / n_tok  # chars net of single spaces
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    quality = (
+        F.when(n_tok < 5, 0.0)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5) * (1.0 - punct_ratio * 10.0)
+                + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+                + F.lit(0.2) * F.least(n_tok / 100.0, F.lit(1.0)),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_q"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.greatest(quality, F.lit(0.0)), 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, score) — stopword-profile language ID: count
+    marker hits per language over whitespace tokens; argmax with
+    lexicographic tie-break.  One scan, one projection, no shuffle."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(w) for w in markers])
+        cnt = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(cnt.alias("hits"), F.lit(lang).alias("lang")))
+    # argmax hits, tie -> lexicographically SMALLEST lang: max over
+    # struct(hits, negated-rank) is awkward for strings, so order the
+    # candidates descending by preference and use greatest()'s
+    # first-wins-on-tie... greatest is value-based; instead build struct
+    # (hits, rev) where rev = reverse alphabetical rank as int
+    ranked = []
+    langs = sorted(LANG_MARKERS)
+    for i, s in enumerate(scores):
+        ranked.append(
+            F.struct(
+                s["hits"].alias("hits"),
+                F.lit(len(langs) - 1 - i).alias("rev"),
+                s["lang"].alias("lang"),
+            )
+        )
+    best = F.greatest(*ranked)
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["hits"].cast("long").alias("score"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — content fingerprint: md5 of the
+    whitespace/case-normalized text (rolling-hash analog that is engine
+    portable; the normalization is the part that matters for dedup)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

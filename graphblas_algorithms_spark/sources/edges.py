@@ -1,0 +1,89 @@
+"""Edge extraction: source table (repo, path, commit, lang, content) ->
+link-graph edge table.
+
+north_star: "edges are built from repo/path/commit import and dependency
+relations".  Extraction is pure Catalyst — ``regexp_extract_all`` +
+``explode`` per language (NO python UDF; input_hint mandates vectorized
+/ JVM-side paths throughout).  The per-lang patterns are the inverse of
+the canonical import templates in corpus.py; on a real corpus they'd be
+a per-lang pattern table, same plan shape.
+
+Scale notes: content never shuffles — the regex runs in the scan stage
+and only (module, import) string pairs move.  Renumbering uses the
+two-phase dense-id assigner (classes/_utils.py) and the final edge
+table carries only longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..classes._utils import assign_dense_ids
+
+# module identifier: repoNNNN.mJJJ (dotted) or repoNNNN/mJJJ (slashed)
+_PATTERNS = {
+    "py": r"(?m)^import ([a-z0-9_.]+)$",
+    "js": r"require\('([a-z0-9_/]+)'\)",
+    "go": r'(?m)^import "([a-z0-9_/]+)"$',
+    "java": r"(?m)^import ([a-z0-9_.]+);$",
+}
+
+
+def extract_import_pairs(source: DataFrame) -> DataFrame:
+    """(src_module: string, dst_module: string) — one row per import edge.
+
+    ``src_module`` is derived from (repo, path): ``repo + '.' + stem(path)``
+    — the same renumber-once key the synthesizer embeds in content.
+    """
+    stem = F.regexp_extract(F.col("path"), r"([^/]+)\.[a-z]+$", 1)
+    src_module = F.concat(F.col("repo"), F.lit("."), stem)
+
+    pattern = (
+        F.when(F.col("lang") == "py", F.lit(_PATTERNS["py"]))
+        .when(F.col("lang") == "js", F.lit(_PATTERNS["js"]))
+        .when(F.col("lang") == "go", F.lit(_PATTERNS["go"]))
+        .otherwise(F.lit(_PATTERNS["java"]))
+    )
+    raw = source.select(
+        src_module.alias("src_module"),
+        F.explode(
+            F.regexp_extract_all(F.col("content"), pattern, F.lit(1))
+        ).alias("dst_raw"),
+    )
+    # normalize slashed (js/go) module paths back to dotted keys
+    return raw.select(
+        "src_module",
+        F.replace(F.col("dst_raw"), F.lit("/"), F.lit(".")).alias("dst_module"),
+    ).filter(F.col("dst_module") != F.col("src_module"))
+
+
+def build_link_graph(source: DataFrame, num_partitions: int | None = None):
+    """source table -> (edges(src,dst), nodes(id,key)).
+
+    Node set = all files (so never-imported files appear as dangling /
+    isolated vertices, which PageRank needs); keys are module strings.
+    """
+    stem = F.regexp_extract(F.col("path"), r"([^/]+)\.[a-z]+$", 1)
+    all_modules = source.select(
+        F.concat(F.col("repo"), F.lit("."), stem).alias("key")
+    )
+    pairs = extract_import_pairs(source)
+    keys = (
+        all_modules.unionByName(pairs.select(F.col("dst_module").alias("key")))
+        .distinct()
+    )
+    nodes = assign_dense_ids(keys, "key", num_partitions)
+    edges = (
+        pairs.join(
+            nodes.select(F.col("key").alias("src_module"), F.col("id").alias("src")),
+            "src_module",
+        )
+        .join(
+            nodes.select(F.col("key").alias("dst_module"), F.col("id").alias("dst")),
+            "dst_module",
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    return edges, nodes

@@ -1,0 +1,157 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY §2.2 "not present" note), but the
+engine targets pipelines where the link graph and quality signals update
+incrementally.  This module gives the streaming surface: watermarked
+tumbling-window aggregation, sessionization, and a stateful
+edge-accumulator — each with a batch-equivalent used by the DuckDB
+oracle (streaming results on a finite input == the batch query; that is
+the test).
+
+events(event_id: long, ts: timestamp, user_id: long,
+       event_type: string, value: double, props: string-json)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def windowed_counts_batch(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Batch-equivalent tumbling-window agg (the oracle-comparable shape):
+    (window_start, event_type, n_events, sum_value)."""
+    win = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_counts_stream(
+    spark: SparkSession, parquet_dir: str, minutes: int = 60, watermark: str = "2 hours"
+):
+    """The same aggregation as a streaming query over a parquet source
+    with a watermark; returns the started query (memory sink).  Use
+    ``q.processAllAvailable()`` then read ``spark.sql(...)``."""
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(parquet_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        src.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("windowed_counts")
+        .start()
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(user_id, session_id, session_start, n_events, sum_value) — classic
+    lag+cumsum sessionization (gap > threshold starts a session).  Batch
+    shape; the streaming analog is ``session_window``/
+    ``applyInPandasWithState`` below."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = events.withColumn(
+        "_new",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("_new").over(w))
+    return marked.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession, parquet_dir: str, gap_minutes: int = 30
+):
+    """Streaming sessionization via the built-in ``session_window``."""
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(parquet_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        src.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+
+
+def streaming_edge_accumulator(
+    spark: SparkSession, parquet_dir: str, checkpoint_dir: str
+):
+    """Incremental link-graph maintenance: treat (user_id, event_type) as
+    an edge stream and maintain per-edge counts exactly-once via
+    ``foreachBatch`` + idempotent parquet overwrite by epoch."""
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(parquet_dir)
+    edges = src.select(
+        F.col("user_id").alias("src"),
+        F.abs(F.xxhash64("event_type")).alias("dst"),
+    )
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        (
+            batch_df.groupBy("src", "dst")
+            .agg(F.count("*").alias("weight"))
+            .write.mode("overwrite")
+            .parquet(f"{checkpoint_dir}/epoch={epoch}")
+        )
+
+    return (
+        edges.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{checkpoint_dir}/_ckpt")
+        .start()
+    )

@@ -1,0 +1,89 @@
+"""FIXTURES.md F4: resume-from-checkpoint must equal the uninterrupted
+run exactly, with per-partition lineage metrics present."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import networkx as nx
+import pytest
+
+from graphblas_algorithms_spark import from_networkx
+from graphblas_algorithms_spark.operators.components import connected_components
+from graphblas_algorithms_spark.operators.pagerank import pagerank
+from graphblas_algorithms_spark.plans.superstep import Superstep
+
+
+@pytest.fixture()
+def ckpt(tmp_path):
+    d = str(tmp_path / "ckpt")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pagerank_resume_identical(spark, ckpt):
+    nxg = nx.gnp_random_graph(100, 0.05, seed=42)
+    G = from_networkx(spark, nxg)
+    full = {
+        r["id"]: r["rank"]
+        for r in pagerank(G, fixed_iters=12, checkpoint_dir=ckpt).collect()
+    }
+    # simulate a kill after superstep 6: delete checkpoints > 6
+    for name in os.listdir(ckpt):
+        if int(name.split("=")[1]) > 6:
+            shutil.rmtree(os.path.join(ckpt, name))
+    resumed = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            G, fixed_iters=12, checkpoint_dir=ckpt, resume=True
+        ).collect()
+    }
+    assert resumed == full  # bit-identical, not just allclose
+
+
+def test_metrics_lineage_written(spark, ckpt):
+    nxg = nx.gnp_random_graph(50, 0.08, seed=1)
+    G = from_networkx(spark, nxg)
+    pagerank(G, fixed_iters=4, checkpoint_dir=ckpt)
+    iters = sorted(os.listdir(ckpt))
+    assert iters == ["iter=0", "iter=1", "iter=2", "iter=3"]
+    with open(os.path.join(ckpt, "iter=2", "metrics.json")) as f:
+        m = json.load(f)
+    assert m["iter"] == 2
+    assert m["kernel"] == "pagerank"
+    assert "partition_rows" in m and sum(m["partition_rows"].values()) == 50
+    assert "wall_s" in m and "schema" in m
+
+
+def test_incomplete_checkpoint_ignored(spark, ckpt):
+    """metrics.json is the commit marker: a state dir without it (killed
+    mid-write) must not be resumed from."""
+    nxg = nx.gnp_random_graph(30, 0.1, seed=2)
+    G = from_networkx(spark, nxg)
+    pagerank(G, fixed_iters=3, checkpoint_dir=ckpt)
+    os.remove(os.path.join(ckpt, "iter=2", "metrics.json"))
+    harness = Superstep(spark, ckpt)
+    it, _ = harness.latest()
+    assert it == 1
+
+
+def test_components_checkpoint_resume(spark, ckpt):
+    nxg = nx.gnp_random_graph(80, 0.03, seed=3)
+    G = from_networkx(spark, nxg)
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components(G, checkpoint_dir=ckpt).collect()
+    }
+    # wipe later iters, resume
+    iters = sorted(
+        int(n.split("=")[1]) for n in os.listdir(ckpt) if n.startswith("iter=")
+    )
+    if len(iters) > 1:
+        shutil.rmtree(os.path.join(ckpt, f"iter={iters[-1]}"))
+    resumed = {
+        r["id"]: r["component"]
+        for r in connected_components(G, checkpoint_dir=ckpt, resume=True).collect()
+    }
+    assert resumed == full

@@ -1,0 +1,82 @@
+"""Source-table synthesizer + edge extraction tests.
+
+Covers the BASELINE.json input_hint contract: table shape, per-row
+content sha256 determinism (the row invariant), extraction == embedded
+ground truth, hub skew, and renumber-once dense ids."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from graphblas_algorithms_spark.sources.corpus import expected_sha, synthesize_source_table
+from graphblas_algorithms_spark.sources.edges import build_link_graph, extract_import_pairs
+
+
+def test_schema_and_determinism(spark):
+    src1 = synthesize_source_table(spark, n_repos=5, files_per_repo=10)
+    assert [f.name for f in src1.schema.fields[:5]] == [
+        "repo", "path", "commit", "lang", "content",
+    ]
+    assert src1.count() == 50
+    # per-row sha256 invariant: two independent generations are identical
+    src2 = synthesize_source_table(spark, n_repos=5, files_per_repo=10)
+    sha1 = {(r["repo"], r["path"]): r["sha256"] for r in expected_sha(src1).collect()}
+    sha2 = {(r["repo"], r["path"]): r["sha256"] for r in expected_sha(src2).collect()}
+    assert sha1 == sha2
+    # commit format: 40 hex chars
+    for r in src1.select("commit").collect():
+        assert re.fullmatch(r"[0-9a-f]{40}", r["commit"])
+
+
+def test_extraction_matches_embedded_ground_truth(spark):
+    """The synthesizer embeds imports in content; extraction via regex must
+    recover exactly the generated pairs (oracle: python re over content)."""
+    src = synthesize_source_table(spark, n_repos=8, files_per_repo=12).persist()
+    got = {
+        (r["src_module"], r["dst_module"])
+        for r in extract_import_pairs(src).collect()
+    }
+    want = set()
+    for r in src.select("module", "lang", "content").collect():
+        pats = {
+            "py": r"(?m)^import ([a-z0-9_.]+)$",
+            "js": r"require\('([a-z0-9_/]+)'\)",
+            "go": r'(?m)^import "([a-z0-9_/]+)"$',
+            "java": r"(?m)^import ([a-z0-9_.]+);$",
+        }
+        for m in re.findall(pats[r["lang"]], r["content"]):
+            dst = m.replace("/", ".")
+            if dst != r["module"]:
+                want.add((r["module"], dst))
+    assert got == want
+    assert len(got) > 50  # non-trivial graph
+    src.unpersist()
+
+
+def test_link_graph_ids_dense_and_deterministic(spark):
+    src = synthesize_source_table(spark, n_repos=6, files_per_repo=10)
+    edges, nodes = build_link_graph(src)
+    n = nodes.count()
+    ids = sorted(r["id"] for r in nodes.collect())
+    assert ids == list(range(n))  # dense 0..n-1 (renumber-once, SURVEY §1.2)
+    # deterministic: same key -> same id across builds
+    edges2, nodes2 = build_link_graph(src)
+    m1 = {r["key"]: r["id"] for r in nodes.collect()}
+    m2 = {r["key"]: r["id"] for r in nodes2.collect()}
+    assert m1 == m2
+    # edge endpoints within id range
+    mx = edges.agg(F.max("src").alias("a"), F.max("dst").alias("b")).collect()[0]
+    assert mx["a"] < n and mx["b"] < n
+
+
+def test_hub_skew_present(spark):
+    """FIXTURES.md F1: a hub vertex should hold >=5% of all edges."""
+    src = synthesize_source_table(spark, n_repos=40, files_per_repo=25)
+    edges, nodes = build_link_graph(src)
+    total = edges.count()
+    top = (
+        edges.groupBy("dst").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    assert top["count"] >= 0.05 * total, (top["count"], total)
