@@ -1,10 +1,24 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: PageRank over the customer->supplier link
+graph derived from the sf0.001 parquet tables.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2 + pipeline mandate).  Graphs are derived deterministically
+from the shared TPC-H-ish tables so the DuckDB oracle can rebuild the
+same graph in pure SQL:
+
+* part co-occurrence graph (undirected): parts appearing in the same
+  order; nodes = all parts (isolated parts included).
+* customer->supplier digraph: src=o_custkey, dst=100000+l_suppkey
+  (distinct); nodes = all customers + suppliers (dangling suppliers).
+* part digraph: co-occurrence pair (a<b) directed a->b iff (a+b)%2=0 and
+  b->a iff (a+b)%3=0 (partial reciprocity).
+* weighted part graph: weight = 1 + (src+dst)%5.
+
+Iterative kernels run FIXED iteration counts here so the unrolled-SQL
+oracles are trajectory-identical; floats are rounded to 6dp on BOTH
+sides.  Every hash used by dedup ops is md5 (engine-portable).
 """
 
 from __future__ import annotations
@@ -12,27 +26,1103 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphblas_algorithms_spark.classes.graph import DiGraph, Graph
+
+# ---------------------------------------------------------------------------
+# shared derived tables — Spark side
+# ---------------------------------------------------------------------------
+
+
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _part_pairs(spark, sf_dir) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.toDF("ok", "pa")
+    b = li.toDF("ok", "pb")
+    return (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+
+
+def _part_nodes(spark, sf_dir) -> DataFrame:
+    return _read(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+
+
+def _part_graph(spark, sf_dir) -> Graph:
+    return Graph(_part_pairs(spark, sf_dir), _part_nodes(spark, sf_dir), canonicalize=False)
+
+
+def _part_graph_weighted(spark, sf_dir) -> Graph:
+    e = _part_pairs(spark, sf_dir).select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 5).cast("double").alias("weight")
+    )
+    return Graph(e, _part_nodes(spark, sf_dir), canonicalize=False)
+
+
+def _part_digraph(spark, sf_dir) -> DiGraph:
+    p = _part_pairs(spark, sf_dir)
+    fwd = p.filter((F.col("src") + F.col("dst")) % 2 == 0).select("src", "dst")
+    bwd = p.filter((F.col("src") + F.col("dst")) % 3 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return DiGraph(fwd.unionByName(bwd), _part_nodes(spark, sf_dir), dedup=True)
+
+
+def _cust_supp_graph(spark, sf_dir) -> DiGraph:
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(100000) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        _read(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("long").alias("id"))
+        .unionByName(
+            _read(spark, sf_dir, "supplier").select(
+                (F.lit(100000) + F.col("s_suppkey")).cast("long").alias("id")
+            )
+        )
+        .distinct()
+    )
+    return DiGraph(e, nodes, dedup=False)
+
+
+# SQL CTE prefixes (DuckDB) mirroring the Spark builders -------------------
+
+_SQL_PART = """
+part_pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS (SELECT p_partkey AS id FROM part),
+sym AS (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+)
+"""
+
+_SQL_CUST_SUPP = """
+cs_edges AS (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+cs_nodes AS (
+  SELECT c_custkey AS id FROM customer
+  UNION
+  SELECT 100000 + s_suppkey AS id FROM supplier
+)
+"""
+
+_SQL_PART_DIGRAPH = """
+part_pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS (SELECT p_partkey AS id FROM part),
+dedges AS (
+  SELECT src, dst FROM part_pairs WHERE (src + dst) % 2 = 0
+  UNION
+  SELECT dst AS src, src AS dst FROM part_pairs WHERE (src + dst) % 3 = 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """PageRank to convergence on the sf0.001 customer->supplier graph."""
+    from graphblas_algorithms_spark.operators.pagerank import pagerank
+
+    G = _cust_supp_graph(spark, "/root/testdata/sf0.001")
+    ranks = pagerank(G, alpha=0.85, tol=1e-6, max_iter=100)
+    return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy(
+        F.desc("rank"), "id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 20
+LPA_ITERS = 3
+KATZ_ITERS = 12
+SSSP_ITERS = 8
+
+
+def _q_pagerank(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.pagerank import pagerank
+
+    G = _cust_supp_graph(spark, sf_dir)
+    r = pagerank(G, alpha=0.85, fixed_iters=PR_ITERS)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_components(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.components import connected_components
+
+    return connected_components(_part_graph(spark, sf_dir))
+
+
+def _q_wcc(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.components import connected_components
+
+    return connected_components(_part_digraph(spark, sf_dir))
+
+
+def _q_scc(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(_part_digraph(spark, sf_dir))
+
+
+def _q_labelprop(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.labelprop import label_propagation
+
+    return label_propagation(
+        _part_graph(spark, sf_dir), max_iter=LPA_ITERS, early_stop=False
+    )
+
+
+def _q_triangles_total(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.triangles import total_triangles
+
+    n = total_triangles(_part_graph(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+def _q_triangles(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.triangles import triangles
+
+    return triangles(_part_graph(spark, sf_dir))
+
+
+def _q_clustering(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.triangles import clustering
+
+    c = clustering(_part_graph(spark, sf_dir))
+    return c.select("id", F.round("clustering", 6).alias("clustering"))
+
+
+def _q_transitivity(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.triangles import transitivity
+
+    t = transitivity(_part_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(t, 6),)], "transitivity double")
+
+
+def _q_degree_centrality(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.centrality import degree_centrality
+
+    d = degree_centrality(_part_graph(spark, sf_dir))
+    return d.select("id", F.round("centrality", 6).alias("centrality"))
+
+
+def _q_inout_degrees(spark, sf_dir):
+    G = _cust_supp_graph(spark, sf_dir)
+    ind = G.get_property("in_degrees").withColumnRenamed("degree", "in_deg")
+    outd = G.get_property("out_degrees").withColumnRenamed("degree", "out_deg")
+    return (
+        G.nodes.join(ind, "id", "left")
+        .join(outd, "id", "left")
+        .select(
+            "id",
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        )
+    )
+
+
+def _q_katz(spark, sf_dir):
+    """Katz with fixed unrolled iterations, unnormalized (oracle-friendly)."""
+    G = _cust_supp_graph(spark, sf_dir)
+    from graphblas_algorithms_spark.functions.semiring import vxm
+
+    alpha, beta = 0.05, 1.0
+    x = G.nodes.select("id", F.lit(0.0).alias("value"))
+    adj = G.edges.persist()
+    for _ in range(KATZ_ITERS):
+        prop = vxm(x, adj, add="sum", mul="first").withColumnRenamed("value", "_p")
+        x = G.nodes.join(prop, "id", "left").select(
+            "id",
+            (F.lit(alpha) * F.coalesce("_p", F.lit(0.0)) + F.lit(beta)).alias("value"),
+        )
+        x = x.localCheckpoint(eager=True)
+    return x.select("id", F.round("value", 6).alias("katz"))
+
+
+def _q_bfs(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.traversal import bfs_levels
+
+    G = _part_graph(spark, sf_dir)
+    src = G.nodes.agg(F.min("id").alias("m")).collect()[0]["m"]
+    return bfs_levels(G, int(src))
+
+
+def _q_sssp(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.shortest_paths import (
+        bellman_ford_path_length,
+    )
+
+    G = _part_graph_weighted(spark, sf_dir)
+    src = G.nodes.agg(F.min("id").alias("m")).collect()[0]["m"]
+    d = bellman_ford_path_length(G, int(src), fixed_iters=SSSP_ITERS)
+    return d.select("id", F.round("dist", 6).alias("dist"))
+
+
+def _q_edge_support(spark, sf_dir):
+    """Per-edge triangle support — the k-truss inner step (exact oracle)."""
+    from graphblas_algorithms_spark.operators.ktruss import _edge_support
+
+    return _edge_support(_part_pairs(spark, sf_dir))
+
+
+def _q_ktruss(spark, sf_dir):
+    """Full k-truss fixpoint (no SQL oracle — iterative; rows-only check)."""
+    from graphblas_algorithms_spark.operators.ktruss import k_truss
+
+    K = k_truss(_part_graph(spark, sf_dir), 4)
+    return K.edges.select("src", "dst")
+
+
+def _q_isolates(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.structure import isolates
+
+    return isolates(_part_graph(spark, sf_dir))
+
+
+def _q_smetric(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.structure import s_metric
+
+    v = s_metric(_part_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(v, 6),)], "s_metric double")
+
+
+def _q_reciprocity(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.structure import overall_reciprocity
+
+    v = overall_reciprocity(_part_digraph(spark, sf_dir))
+    return spark.createDataFrame([(round(v, 6),)], "reciprocity double")
+
+
+def _q_conductance(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.boundary import conductance, cut_size, volume
+
+    G = _part_graph(spark, sf_dir)
+    S = G.nodes.filter(F.col("id") % 4 == 0)
+    c = conductance(G, S)
+    cs = cut_size(G, S)
+    vol = volume(G, S)
+    return spark.createDataFrame(
+        [(int(cs), int(vol), round(c, 6))], "cut_size long, volume long, conductance double"
+    )
+
+
+def _q_node_boundary(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.boundary import node_boundary
+
+    G = _part_graph(spark, sf_dir)
+    S = G.nodes.filter(F.col("id") % 10 == 0)
+    return node_boundary(G, S)
+
+
+def _q_laplacian(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.linalg import laplacian_matrix
+
+    L = laplacian_matrix(_part_graph(spark, sf_dir))
+    return L.select("row", "col", F.round("value", 6).alias("value"))
+
+
+# ---- pipeline queries -----------------------------------------------------
+
+
+def _q_token_counts(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.text import token_counts
+
+    return token_counts(_read(spark, sf_dir, "documents"))
+
+
+def _q_fingerprints(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.text import fingerprints
+
+    return fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def _q_exact_dups(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(_read(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.text import quality_scores
+
+    return quality_scores(_read(spark, sf_dir, "documents"))
+
+
+def _q_langid(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.text import language_id
+
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), k=3, threshold=0.8)
+
+
+def _q_minhash_neardup(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _read(spark, sf_dir, "documents"), k=3, n_hashes=12, bands=4, threshold=0.7
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.dedup import simhash
+
+    return simhash(_read(spark, sf_dir, "documents"), bits=16)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(_read(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def _q_ann_topk(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.similarity import cosine_topk
+
+    return cosine_topk(_read(spark, sf_dir, "embeddings"), k=10)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN (approximate — no SQL oracle; rows-only check)."""
+    from graphblas_algorithms_spark.pipeline.similarity import ivf_topk
+
+    return ivf_topk(_read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=4)
+
+
+def _q_events_windowed(spark, sf_dir):
+    from graphblas_algorithms_spark.streaming.events import windowed_counts_batch
+
+    return windowed_counts_batch(_read(spark, sf_dir, "events"), minutes=60)
+
+
+def _q_events_sessions(spark, sf_dir):
+    from graphblas_algorithms_spark.streaming.events import sessionize_batch
+
+    return sessionize_batch(_read(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def _q_olap_pricing(spark, sf_dir):
+    """TPC-H Q1-style scan+agg (engine breadth check)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_olap_top_customers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    agg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", "revenue", F.col("rk").cast("long").alias("rk"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "graph_pagerank": _q_pagerank,
+        "graph_components": _q_components,
+        "graph_wcc": _q_wcc,
+        "graph_scc": _q_scc,
+        "graph_labelprop": _q_labelprop,
+        "graph_triangles_total": _q_triangles_total,
+        "graph_triangles": _q_triangles,
+        "graph_clustering": _q_clustering,
+        "graph_transitivity": _q_transitivity,
+        "graph_degree_centrality": _q_degree_centrality,
+        "graph_inout_degrees": _q_inout_degrees,
+        "graph_katz": _q_katz,
+        "graph_bfs": _q_bfs,
+        "graph_sssp": _q_sssp,
+        "graph_edge_support": _q_edge_support,
+        "graph_ktruss": _q_ktruss,
+        "graph_isolates": _q_isolates,
+        "graph_smetric": _q_smetric,
+        "graph_reciprocity": _q_reciprocity,
+        "graph_conductance": _q_conductance,
+        "graph_node_boundary": _q_node_boundary,
+        "graph_laplacian": _q_laplacian,
+        "pipe_token_counts": _q_token_counts,
+        "pipe_fingerprints": _q_fingerprints,
+        "pipe_exact_dups": _q_exact_dups,
+        "pipe_quality": _q_quality,
+        "pipe_langid": _q_langid,
+        "pipe_ngram_jaccard": _q_ngram_jaccard,
+        "pipe_minhash_neardup": _q_minhash_neardup,
+        "pipe_simhash": _q_simhash,
+        "pipe_embedding_neardup": _q_embedding_neardup,
+        "pipe_ann_topk": _q_ann_topk,
+        "pipe_ann_ivf": _q_ann_ivf,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
+        "olap_pricing": _q_olap_pricing,
+        "olap_top_customers": _q_olap_top_customers,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _sql_pagerank() -> str:
+    alpha = 0.85
+    parts = [
+        "WITH " + _SQL_CUST_SUPP.strip().rstrip(",").strip(),
+        """,
+outdeg AS (SELECT src, count(*) AS c FROM cs_edges GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS cnt FROM cs_nodes),
+x0 AS (SELECT id, 1.0/nn.cnt AS r FROM cs_nodes, nn)""",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+x{k} AS (
+  SELECT no.id AS id,
+         (1-{alpha})/nn.cnt
+         + {alpha} * coalesce(c.s, 0)
+         + {alpha} * dm.mass / nn.cnt AS r
+  FROM cs_nodes no
+  CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(p.r), 0) AS mass
+              FROM x{k-1} p LEFT JOIN outdeg od ON p.id = od.src
+              WHERE od.src IS NULL) dm
+  LEFT JOIN (SELECT e.dst AS id, sum(p.r / od.c) AS s
+             FROM x{k-1} p
+             JOIN cs_edges e ON p.id = e.src
+             JOIN outdeg od ON od.src = e.src
+             GROUP BY e.dst) c ON c.id = no.id
+)"""
+        )
+    parts.append(f"\nSELECT id, round(r, 6) AS rank FROM x{PR_ITERS}")
+    return "".join(parts)
+
+
+_SQL_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_PART.strip()},
+reach(id, comp) AS (
+  SELECT id, id FROM part_nodes
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id, min(comp) AS component FROM reach GROUP BY id
+"""
+
+_SQL_WCC = f"""
+WITH RECURSIVE {_SQL_PART_DIGRAPH.strip()},
+dsym AS (
+  SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges
+),
+reach(id, comp) AS (
+  SELECT id, id FROM part_nodes
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN dsym s ON s.src = r.id
+)
+SELECT id, min(comp) AS component FROM reach GROUP BY id
+"""
+
+_SQL_SCC = f"""
+WITH RECURSIVE {_SQL_PART_DIGRAPH.strip()},
+reach(src, dst) AS (
+  SELECT id, id FROM part_nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN dedges e ON e.src = r.dst
+)
+SELECT a.src AS id, min(a.dst) AS component
+FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+GROUP BY a.src
+"""
+
+
+def _sql_labelprop() -> str:
+    parts = [
+        "WITH " + _SQL_PART.strip().rstrip(",").strip(),
+        """,
+l0 AS (SELECT id, id AS label FROM part_nodes)""",
+    ]
+    for k in range(1, LPA_ITERS + 1):
+        parts.append(
+            f""",
+v{k} AS (
+  SELECT s.dst AS id, p.label FROM l{k-1} p JOIN sym s ON s.src = p.id
+  UNION ALL
+  SELECT id, label FROM l{k-1}
+),
+c{k} AS (SELECT id, label, count(*) AS c FROM v{k} GROUP BY id, label),
+l{k} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+    FROM c{k}) WHERE rn = 1
+)"""
+        )
+    parts.append(f"\nSELECT id, label FROM l{LPA_ITERS}")
+    return "".join(parts)
+
+
+_SQL_TRI_LIST = f"""{_SQL_PART.strip()},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM part_pairs e1
+  JOIN part_pairs e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN part_pairs e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)"""
+
+_SQL_TRIANGLES_TOTAL = f"WITH {_SQL_TRI_LIST}\nSELECT count(*)::BIGINT AS n_triangles FROM tri"
+
+_SQL_TRIANGLES = f"""WITH {_SQL_TRI_LIST},
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*)::BIGINT AS t FROM corners GROUP BY id)
+SELECT n.id, coalesce(cnt.t, 0)::BIGINT AS triangles
+FROM part_nodes n LEFT JOIN cnt ON n.id = cnt.id
+"""
+
+_SQL_DEG_MINUS = """
+deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM sym GROUP BY src)
+"""
+
+_SQL_CLUSTERING = f"""WITH {_SQL_TRI_LIST},
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id),
+{_SQL_DEG_MINUS.strip()}
+SELECT n.id,
+       round(CASE WHEN coalesce(deg.d,0) >= 2
+             THEN 2.0 * coalesce(cnt.t,0) / (deg.d * (deg.d - 1))
+             ELSE 0.0 END, 6) AS clustering
+FROM part_nodes n
+LEFT JOIN cnt ON n.id = cnt.id
+LEFT JOIN deg ON n.id = deg.id
+"""
+
+_SQL_TRANSITIVITY = f"""WITH {_SQL_TRI_LIST},
+{_SQL_DEG_MINUS.strip()},
+tt AS (SELECT count(*)::DOUBLE AS t FROM tri),
+dd AS (SELECT sum(d * (d - 1))::DOUBLE AS s FROM deg)
+SELECT round(CASE WHEN dd.s > 0 THEN 6.0 * tt.t / dd.s ELSE 0.0 END, 6) AS transitivity
+FROM tt, dd
+"""
+
+_SQL_DEGREE_CENTRALITY = f"""WITH {_SQL_PART.strip()},
+{_SQL_DEG_MINUS.strip()},
+nn AS (SELECT count(*)::DOUBLE AS cnt FROM part_nodes)
+SELECT n.id, round(coalesce(deg.d, 0) / (nn.cnt - 1), 6) AS centrality
+FROM part_nodes n CROSS JOIN nn LEFT JOIN deg ON n.id = deg.id
+"""
+
+_SQL_INOUT = f"""WITH {_SQL_CUST_SUPP.strip()},
+i AS (SELECT dst AS id, count(*)::BIGINT AS d FROM cs_edges GROUP BY dst),
+o AS (SELECT src AS id, count(*)::BIGINT AS d FROM cs_edges GROUP BY src)
+SELECT n.id, coalesce(i.d, 0)::BIGINT AS in_deg, coalesce(o.d, 0)::BIGINT AS out_deg
+FROM cs_nodes n LEFT JOIN i ON n.id = i.id LEFT JOIN o ON n.id = o.id
+"""
+
+
+def _sql_katz() -> str:
+    alpha, beta = 0.05, 1.0
+    parts = [
+        "WITH " + _SQL_CUST_SUPP.strip().rstrip(",").strip(),
+        ",\nk0 AS (SELECT id, 0.0 AS v FROM cs_nodes)",
+    ]
+    for k in range(1, KATZ_ITERS + 1):
+        parts.append(
+            f""",
+k{k} AS (
+  SELECT n.id, {alpha} * coalesce(p.s, 0) + {beta} AS v
+  FROM cs_nodes n
+  LEFT JOIN (SELECT e.dst AS id, sum(x.v) AS s
+             FROM k{k-1} x JOIN cs_edges e ON x.id = e.src
+             GROUP BY e.dst) p ON p.id = n.id
+)"""
+        )
+    parts.append(f"\nSELECT id, round(v, 6) AS katz FROM k{KATZ_ITERS}")
+    return "".join(parts)
+
+
+_SQL_BFS = f"""
+WITH RECURSIVE {_SQL_PART.strip()},
+src0 AS (SELECT min(id) AS s FROM part_nodes),
+reach(id, lvl) AS (
+  SELECT s, 0::BIGINT FROM src0
+  UNION
+  SELECT e.dst, r.lvl + 1
+  FROM reach r JOIN sym e ON e.src = r.id
+  WHERE r.lvl < 12
+)
+SELECT id, min(lvl)::BIGINT AS level FROM reach GROUP BY id
+"""
+
+
+def _sql_sssp() -> str:
+    parts = [
+        "WITH " + _SQL_PART.strip().rstrip(",").strip(),
+        """,
+wedges AS (SELECT src, dst, (1 + (src + dst) % 5)::DOUBLE AS w FROM sym),
+src0 AS (SELECT min(id) AS s FROM part_nodes),
+d0 AS (SELECT s AS id, 0.0 AS dist FROM src0)""",
+    ]
+    for k in range(1, SSSP_ITERS + 1):
+        parts.append(
+            f""",
+d{k} AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d{k-1}
+    UNION ALL
+    SELECT e.dst AS id, p.dist + e.w AS dist
+    FROM d{k-1} p JOIN wedges e ON p.id = e.src
+  ) GROUP BY id
+)"""
+        )
+    parts.append(f"\nSELECT id, round(dist, 6) AS dist FROM d{SSSP_ITERS}")
+    return "".join(parts)
+
+
+_SQL_EDGE_SUPPORT = f"""WITH {_SQL_TRI_LIST},
+tedges AS (
+  SELECT least(a,b) AS src, greatest(a,b) AS dst FROM tri
+  UNION ALL SELECT least(a,c), greatest(a,c) FROM tri
+  UNION ALL SELECT least(b,c), greatest(b,c) FROM tri
+),
+sup AS (SELECT src, dst, count(*)::BIGINT AS s FROM tedges GROUP BY src, dst)
+SELECT p.src, p.dst, coalesce(sup.s, 0)::BIGINT AS support
+FROM part_pairs p LEFT JOIN sup ON p.src = sup.src AND p.dst = sup.dst
+"""
+
+_SQL_ISOLATES = f"""WITH {_SQL_PART.strip()}
+SELECT n.id FROM part_nodes n
+LEFT JOIN (SELECT DISTINCT src AS id FROM sym) e ON n.id = e.id
+WHERE e.id IS NULL
+"""
+
+_SQL_SMETRIC = f"""WITH {_SQL_PART.strip()},
+{_SQL_DEG_MINUS.strip()}
+SELECT round(sum(du.d * dv.d)::DOUBLE, 6) AS s_metric
+FROM part_pairs p
+JOIN deg du ON p.src = du.id
+JOIN deg dv ON p.dst = dv.id
+"""
+
+_SQL_RECIPROCITY = f"""WITH {_SQL_PART_DIGRAPH.strip()},
+offd AS (SELECT src, dst FROM dedges WHERE src <> dst),
+recip AS (
+  SELECT a.src, a.dst FROM offd a
+  WHERE EXISTS (SELECT 1 FROM offd b WHERE b.src = a.dst AND b.dst = a.src)
+)
+SELECT round((SELECT count(*) FROM recip)::DOUBLE / (SELECT count(*) FROM offd), 6)
+       AS reciprocity
+"""
+
+_SQL_CONDUCTANCE = f"""WITH {_SQL_PART.strip()},
+s AS (SELECT id FROM part_nodes WHERE id % 4 = 0),
+cut AS (
+  SELECT count(*)::BIGINT AS c FROM sym
+  WHERE src IN (SELECT id FROM s) AND dst NOT IN (SELECT id FROM s)
+),
+vol_s AS (
+  SELECT count(*)::BIGINT AS v FROM sym WHERE src IN (SELECT id FROM s)
+),
+vol_t AS (
+  SELECT count(*)::BIGINT AS v FROM sym WHERE src NOT IN (SELECT id FROM s)
+)
+SELECT cut.c AS cut_size, vol_s.v AS volume,
+       round(cut.c::DOUBLE / least(vol_s.v, vol_t.v), 6) AS conductance
+FROM cut, vol_s, vol_t
+"""
+
+_SQL_NODE_BOUNDARY = f"""WITH {_SQL_PART.strip()},
+s AS (SELECT id FROM part_nodes WHERE id % 10 = 0)
+SELECT DISTINCT dst AS id FROM sym
+WHERE src IN (SELECT id FROM s) AND dst NOT IN (SELECT id FROM s)
+"""
+
+_SQL_LAPLACIAN = f"""WITH {_SQL_PART.strip()},
+wdeg AS (SELECT src AS id, count(*)::DOUBLE AS d FROM sym GROUP BY src),
+entries AS (
+  SELECT id AS row, id AS col, d AS value FROM wdeg
+  UNION ALL
+  SELECT src, dst, -1.0 FROM sym
+)
+SELECT row, col, round(sum(value), 6) AS value
+FROM entries GROUP BY row, col HAVING sum(value) <> 0
+"""
+
+# ---- pipeline oracles ------------------------------------------------------
+
+_BPE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+_SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPE}'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+_SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_SQL_FINGERPRINTS = f"SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents"
+
+_SQL_EXACT_DUPS = f"""
+WITH fp AS (SELECT doc_id, md5({_SQL_NORM}) AS f FROM documents),
+g AS (SELECT f, min(doc_id) AS canonical_id, count(*) AS n FROM fp GROUP BY f)
+SELECT fp.doc_id, g.canonical_id FROM fp JOIN g ON fp.f = g.f WHERE g.n >= 2
+"""
+
+_STOPWORDS = "('the','and','of','to','in','is','data','value')"
+
+_SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars_q,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars_q, punct,
+         len(toks)::BIGINT AS n_tokens,
+         len(list_filter(toks, x -> x IN {_STOPWORDS}))::BIGINT AS n_stop
+  FROM t
+)
+SELECT doc_id, n_chars_q, n_tokens,
+       round((n_chars_q - (n_tokens - 1))::DOUBLE / n_tokens, 6) AS mean_token_len,
+       round(punct::DOUBLE / greatest(n_chars_q, 1), 6) AS punct_ratio,
+       round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(greatest(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+         least(1.0,
+           0.5 * (1.0 - (punct::DOUBLE / greatest(n_chars_q, 1)) * 10.0)
+           + 0.3 * least((n_stop::DOUBLE / greatest(n_tokens, 1)) * 5.0, 1.0)
+           + 0.2 * least(n_tokens / 100.0, 1.0))
+         END, 0.0), 6) AS quality
+FROM m
+"""
+
+
+def _sql_langid() -> str:
+    from graphblas_algorithms_spark.pipeline.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    cols = []
+    for lang in langs:
+        lst = ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        cols.append(
+            f"len(list_filter(toks, x -> x IN ({lst})))::BIGINT AS c_{lang}"
+        )
+    # tie-break: earliest in sorted order wins (>= comparisons)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"c_{lang} >= c_{other}" for other in langs[i + 1 :]]
+        prior = [f"c_{lang} > c_{other}" for other in langs[:i]]
+        all_conds = prior + conds
+        cond = " AND ".join(all_conds) if all_conds else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_lang = "CASE " + " ".join(cases) + " END"
+    case_score = (
+        "CASE "
+        + " ".join(
+            f"WHEN pred_lang = '{lang}' THEN c_{lang}" for lang in langs
+        )
+        + " END"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+c AS (SELECT doc_id, {', '.join(cols)} FROM t),
+p AS (SELECT doc_id, c_de, c_en, c_es, c_fr, {case_lang} AS pred_lang FROM c)
+SELECT doc_id, pred_lang, ({case_score})::BIGINT AS score FROM p
+"""
+
+
+_SQL_SHINGLES = """
+sh AS (
+  SELECT doc_id, unnest(list_distinct(shl)) AS shingle FROM (
+    SELECT doc_id,
+           list_transform(
+             generate_series(1, greatest(len(w) - 2, 1)),
+             i -> array_to_string(w[i:i+2], ' ')
+           ) AS shl
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents)
+  )
+)
+"""
+
+_SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES.strip()},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.8
+"""
+
+
+def _sql_minhash_neardup(n_hashes: int = 12, bands: int = 4, threshold: float = 0.7) -> str:
+    rows = n_hashes // bands
+    mins = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(n_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({key}) AS key FROM sig"
+        )
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_SQL_SHINGLES.strip()},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{banded}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= {threshold}
+"""
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    votes = []
+    for b in range(bits):
+        nib = b // 4
+        shift = 2 ** (b % 4)
+        votes.append(
+            f"sum(((strpos('0123456789abcdef', substr(h, {nib + 1}, 1)) - 1) "
+            f"// {shift}) % 2 * 2 - 1) AS v{b}"
+        )
+    terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+),
+h AS (SELECT doc_id, md5(token) AS h FROM tok),
+v AS (SELECT doc_id, {', '.join(votes)} FROM h GROUP BY doc_id)
+SELECT doc_id, ({terms})::BIGINT AS simhash FROM v
+"""
+
+
+_SQL_EMB_NORM = """
+v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> x) AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+)
+"""
+
+_SQL_EMB_NEARDUP = f"""
+WITH {_SQL_EMB_NORM.strip()}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.35
+"""
+
+_SQL_ANN_TOPK = f"""
+WITH {_SQL_EMB_NORM.strip()},
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine
+FROM ranked WHERE rank <= 10
+"""
+
+_SQL_EVENTS_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_SQL_EVENTS_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       min(ts) AS session_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+_SQL_OLAP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_SQL_OLAP_TOPCUST = """
+WITH agg AS (
+  SELECT n_name, c_custkey, round(sum(o_totalprice), 6) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey
+),
+ranked AS (
+  SELECT n_name, c_custkey, revenue,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY revenue DESC, c_custkey ASC) AS rk
+  FROM agg
+)
+SELECT n_name, c_custkey, revenue, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "graph_pagerank": _sql_pagerank(),
+        "graph_components": _SQL_COMPONENTS,
+        "graph_wcc": _SQL_WCC,
+        "graph_scc": _SQL_SCC,
+        "graph_labelprop": _sql_labelprop(),
+        "graph_triangles_total": _SQL_TRIANGLES_TOTAL,
+        "graph_triangles": _SQL_TRIANGLES,
+        "graph_clustering": _SQL_CLUSTERING,
+        "graph_transitivity": _SQL_TRANSITIVITY,
+        "graph_degree_centrality": _SQL_DEGREE_CENTRALITY,
+        "graph_inout_degrees": _SQL_INOUT,
+        "graph_katz": _sql_katz(),
+        "graph_bfs": _SQL_BFS,
+        "graph_sssp": _sql_sssp(),
+        "graph_edge_support": _SQL_EDGE_SUPPORT,
+        # graph_ktruss: iterative fixpoint — rows-only check
+        "graph_isolates": _SQL_ISOLATES,
+        "graph_smetric": _SQL_SMETRIC,
+        "graph_reciprocity": _SQL_RECIPROCITY,
+        "graph_conductance": _SQL_CONDUCTANCE,
+        "graph_node_boundary": _SQL_NODE_BOUNDARY,
+        "graph_laplacian": _SQL_LAPLACIAN,
+        "pipe_token_counts": _SQL_TOKEN_COUNTS,
+        "pipe_fingerprints": _SQL_FINGERPRINTS,
+        "pipe_exact_dups": _SQL_EXACT_DUPS,
+        "pipe_quality": _SQL_QUALITY,
+        "pipe_langid": _sql_langid(),
+        "pipe_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "pipe_minhash_neardup": _sql_minhash_neardup(),
+        "pipe_simhash": _sql_simhash(),
+        "pipe_embedding_neardup": _SQL_EMB_NEARDUP,
+        "pipe_ann_topk": _SQL_ANN_TOPK,
+        # pipe_ann_ivf: approximate — rows-only check
+        "events_windowed": _SQL_EVENTS_WINDOWED,
+        "events_sessions": _SQL_EVENTS_SESSIONS,
+        "olap_pricing": _SQL_OLAP_PRICING,
+        "olap_top_customers": _SQL_OLAP_TOPCUST,
+    }

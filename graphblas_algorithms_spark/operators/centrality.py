@@ -194,6 +194,9 @@ def hits(
             .otherwise(F.col("value"))
             .alias("value"),
         )
+        # a feeds both h_raw and hmax below — without a hard cut the plan
+        # tree would double through the crossJoin every iteration
+        a = a.localCheckpoint(eager=True)
         h_raw = mxv(adj, a, add="sum", mul="times")  # h = A @ a
         hmax = h_raw.agg(F.max("value").alias("_m"))
         new_h = h_raw.crossJoin(F.broadcast(hmax)).select(

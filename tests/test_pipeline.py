@@ -1,0 +1,248 @@
+"""Pipeline operators (dedup / similarity / text / multimodal) on the
+driver-supplied documents & embeddings tables, with python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphblas_algorithms_spark.pipeline.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from graphblas_algorithms_spark.pipeline.multimodal import (
+    extract_features,
+    register_fake_decoders,
+    resize_plan,
+    sample_frames,
+    synth_assets,
+)
+from graphblas_algorithms_spark.pipeline.similarity import (
+    cosine_topk,
+    cosine_topk_pandas,
+    ivf_topk,
+)
+from graphblas_algorithms_spark.pipeline.text import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return {r["doc_id"]: r["text"] for r in docs.collect()}
+
+
+def _norm(t):
+    return re.sub(r"\s+", " ", t.strip().lower())
+
+
+def _shingles(t, k=3):
+    w = _norm(t).split(" ")
+    if len(w) <= k:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def test_token_counts(spark, docs, docs_pd):
+    got = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"]) for r in token_counts(docs).collect()}
+    for did, text in docs_pd.items():
+        ws = len(text.strip().split())
+        bpe = len(re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", text))
+        assert got[did] == (ws, bpe), did
+
+
+def test_fingerprints_and_exact_dup(spark, docs, docs_pd):
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+    for did, text in list(docs_pd.items())[:50]:
+        assert got[did] == hashlib.md5(_norm(text).encode()).hexdigest()
+    # exact duplicates oracle
+    by_fp = {}
+    for did, text in docs_pd.items():
+        by_fp.setdefault(_norm(text), []).append(did)
+    want = {}
+    for ids in by_fp.values():
+        if len(ids) >= 2:
+            canon = min(ids)
+            for d in ids:
+                want[d] = canon
+    got_dup = {r["doc_id"]: r["canonical_id"] for r in exact_duplicates(docs).collect()}
+    assert got_dup == want
+
+
+def test_language_id_and_quality_run(spark, docs):
+    li = language_id(docs)
+    assert li.count() == docs.count()
+    assert set(li.columns) == {"doc_id", "pred_lang", "score"}
+    q = quality_scores(docs)
+    row = q.agg(F.min("quality").alias("lo"), F.max("quality").alias("hi")).collect()[0]
+    assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def test_word_shingles_match_oracle(spark, docs, docs_pd):
+    got = {}
+    for r in word_shingles(docs, 3).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for did, text in list(docs_pd.items())[:40]:
+        assert got[did] == _shingles(text, 3), did
+
+
+def test_ngram_jaccard_vs_oracle(spark, docs, docs_pd):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 3, 0.8).collect()
+    }
+    sh = {d: _shingles(t, 3) for d, t in docs_pd.items()}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter:
+                j = inter / (len(sh[a]) + len(sh[b]) - inter)
+                if round(j, 6) >= 0.8:
+                    want[(a, b)] = round(j, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs, docs_pd):
+    """Exact duplicates (jaccard=1) MUST be LSH candidates in every band;
+    verified pairs at threshold .99 == exact-dup pairs."""
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_near_duplicates(docs, threshold=0.99).collect()
+    }
+    sh = {d: _shingles(t, 3) for d, t in docs_pd.items()}
+    want = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.99:
+                want.add((a, b))
+    assert got == want
+    # candidates are a superset (banding may add false positives, fine)
+    cand = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert want <= cand
+
+
+def test_simhash_deterministic_and_close_for_dups(spark, docs, docs_pd):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    # identical normalized text -> identical simhash
+    by_norm = {}
+    for d, t in docs_pd.items():
+        by_norm.setdefault(_norm(t), []).append(d)
+    for ids in by_norm.values():
+        if len(ids) > 1:
+            assert len({sh[d] for d in ids}) == 1
+    assert all(0 <= v < 2**16 for v in sh.values())
+
+
+def test_embedding_neardup_and_topk_vs_numpy(spark, emb):
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    # near-dup pairs
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_duplicates(emb, threshold=0.9).collect()
+    }
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            c = round(S[i, j], 6)
+            if c >= 0.9:
+                want[(int(ids[i]), int(ids[j]))] = c
+    assert set(got) == set(want)
+    # top-k
+    got_tk = {}
+    for r in cosine_topk(emb, k=5).collect():
+        got_tk.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    for qi, qid in enumerate(ids[:25]):
+        s = np.round(S[qi], 6)
+        order = sorted(
+            (j for j in range(len(ids)) if j != qi),
+            key=lambda j: (-s[j], ids[j]),
+        )[:5]
+        want_tk = [(rk + 1, int(ids[j]), float(s[j])) for rk, j in enumerate(order)]
+        assert sorted(got_tk[qid]) == want_tk, qid
+
+
+def test_ivf_recall_reasonable(spark, emb):
+    exact = {}
+    for r in cosine_topk(emb, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ivf_topk(emb, k=5, m=8, n_probe=3).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) > 0.6  # coarse IVF: decent recall
+
+
+def test_pandas_topk_matches_sql_topk(spark, emb):
+    a = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, k=3).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_pandas(emb, k=3).collect()
+    }
+    assert a == b
+
+
+def test_multimodal_plumbing(spark):
+    register_fake_decoders(dim=8)
+    assets = synth_assets(spark, n=30)
+    feats = extract_features(assets).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+    # deterministic across runs
+    feats2 = {r["asset_id"]: r["feature"] for r in extract_features(assets).collect()}
+    assert feats2 == {r["asset_id"]: r["feature"] for r in feats}
+    # frame sampling & resize plans
+    frames = sample_frames(assets, every=5)
+    assert frames.count() > 0
+    rp = resize_plan(assets, 224, 224).collect()
+    for r in rp:
+        assert r["scale_x"] == pytest.approx(224 / 64, abs=1e-6)
+
+
+def test_multimodal_unregistered_kind_raises(spark):
+    from graphblas_algorithms_spark.pipeline.multimodal import DecoderRegistry
+
+    DecoderRegistry._decoders.clear()
+    assets = synth_assets(spark, n=3)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        extract_features(assets).collect()
+    register_fake_decoders()

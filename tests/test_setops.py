@@ -62,10 +62,7 @@ def test_full_join(spark):
     g2 = nx.path_graph(2)
     G, H = from_networkx(spark, g1), from_networkx(spark, g2)
     FJ = full_join(G, H)
-    want = nx.full_join(g1, g2)
-    want = nx.relabel_nodes(
-        want, {n: int(n) if not isinstance(n, int) else n for n in want.nodes}
-    )
+    want = nx.full_join(g1, g2, rename=("g", "h"))
     assert len(_edges(FJ)) == want.number_of_edges()
 
 
