@@ -290,6 +290,26 @@ def _q_sssp(spark, sf_dir):
     return d.select("id", F.round("dist", 6).alias("dist"))
 
 
+def _q_square_clustering(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.cluster_extra import square_clustering
+
+    c = square_clustering(_part_graph(spark, sf_dir))
+    return c.select("id", F.round("sq_clustering", 6).alias("sq_clustering"))
+
+
+def _q_clustering_directed(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.cluster_extra import clustering_directed
+
+    c = clustering_directed(_part_digraph(spark, sf_dir))
+    return c.select("id", F.round("clustering", 6).alias("clustering"))
+
+
+def _q_generalized_degree(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.cluster_extra import generalized_degree
+
+    return generalized_degree(_part_graph(spark, sf_dir))
+
+
 def _q_edge_support(spark, sf_dir):
     """Per-edge triangle support — the k-truss inner step (exact oracle)."""
     from graphblas_algorithms_spark.operators.ktruss import _edge_support
@@ -491,6 +511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_katz": _q_katz,
         "graph_bfs": _q_bfs,
         "graph_sssp": _q_sssp,
+        "graph_square_clustering": _q_square_clustering,
+        "graph_clustering_directed": _q_clustering_directed,
+        "graph_generalized_degree": _q_generalized_degree,
         "graph_edge_support": _q_edge_support,
         "graph_ktruss": _q_ktruss,
         "graph_isolates": _q_isolates,
@@ -746,6 +769,89 @@ tedges AS (
 sup AS (SELECT src, dst, count(*)::BIGINT AS s FROM tedges GROUP BY src, dst)
 SELECT p.src, p.dst, coalesce(sup.s, 0)::BIGINT AS support
 FROM part_pairs p LEFT JOIN sup ON p.src = sup.src AND p.dst = sup.dst
+"""
+
+_SQL_SQUARE_CLUSTERING = f"""WITH {_SQL_PART.strip()},
+deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM sym GROUP BY src),
+wed AS (
+  SELECT a.src AS v, a.dst AS u, b.dst AS w
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+),
+pair_cnt AS (SELECT u, w, count(*)::BIGINT AS cn FROM wed GROUP BY u, w),
+per AS (
+  SELECT wed.v, (pc.cn - 1) AS q,
+         CASE WHEN th.src IS NOT NULL THEN 1 ELSE 0 END AS t,
+         du.d AS ku, dw.d AS kw
+  FROM wed
+  JOIN pair_cnt pc ON wed.u = pc.u AND wed.w = pc.w
+  LEFT JOIN part_pairs th ON wed.u = th.src AND wed.w = th.dst
+  JOIN deg du ON wed.u = du.id
+  JOIN deg dw ON wed.w = dw.id
+),
+agg AS (
+  SELECT v, sum(q) AS numer,
+         sum((ku - (q + 1 + t)) + (kw - (q + 1 + t)) + q) AS denom
+  FROM per GROUP BY v
+)
+SELECT n.id,
+       round(CASE WHEN coalesce(agg.denom, 0) > 0
+             THEN agg.numer::DOUBLE / agg.denom ELSE 0.0 END, 6) AS sq_clustering
+FROM part_nodes n LEFT JOIN agg ON n.id = agg.v
+"""
+
+_SQL_CLUSTERING_DIRECTED = f"""WITH {_SQL_PART_DIGRAPH.strip()},
+offd AS (SELECT src, dst FROM dedges WHERE src <> dst),
+b AS (
+  SELECT src, dst, count(*)::DOUBLE AS b FROM (
+    SELECT src, dst FROM offd UNION ALL SELECT dst AS src, src AS dst FROM offd
+  ) GROUP BY src, dst
+),
+wed AS (
+  SELECT e1.src AS i, e1.dst AS j, e2.dst AS k, e1.b AS bj, e2.b AS bk
+  FROM b e1 JOIN b e2 ON e1.src = e2.src AND e1.dst < e2.dst
+),
+tri AS (
+  SELECT i, sum(bj * bk * c.b) AS t
+  FROM wed JOIN b c ON c.src = wed.j AND c.dst = wed.k
+  GROUP BY i
+),
+dtot AS (
+  SELECT id, count(*)::BIGINT AS d FROM (
+    SELECT src AS id FROM offd UNION ALL SELECT dst FROM offd
+  ) GROUP BY id
+),
+drec AS (
+  SELECT a.src AS id, count(*)::BIGINT AS d
+  FROM offd a JOIN offd r ON r.src = a.dst AND r.dst = a.src
+  GROUP BY a.src
+)
+SELECT n.id,
+       round(CASE WHEN dtot.d IS NOT NULL
+                   AND (dtot.d * (dtot.d - 1) - 2 * coalesce(drec.d, 0)) > 0
+             THEN coalesce(tri.t, 0)
+                  / (dtot.d * (dtot.d - 1) - 2 * coalesce(drec.d, 0))
+             ELSE 0.0 END, 6) AS clustering
+FROM part_nodes n
+LEFT JOIN dtot ON n.id = dtot.id
+LEFT JOIN drec ON n.id = drec.id
+LEFT JOIN tri ON n.id = tri.i
+"""
+
+_SQL_GENERALIZED_DEGREE = f"""WITH {_SQL_TRI_LIST},
+tedges AS (
+  SELECT least(a,b) AS src, greatest(a,b) AS dst FROM tri
+  UNION ALL SELECT least(a,c), greatest(a,c) FROM tri
+  UNION ALL SELECT least(b,c), greatest(b,c) FROM tri
+),
+sup AS (SELECT src, dst, count(*)::BIGINT AS s FROM tedges GROUP BY src, dst),
+edge_t AS (
+  SELECT p.src, p.dst, coalesce(sup.s, 0)::BIGINT AS ntri
+  FROM part_pairs p LEFT JOIN sup ON p.src = sup.src AND p.dst = sup.dst
+),
+incident AS (
+  SELECT src AS id, ntri FROM edge_t UNION ALL SELECT dst AS id, ntri FROM edge_t
+)
+SELECT id, ntri, count(*)::BIGINT AS n_edges FROM incident GROUP BY id, ntri
 """
 
 _SQL_ISOLATES = f"""WITH {_SQL_PART.strip()}
@@ -1102,6 +1208,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_katz": _sql_katz(),
         "graph_bfs": _SQL_BFS,
         "graph_sssp": _sql_sssp(),
+        "graph_square_clustering": _SQL_SQUARE_CLUSTERING,
+        "graph_clustering_directed": _SQL_CLUSTERING_DIRECTED,
+        "graph_generalized_degree": _SQL_GENERALIZED_DEGREE,
         "graph_edge_support": _SQL_EDGE_SUPPORT,
         # graph_ktruss: iterative fixpoint — rows-only check
         "graph_isolates": _SQL_ISOLATES,

@@ -1,0 +1,220 @@
+"""Long-tail clustering operators: square clustering, generalized degree,
+directed clustering.
+
+Reference: ``algorithms/cluster.py`` —
+
+* ``square_clustering`` (``cluster.py:227-282``): C4 coefficient per
+  arXiv:2007.11111 eq. (8); the reference computes
+  ``P2 = plus_pair(A @ A.T).new(mask=~D.S)`` then per-node sums, and the
+  nxapi wrapper chunks node ranges to bound the dense intermediate
+  ("256 MiB", ``nxapi/cluster.py:95-104``).
+* ``generalized_degree`` (``cluster.py:285-310``): per node, histogram of
+  "number of edges at this node participating in t triangles".
+* ``clustering_directed`` (``cluster.py:101-126``): 4 masked matmuls over
+  A/A.T; equivalently with B = A + A.T (values in {1,2}),
+  ``T(i) = sum_{j<k} b_ij * b_ik * b_jk`` and
+  ``C(i) = T(i) / (d_tot*(d_tot-1) - 2*d_recip)``.
+
+Spark-first: everything is oriented/keyed joins over the edge DataFrame;
+the A²-class intermediates (neighbor-pair wedges) are generated once and
+closed immediately by the next join, mirroring the reference's masked
+matmul discipline (SURVEY O1).  ``square_clustering`` accepts
+``node_ids`` chunking, the Spark analog of the nxapi 256 MiB chunker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym_offdiag(G) -> DataFrame:
+    """Symmetric off-diagonal adjacency (both directions), unweighted."""
+    if G.is_directed_flag:
+        e = G.get_property("sym_edges")
+    else:
+        e = G.get_property("sym_edges").select("src", "dst")
+    return e.select("src", "dst").filter(F.col("src") != F.col("dst"))
+
+
+def square_clustering(G, node_ids: list[int] | None = None) -> DataFrame:
+    """(id, sq_clustering: double) — C4 clustering coefficient.
+
+    networkx/arXiv:2007.11111 semantics (reference ``cluster.py:227-282``):
+    for each pair of distinct neighbors (u, w) of v,
+    ``q = |N(u) ∩ N(w)| - 1`` (common neighbors besides v) counts squares;
+    the potential term is ``(k_u - (1+q+θ)) + (k_w - (1+q+θ)) + q`` with
+    ``θ = 1`` if (u,w) is an edge.
+
+    ``node_ids`` restricts output to a chunk of vertices — the Spark
+    analog of the nxapi "256 MiB" node-range chunker
+    (``nxapi/cluster.py:95-104``) for bounding the wedge intermediate.
+    """
+    adj = _sym_offdiag(G).persist()
+    deg = adj.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+
+    # all open wedges u - v - w with u < w  (v = center)
+    e1 = adj.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    e2 = adj.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "v").filter(F.col("u") < F.col("w"))
+    if node_ids is not None:
+        ids_df = G.spark.createDataFrame([(int(i),) for i in node_ids], "v long")
+        wedges = wedges.join(F.broadcast(ids_df), "v", "left_semi")
+    wedges = wedges.persist()
+
+    # P2[u,w] = number of common neighbors of (u,w), u<w — from the SAME
+    # wedge set grouped by endpoints (never materializes dense A²)
+    allw = e1.join(e2, "v").filter(F.col("u") < F.col("w"))
+    pair_cnt = allw.groupBy("u", "w").agg(F.count("*").alias("_cn"))
+
+    # θ[u,w] = 1 iff u-w is an edge (canonical orientation u<w)
+    theta = adj.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.lit(1).alias("_theta")
+    )
+
+    per_wedge = (
+        wedges.join(pair_cnt, ["u", "w"])
+        .join(theta, ["u", "w"], "left")
+        .join(deg.select(F.col("id").alias("u"), F.col("deg").alias("_ku")), "u")
+        .join(deg.select(F.col("id").alias("w"), F.col("deg").alias("_kw")), "w")
+        .select(
+            "v",
+            (F.col("_cn") - 1).alias("_q"),
+            F.coalesce("_theta", F.lit(0)).alias("_t"),
+            "_ku",
+            "_kw",
+        )
+    )
+    degm = F.col("_q") + 1 + F.col("_t")
+    agg = per_wedge.groupBy("v").agg(
+        F.sum("_q").alias("_numer"),
+        F.sum((F.col("_ku") - degm) + (F.col("_kw") - degm) + F.col("_q")).alias(
+            "_denom"
+        ),
+    )
+    nodes = G.nodes
+    if node_ids is not None:
+        ids_df = G.spark.createDataFrame([(int(i),) for i in node_ids], "id long")
+        nodes = nodes.join(F.broadcast(ids_df), "id", "left_semi")
+    out = nodes.join(agg.withColumnRenamed("v", "id"), "id", "left").select(
+        "id",
+        F.when(
+            F.coalesce("_denom", F.lit(0)) > 0,
+            F.col("_numer") / F.col("_denom"),
+        )
+        .otherwise(0.0)
+        .alias("sq_clustering"),
+    )
+    return out
+
+
+def generalized_degree(G) -> DataFrame:
+    """(id, ntri: long, n_edges: long) — for each node, how many of its
+    incident edges participate in exactly ``ntri`` triangles
+    (reference ``cluster.py:285-310`` returns this as a node×count Matrix).
+    """
+    from .triangles import triangle_list
+
+    tris = triangle_list(G)
+    # each triangle closes 3 canonical edges
+    tedges = (
+        tris.select(
+            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+        )
+        .unionByName(
+            tris.select(
+                F.least("a", "c").alias("src"), F.greatest("a", "c").alias("dst")
+            )
+        )
+        .unionByName(
+            tris.select(
+                F.least("b", "c").alias("src"), F.greatest("b", "c").alias("dst")
+            )
+        )
+    )
+    sup = tedges.groupBy("src", "dst").agg(F.count("*").alias("_t"))
+    canon = (
+        G.get_property("offdiag")
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+    edge_t = canon.join(sup, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("_t", F.lit(0)).alias("ntri")
+    )
+    incident = edge_t.select(F.col("src").alias("id"), "ntri").unionByName(
+        edge_t.select(F.col("dst").alias("id"), "ntri")
+    )
+    return incident.groupBy("id", "ntri").agg(F.count("*").alias("n_edges"))
+
+
+def _directed_tri_counts(G) -> DataFrame:
+    """(id, tri: double) — T(i) = sum_{j<k} b_ij*b_ik*b_jk with
+    B = A + A.T (offdiag), the networkx directed-triangle count that the
+    reference assembles from 4 masked matmuls (``cluster.py:111-123``)."""
+    e = G.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    b = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("b"))
+        .persist()
+    )
+    e1 = b.select(F.col("src").alias("i"), F.col("dst").alias("j"), F.col("b").alias("_bj"))
+    e2 = b.select(F.col("src").alias("i"), F.col("dst").alias("k"), F.col("b").alias("_bk"))
+    close = b.select(F.col("src").alias("j"), F.col("dst").alias("k"), F.col("b").alias("_bjk"))
+    wedges = e1.join(e2, "i").filter(F.col("j") < F.col("k"))
+    return (
+        wedges.join(close, ["j", "k"])
+        .groupBy(F.col("i").alias("id"))
+        .agg(F.sum(F.col("_bj") * F.col("_bk") * F.col("_bjk")).alias("tri"))
+    )
+
+
+def clustering_directed(G, dense: bool = True) -> DataFrame:
+    """(id, clustering: double) — directed clustering coefficient
+    (reference ``cluster.py:101-126``):
+    ``C(i) = T(i) / (d_tot*(d_tot-1) - 2*d_recip)``."""
+    tri = _directed_tri_counts(G)
+    off = G.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).persist()
+    dtot = (
+        off.select(F.col("src").alias("id"))
+        .unionByName(off.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("_dtot"))
+    )
+    # reciprocated partners per node (recip_degrees-, digraph.py:119-235)
+    recip = (
+        off.join(
+            off.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            ["src", "dst"],
+            "left_semi",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("_drec"))
+    )
+    denom = F.col("_dtot") * (F.col("_dtot") - 1) - 2 * F.coalesce(
+        "_drec", F.lit(0)
+    )
+    out = (
+        dtot.join(recip, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            F.when(denom > 0, F.coalesce("tri", F.lit(0.0)) / denom)
+            .otherwise(0.0)
+            .alias("clustering"),
+        )
+    )
+    if not dense:
+        return out
+    return G.nodes.join(out, "id", "left").select(
+        "id", F.coalesce("clustering", F.lit(0.0)).alias("clustering")
+    )
+
+
+def average_clustering_directed(G, count_zeros: bool = True) -> float:
+    """``cluster.py:176-193`` directed variant."""
+    c = clustering_directed(G, dense=True)
+    if not count_zeros:
+        c = c.filter(F.col("clustering") != 0.0)
+    row = c.agg(F.avg("clustering").alias("m")).collect()[0]
+    return float(row["m"]) if row["m"] is not None else 0.0

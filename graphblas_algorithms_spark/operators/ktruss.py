@@ -64,17 +64,22 @@ def k_truss(G: Graph, k: int) -> Graph:
 
     Returns a new Graph; isolate nodes dropped (``core.py:32-34``)."""
     # start from simple off-diagonal canonical edges (core.py:15-21 strips diag)
-    edges = G.get_property("offdiag").select("src", "dst").persist()
+    # localCheckpoint per round truncates lineage — the support join tree
+    # nests otherwise and Catalyst canonicalization recurses past the JVM
+    # stack after ~15 fixpoint rounds (same lineage discipline as the
+    # superstep harness, SURVEY §3 "Spark lifecycle")
+    edges = (
+        G.get_property("offdiag").select("src", "dst").localCheckpoint(eager=True)
+    )
     m = edges.count()
     while True:
         kept = (
             _edge_support(edges)
             .filter(F.col("support") >= k - 2)
             .select("src", "dst")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         m2 = kept.count()
-        edges.unpersist()
         edges = kept
         if m2 == m:
             break

@@ -125,3 +125,73 @@ def bethe_hessian_matrix(G, r: float | None = None) -> DataFrame:
         .agg(F.sum("value").alias("value"))
         .filter(F.col("value") != 0)
     )
+
+
+def google_matrix(
+    G,
+    alpha: float = 0.85,
+    personalization: dict | None = None,
+    dangling: dict | None = None,
+) -> DataFrame:
+    """(row, col, value) — the explicit dense alpha-damped stochastic
+    matrix (reference ``pagerank_alg.py:104-162``).
+
+    Dense n×n is an anti-pattern at scale (SURVEY: "skip at scale;
+    derivable for tests via cross-join on tiny n") — kept for tiny-graph
+    parity, built as a nodes×nodes cross join plus the sparse stochastic
+    term; guarded to small n.
+    """
+    n = G.n
+    if n > 5000:
+        raise ValueError("google_matrix is dense n^2 — tiny-graph parity only")
+    e = _sym_weighted(G)
+    outdeg = e.groupBy("src").agg(F.sum("weight").alias("_od"))
+    S = e.join(outdeg, "src").select(
+        F.col("src").alias("row"),
+        F.col("dst").alias("col"),
+        (F.col("weight") / F.col("_od")).alias("_s"),
+    )
+    spark = G.spark
+
+    def _pvec(mapping):
+        if mapping is None:
+            return G.nodes.select(
+                F.col("id").alias("col"), (F.lit(1.0) / n).alias("_p")
+            )
+        total = float(sum(mapping.values()))
+        return spark.createDataFrame(
+            [(int(k), float(v) / total) for k, v in mapping.items()],
+            "col long, _p double",
+        )
+
+    p = _pvec(personalization)
+    dw = _pvec(dangling) if dangling is not None else p
+    dangling_rows = G.nodes.join(
+        e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).select(F.col("id").alias("row"), F.lit(1).alias("_isd"))
+    base = (
+        G.nodes.select(F.col("id").alias("row"))
+        .crossJoin(p)
+        .join(dangling_rows, "row", "left")
+        .join(dw.withColumnRenamed("_p", "_dwp"), "col")
+        .select(
+            "row",
+            "col",
+            F.when(
+                F.col("_isd").isNotNull(), F.lit(alpha) * F.col("_dwp")
+            ).otherwise(0.0).alias("_dterm"),
+            (F.lit(1.0 - alpha) * F.col("_p")).alias("_tele"),
+        )
+    )
+    return (
+        base.join(S, ["row", "col"], "left")
+        .select(
+            "row",
+            "col",
+            (
+                F.lit(alpha) * F.coalesce("_s", F.lit(0.0))
+                + F.col("_dterm")
+                + F.col("_tele")
+            ).alias("value"),
+        )
+    )

@@ -236,11 +236,111 @@ def bellman_ford_path(G, source: int) -> DataFrame:
     return dist
 
 
+def bidirectional_shortest_path_length(G, source: int, target: int) -> int | None:
+    """Meet-in-the-middle BFS (``unweighted.py:32-64``): expand the smaller
+    frontier each round; stop when the frontiers intersect
+    (``any_pair(q_src @ q_dst)`` meet test at ``:53``).  Returns the hop
+    count, or None if unreachable."""
+    if source == target:
+        return 0
+    spark = G.spark
+    fwd_adj = _wadj(G).select("src", "dst").persist()
+    bwd_adj = _wadj(G, transpose=True).select("src", "dst").persist()
+    f = spark.createDataFrame([(int(source),)], "id long").persist()
+    b = spark.createDataFrame([(int(target),)], "id long").persist()
+    seen_f, seen_b = f, b
+    df = db = 0
+    nf = nb = 1
+    for _ in range(G.n):
+        expand_fwd = nf <= nb
+        if expand_fwd:
+            adj, frontier, seen = fwd_adj, f, seen_f
+        else:
+            adj, frontier, seen = bwd_adj, b, seen_b
+        nxt = (
+            edge_join(frontier, adj)
+            .select("id")
+            .distinct()
+            .join(seen, "id", "left_anti")
+            .persist()
+        )
+        cnt = nxt.count()
+        if cnt == 0:
+            fwd_adj.unpersist()
+            bwd_adj.unpersist()
+            return None
+        if expand_fwd:
+            f, df, nf = nxt, df + 1, cnt
+            seen_f = seen_f.unionByName(nxt).localCheckpoint(eager=True)
+        else:
+            b, db, nb = nxt, db + 1, cnt
+            seen_b = seen_b.unionByName(nxt).localCheckpoint(eager=True)
+        # meet test: the new frontier against the OTHER side's visited set
+        other = seen_b if expand_fwd else seen_f
+        if nxt.join(other, "id", "left_semi").limit(1).count() > 0:
+            fwd_adj.unpersist()
+            bwd_adj.unpersist()
+            return df + db
+    fwd_adj.unpersist()
+    bwd_adj.unpersist()
+    return None
+
+
+def floyd_warshall(G, predecessors: bool = False):
+    """All-pairs shortest paths, (row, col, value) DataFrame.
+
+    The reference (``shortest_paths/dense.py:9-111``) runs n serial pivot
+    updates ``D(binary.min) << any_plus(Col @ Row)`` — inherently
+    O(n³) with a serial outer loop, an anti-pattern at scale (SURVEY
+    table: "skip at scale, keep for tiny-graph test parity only").  We
+    keep exactly that contract: collected to the driver, numpy
+    relaxation, guarded to small n.  Use ``bellman_ford_path_lengths``
+    (distributed, multi-source batched) for anything big.
+    """
+    import numpy as np
+
+    n_cap = 2000
+    if G.n > n_cap:
+        raise ValueError(
+            f"floyd_warshall is a tiny-graph parity op (n <= {n_cap}); "
+            "use bellman_ford_path_lengths for large graphs"
+        )
+    ids = sorted(r["id"] for r in G.nodes.collect())
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    dist = np.full((n, n), np.inf)
+    np.fill_diagonal(dist, 0.0)
+    pred = np.full((n, n), -1, dtype=np.int64)
+    adj = _wadj(G)
+    for r in adj.collect():
+        i, j, w = pos[r["src"]], pos[r["dst"]], float(r["weight"])
+        if w < dist[i, j]:
+            dist[i, j] = w
+            pred[i, j] = i
+    for k in range(n):
+        alt = dist[:, k : k + 1] + dist[k : k + 1, :]
+        better = alt < dist
+        dist = np.where(better, alt, dist)
+        pred = np.where(better, pred[k : k + 1, :], pred)
+    rows = []
+    for i in range(n):
+        for j in range(n):
+            if np.isfinite(dist[i, j]):
+                rows.append(
+                    (ids[i], ids[j], float(dist[i, j]), int(ids[pred[i, j]]) if pred[i, j] >= 0 else None)
+                )
+    spark = G.spark
+    df = spark.createDataFrame(
+        rows, "row long, col long, value double, pred long"
+    )
+    if predecessors:
+        return df
+    return df.select("row", "col", "value")
+
+
 def has_path(G, source: int, target: int) -> bool:
-    """``generic.py:7-12`` via bidirectional meet (``unweighted.py:32-64``
-    simplified: forward BFS with target check per level)."""
-    lv = bfs_levels(G, source)
-    return lv.filter(F.col("id") == target).limit(1).count() > 0
+    """``generic.py:7-12`` via bidirectional meet (``unweighted.py:32-64``)."""
+    return bidirectional_shortest_path_length(G, source, target) is not None
 
 
 def negative_edge_cycle(G) -> bool:

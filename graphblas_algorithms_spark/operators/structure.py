@@ -274,3 +274,12 @@ def ego_graph(G, source: int, radius: int = 1, center: bool = True, distance: st
     cls = DiGraph if G.is_directed_flag else Graph
     kw = {"canonicalize": False} if cls is Graph else {"dedup": False}
     return cls(e, ball.select("id"), **kw)
+
+
+def is_triad(G) -> bool:
+    """``triads.py:6-12``: directed, exactly 3 nodes, no self-loops."""
+    if not G.is_directed_flag:
+        return False
+    if G.n != 3:
+        return False
+    return not G.has_self_edges
