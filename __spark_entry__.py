@@ -550,14 +550,14 @@ def _sql_pagerank() -> str:
     parts = [
         "WITH " + _SQL_CUST_SUPP.strip().rstrip(",").strip(),
         """,
-outdeg AS (SELECT src, count(*) AS c FROM cs_edges GROUP BY src),
-nn AS (SELECT count(*)::DOUBLE AS cnt FROM cs_nodes),
-x0 AS (SELECT id, 1.0/nn.cnt AS r FROM cs_nodes, nn)""",
+outdeg AS MATERIALIZED (SELECT src, count(*) AS c FROM cs_edges GROUP BY src),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS cnt FROM cs_nodes),
+x0 AS MATERIALIZED (SELECT id, 1.0/nn.cnt AS r FROM cs_nodes, nn)""",
     ]
     for k in range(1, PR_ITERS + 1):
         parts.append(
             f""",
-x{k} AS (
+x{k} AS MATERIALIZED (
   SELECT no.id AS id,
          (1-{alpha})/nn.cnt
          + {alpha} * coalesce(c.s, 0)
@@ -618,12 +618,12 @@ def _sql_labelprop() -> str:
     parts = [
         "WITH " + _SQL_PART.strip().rstrip(",").strip(),
         """,
-l0 AS (SELECT id, id AS label FROM part_nodes)""",
+l0 AS MATERIALIZED (SELECT id, id AS label FROM part_nodes)""",
     ]
     for k in range(1, LPA_ITERS + 1):
         parts.append(
             f""",
-v{k} AS (
+v{k} AS MATERIALIZED (
   SELECT s.dst AS id, p.label FROM l{k-1} p JOIN sym s ON s.src = p.id
   UNION ALL
   SELECT id, label FROM l{k-1}
@@ -705,13 +705,13 @@ def _sql_katz() -> str:
     alpha, beta = 0.05, 1.0
     parts = [
         "WITH " + _SQL_CUST_SUPP.strip().rstrip(",").strip(),
-        ",\nk0 AS (SELECT id, 0.0 AS v FROM cs_nodes)",
+        ",\nk0 AS MATERIALIZED (SELECT id, 0.0::DOUBLE AS v FROM cs_nodes)",
     ]
     for k in range(1, KATZ_ITERS + 1):
         parts.append(
             f""",
-k{k} AS (
-  SELECT n.id, {alpha} * coalesce(p.s, 0) + {beta} AS v
+k{k} AS MATERIALIZED (
+  SELECT n.id, ({alpha} * coalesce(p.s, 0) + {beta})::DOUBLE AS v
   FROM cs_nodes n
   LEFT JOIN (SELECT e.dst AS id, sum(x.v) AS s
              FROM k{k-1} x JOIN cs_edges e ON x.id = e.src
@@ -742,12 +742,12 @@ def _sql_sssp() -> str:
         """,
 wedges AS (SELECT src, dst, (1 + (src + dst) % 5)::DOUBLE AS w FROM sym),
 src0 AS (SELECT min(id) AS s FROM part_nodes),
-d0 AS (SELECT s AS id, 0.0 AS dist FROM src0)""",
+d0 AS MATERIALIZED (SELECT s AS id, 0.0::DOUBLE AS dist FROM src0)""",
     ]
     for k in range(1, SSSP_ITERS + 1):
         parts.append(
             f""",
-d{k} AS (
+d{k} AS MATERIALIZED (
   SELECT id, min(dist) AS dist FROM (
     SELECT id, dist FROM d{k-1}
     UNION ALL
