@@ -166,6 +166,8 @@ PR_ITERS = 20
 LPA_ITERS = 3
 KATZ_ITERS = 12
 SSSP_ITERS = 8
+HITS_ITERS = 8
+EC_ITERS = 6
 
 
 def _q_pagerank(spark, sf_dir):
@@ -288,6 +290,136 @@ def _q_sssp(spark, sf_dir):
     src = G.nodes.agg(F.min("id").alias("m")).collect()[0]["m"]
     d = bellman_ford_path_length(G, int(src), fixed_iters=SSSP_ITERS)
     return d.select("id", F.round("dist", 6).alias("dist"))
+
+
+def _q_hits(spark, sf_dir):
+    """HITS with fixed unrolled iterations (oracle-friendly, unnormalized):
+    a_k = maxnorm(h_{k-1} @ A), h_k = maxnorm(A @ a_k), dense over nodes."""
+    from graphblas_algorithms_spark.functions.semiring import mxv, vxm
+
+    G = _cust_supp_graph(spark, sf_dir)
+    adj = G.edges.persist()
+    nodes = G.nodes
+    n = G.n
+    h = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("value"))
+    a = None
+    for _ in range(HITS_ITERS):
+        a_raw = vxm(h, adj, add="sum", mul="first")
+        amax = a_raw.agg(F.max("value").alias("_m"))
+        a = (
+            nodes.join(a_raw.withColumnRenamed("value", "_v"), "id", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "id",
+                F.when(F.col("_m") != 0, F.coalesce("_v", F.lit(0.0)) / F.col("_m"))
+                .otherwise(F.coalesce("_v", F.lit(0.0)))
+                .alias("value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = mxv(adj, a, add="sum", mul="first")
+        hmax = h_raw.agg(F.max("value").alias("_m"))
+        h = (
+            nodes.join(h_raw.withColumnRenamed("value", "_v"), "id", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "id",
+                F.when(F.col("_m") != 0, F.coalesce("_v", F.lit(0.0)) / F.col("_m"))
+                .otherwise(F.coalesce("_v", F.lit(0.0)))
+                .alias("value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        h.withColumnRenamed("value", "hub")
+        .join(a.withColumnRenamed("value", "authority"), "id")
+        .select("id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority"))
+    )
+
+
+def _q_eigenvector(spark, sf_dir):
+    """Eigenvector centrality, fixed unrolled iterations with L2 normalize:
+    x_k = (x + x@A) / ||x + x@A||_2, dense (oracle-friendly)."""
+    from graphblas_algorithms_spark.functions.semiring import vxm
+
+    G = _part_graph(spark, sf_dir)
+    adj = G.get_property("sym_edges").persist()
+    nodes = G.nodes
+    n = G.n
+    x = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("value"))
+    for _ in range(EC_ITERS):
+        prop = vxm(x, adj, add="sum", mul="first").withColumnRenamed("value", "_p")
+        y = x.join(prop, "id", "left").select(
+            "id", (F.col("value") + F.coalesce("_p", F.lit(0.0))).alias("_y")
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("_y") * F.col("_y"))).alias("_n"))
+        x = (
+            y.crossJoin(F.broadcast(norm))
+            .select(
+                "id",
+                F.when(F.col("_n") > 0, F.col("_y") / F.col("_n"))
+                .otherwise(F.col("_y"))
+                .alias("value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.select("id", F.round("value", 6).alias("ec"))
+
+
+def _chain_graph(spark, sf_dir) -> Graph:
+    """Second operand for set ops: partkey chain p -> p+1 (canonical)."""
+    p = _part_nodes(spark, sf_dir)
+    e = (
+        p.select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        .join(p.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    )
+    return Graph(e, p, canonicalize=False)
+
+
+def _q_setops_intersection(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.setops import intersection
+
+    K = intersection(_part_graph(spark, sf_dir), _chain_graph(spark, sf_dir))
+    return K.edges.select("src", "dst")
+
+
+def _q_setops_difference(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.setops import difference
+
+    K = difference(_chain_graph(spark, sf_dir), _part_graph(spark, sf_dir))
+    return K.edges.select("src", "dst")
+
+
+def _q_setops_symdiff(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.setops import symmetric_difference
+
+    K = symmetric_difference(_part_graph(spark, sf_dir), _chain_graph(spark, sf_dir))
+    return K.edges.select("src", "dst")
+
+
+def _q_bfs_parent(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.traversal import bfs_parent
+
+    G = _part_graph(spark, sf_dir)
+    src = G.nodes.agg(F.min("id").alias("m")).collect()[0]["m"]
+    return bfs_parent(G, int(src))
+
+
+def _q_bfs_multi(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.traversal import bfs_levels_multi
+
+    G = _part_graph(spark, sf_dir)
+    srcs = [r["id"] for r in G.nodes.orderBy("id").limit(3).collect()]
+    return bfs_levels_multi(G, srcs)
+
+
+def _q_ego(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.structure import ego_graph
+
+    G = _part_graph(spark, sf_dir)
+    src = G.nodes.agg(F.min("id").alias("m")).collect()[0]["m"]
+    K = ego_graph(G, int(src), radius=2)
+    return K.edges.select("src", "dst")
 
 
 def _q_square_clustering(spark, sf_dir):
@@ -511,6 +643,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_katz": _q_katz,
         "graph_bfs": _q_bfs,
         "graph_sssp": _q_sssp,
+        "graph_hits": _q_hits,
+        "graph_eigenvector": _q_eigenvector,
+        "graph_setops_intersection": _q_setops_intersection,
+        "graph_setops_difference": _q_setops_difference,
+        "graph_setops_symdiff": _q_setops_symdiff,
+        "graph_bfs_parent": _q_bfs_parent,
+        "graph_bfs_multi": _q_bfs_multi,
+        "graph_ego": _q_ego,
         "graph_square_clustering": _q_square_clustering,
         "graph_clustering_directed": _q_clustering_directed,
         "graph_generalized_degree": _q_generalized_degree,
@@ -769,6 +909,150 @@ tedges AS (
 sup AS (SELECT src, dst, count(*)::BIGINT AS s FROM tedges GROUP BY src, dst)
 SELECT p.src, p.dst, coalesce(sup.s, 0)::BIGINT AS support
 FROM part_pairs p LEFT JOIN sup ON p.src = sup.src AND p.dst = sup.dst
+"""
+
+def _sql_hits() -> str:
+    parts = [
+        "WITH " + _SQL_CUST_SUPP.strip().rstrip(",").strip(),
+        """,
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS cnt FROM cs_nodes),
+h0 AS MATERIALIZED (SELECT id, 1.0/nn.cnt AS v FROM cs_nodes, nn)""",
+    ]
+    for k in range(1, HITS_ITERS + 1):
+        parts.append(
+            f""",
+araw{k} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(h.v) AS s
+  FROM h{k-1} h JOIN cs_edges e ON h.id = e.src GROUP BY e.dst
+),
+a{k} AS MATERIALIZED (
+  SELECT n.id,
+         CASE WHEN m.mx <> 0 THEN coalesce(r.s, 0) / m.mx
+              ELSE coalesce(r.s, 0) END AS v
+  FROM cs_nodes n
+  CROSS JOIN (SELECT max(s) AS mx FROM araw{k}) m
+  LEFT JOIN araw{k} r ON n.id = r.id
+),
+hraw{k} AS MATERIALIZED (
+  SELECT e.src AS id, sum(a.v) AS s
+  FROM a{k} a JOIN cs_edges e ON a.id = e.dst GROUP BY e.src
+),
+h{k} AS MATERIALIZED (
+  SELECT n.id,
+         CASE WHEN m.mx <> 0 THEN coalesce(r.s, 0) / m.mx
+              ELSE coalesce(r.s, 0) END AS v
+  FROM cs_nodes n
+  CROSS JOIN (SELECT max(s) AS mx FROM hraw{k}) m
+  LEFT JOIN hraw{k} r ON n.id = r.id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT h.id, round(h.v, 6) AS hub, round(a.v, 6) AS authority
+FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON h.id = a.id"""
+    )
+    return "".join(parts)
+
+
+def _sql_eigenvector() -> str:
+    parts = [
+        "WITH " + _SQL_PART.strip().rstrip(",").strip(),
+        """,
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS cnt FROM part_nodes),
+e0 AS MATERIALIZED (SELECT id, 1.0/nn.cnt AS v FROM part_nodes, nn)""",
+    ]
+    for k in range(1, EC_ITERS + 1):
+        parts.append(
+            f""",
+y{k} AS MATERIALIZED (
+  SELECT x.id, x.v + coalesce(p.s, 0) AS y
+  FROM e{k-1} x
+  LEFT JOIN (SELECT s.dst AS id, sum(x2.v) AS s
+             FROM e{k-1} x2 JOIN sym s ON x2.id = s.src
+             GROUP BY s.dst) p ON x.id = p.id
+),
+e{k} AS MATERIALIZED (
+  SELECT id, CASE WHEN nrm.n > 0 THEN y / nrm.n ELSE y END AS v
+  FROM y{k} CROSS JOIN (SELECT sqrt(sum(y * y)) AS n FROM y{k}) nrm
+)"""
+        )
+    parts.append(f"\nSELECT id, round(v, 6) AS ec FROM e{EC_ITERS}")
+    return "".join(parts)
+
+
+_SQL_CHAIN = """
+chain AS (
+  SELECT p.p_partkey AS src, p.p_partkey + 1 AS dst
+  FROM part p
+  WHERE EXISTS (SELECT 1 FROM part q WHERE q.p_partkey = p.p_partkey + 1)
+)
+"""
+
+_SQL_SETOPS_INTERSECTION = f"""WITH {_SQL_PART.strip()},
+{_SQL_CHAIN.strip()}
+SELECT p.src, p.dst FROM part_pairs p
+WHERE EXISTS (SELECT 1 FROM chain c WHERE c.src = p.src AND c.dst = p.dst)
+"""
+
+_SQL_SETOPS_DIFFERENCE = f"""WITH {_SQL_PART.strip()},
+{_SQL_CHAIN.strip()}
+SELECT c.src, c.dst FROM chain c
+WHERE NOT EXISTS (SELECT 1 FROM part_pairs p WHERE p.src = c.src AND p.dst = c.dst)
+"""
+
+_SQL_SETOPS_SYMDIFF = f"""WITH {_SQL_PART.strip()},
+{_SQL_CHAIN.strip()}
+SELECT p.src, p.dst FROM part_pairs p
+WHERE NOT EXISTS (SELECT 1 FROM chain c WHERE c.src = p.src AND c.dst = p.dst)
+UNION ALL
+SELECT c.src, c.dst FROM chain c
+WHERE NOT EXISTS (SELECT 1 FROM part_pairs p WHERE p.src = c.src AND p.dst = c.dst)
+"""
+
+_SQL_BFS_PARENT = f"""
+WITH RECURSIVE {_SQL_PART.strip()},
+src0 AS (SELECT min(id) AS s FROM part_nodes),
+reach(id, lvl) AS (
+  SELECT s, 0::BIGINT FROM src0
+  UNION
+  SELECT e.dst, r.lvl + 1
+  FROM reach r JOIN sym e ON e.src = r.id
+  WHERE r.lvl < 12
+),
+lv AS (SELECT id, min(lvl) AS lvl FROM reach GROUP BY id)
+SELECT v.id,
+       CASE WHEN v.lvl = 0 THEN v.id
+            ELSE (SELECT min(e.src) FROM sym e JOIN lv u ON e.src = u.id
+                  WHERE e.dst = v.id AND u.lvl = v.lvl - 1) END AS parent
+FROM lv v
+"""
+
+_SQL_BFS_MULTI = f"""
+WITH RECURSIVE {_SQL_PART.strip()},
+srcs AS (SELECT id AS s FROM part_nodes ORDER BY id LIMIT 3),
+reach(source, id, lvl) AS (
+  SELECT s, s, 0::BIGINT FROM srcs
+  UNION
+  SELECT r.source, e.dst, r.lvl + 1
+  FROM reach r JOIN sym e ON e.src = r.id
+  WHERE r.lvl < 12
+)
+SELECT source, id, min(lvl)::BIGINT AS level FROM reach GROUP BY source, id
+"""
+
+_SQL_EGO = f"""
+WITH RECURSIVE {_SQL_PART.strip()},
+src0 AS (SELECT min(id) AS s FROM part_nodes),
+reach(id, lvl) AS (
+  SELECT s, 0::BIGINT FROM src0
+  UNION
+  SELECT e.dst, r.lvl + 1
+  FROM reach r JOIN sym e ON e.src = r.id
+  WHERE r.lvl < 2
+),
+ball AS (SELECT DISTINCT id FROM reach)
+SELECT p.src, p.dst FROM part_pairs p
+WHERE p.src IN (SELECT id FROM ball) AND p.dst IN (SELECT id FROM ball)
 """
 
 _SQL_SQUARE_CLUSTERING = f"""WITH {_SQL_PART.strip()},
@@ -1208,6 +1492,14 @@ def oracle_sql() -> dict[str, str]:
         "graph_katz": _sql_katz(),
         "graph_bfs": _SQL_BFS,
         "graph_sssp": _sql_sssp(),
+        "graph_hits": _sql_hits(),
+        "graph_eigenvector": _sql_eigenvector(),
+        "graph_setops_intersection": _SQL_SETOPS_INTERSECTION,
+        "graph_setops_difference": _SQL_SETOPS_DIFFERENCE,
+        "graph_setops_symdiff": _SQL_SETOPS_SYMDIFF,
+        "graph_bfs_parent": _SQL_BFS_PARENT,
+        "graph_bfs_multi": _SQL_BFS_MULTI,
+        "graph_ego": _SQL_EGO,
         "graph_square_clustering": _SQL_SQUARE_CLUSTERING,
         "graph_clustering_directed": _SQL_CLUSTERING_DIRECTED,
         "graph_generalized_degree": _SQL_GENERALIZED_DEGREE,
