@@ -9,9 +9,23 @@ Prints ONE JSON line:
 * ``value``/``metric``: PageRank on the synthesized source-code link
   graph (seed=42, BASELINE.json north_star input) to 1e-6 convergence —
   reported as edges-processed/sec (edges * iterations / wall).
-* ``SPARK_GRAFT_SCALING=1``: additionally re-runs the same PageRank at
-  local[8] and local[32] and reports throughput at both + efficiency
-  ((thr32/thr8)/4) — the sandbox evidence for the two-cluster-size rule.
+* ``SPARK_GRAFT_SCALING=1``: additionally runs the same PageRank
+  superstep job over one shared edge-parquet input at TWO parallelism
+  levels (default local[4] vs local[16]) and reports throughput at both
+  + efficiency ((thr_hi/thr_lo)/(hi/lo)) — the sandbox evidence for the
+  two-cluster-size rule.  Methodology notes (hard-won):
+  - this sandbox's vCPUs are oversubscribed above ~16 threads AND the
+    host is noisy (identical 3 s CPU bursts vary ~2x over minutes), so
+    the pair is 4/16 (within real cores) and each level runs multiple
+    interleaved reps with the MIN steady-state per-iteration wall taken
+    (min filters host noise; first iterations excluded as warmup);
+  - the measured job is the fused-state superstep: with the state
+    hash-partitioned on the contraction key and edges pre-partitioned
+    by src, a superstep is ONE O(nnz) shuffle (see operators/pagerank.py);
+  - the graph must be big enough that compute dominates the ~2 s
+    parallelism-independent per-superstep floor (driver scheduling +
+    stage barriers); SPARK_GRAFT_SCALE_EDGES_X controls a disjoint-copy
+    blowup of the extracted corpus graph to reach that regime.
 
 Bench protocol follows the reference (scripts/bench.py:151-217): clear
 property caches between runs; cold plans per run.
@@ -71,6 +85,98 @@ def _corpus_pagerank(cores: int) -> dict:
     }
 
 
+SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
+SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
+SCALE_REPOS = int(os.environ.get("SPARK_GRAFT_SCALE_REPOS", "6000"))
+SCALE_FILES = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "250"))
+SCALE_EDGES_X = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES_X", "4"))
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "6"))
+SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale_edges")
+
+
+def _scaling_build() -> tuple[int, int]:
+    """Synthesize the corpus, extract the link graph, blow it up to
+    SCALE_EDGES_X disjoint copies, write the edge parquet ONCE.  Both
+    parallelism levels then read the SAME input (two-cluster-size rule).
+    Returns (n_edges, n_nodes)."""
+    from pyspark.sql import functions as F
+
+    from graphblas_algorithms_spark.session import get_spark, stop_spark
+    from graphblas_algorithms_spark.sources.corpus import synthesize_source_table
+    from graphblas_algorithms_spark.sources.edges import build_link_graph
+
+    stop_spark()
+    spark = get_spark(cores=CPUS, shuffle_partitions=2 * CPUS, app_name="scale-build")
+    src = synthesize_source_table(
+        spark, n_repos=SCALE_REPOS, files_per_repo=SCALE_FILES,
+        max_imports=100, deg_exponent=-2.0,
+    )
+    edges, nodes = build_link_graph(src, num_partitions=2 * CPUS)
+    n_base = SCALE_REPOS * SCALE_FILES
+    copies = [
+        edges.select(
+            (F.col("src") + F.lit(k * n_base)).alias("src"),
+            (F.col("dst") + F.lit(k * n_base)).alias("dst"),
+        )
+        for k in range(SCALE_EDGES_X)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.write.mode("overwrite").parquet(SCALE_DIR)
+    m = spark.read.parquet(SCALE_DIR).count()
+    return m, n_base * SCALE_EDGES_X
+
+
+def _scaling_run(cores: int, m: int) -> float:
+    """Min steady-state per-superstep wall of the fused pagerank job at
+    local[cores] over the shared edge parquet.  Returns edges/sec."""
+    from pyspark.sql import functions as F
+
+    from graphblas_algorithms_spark.classes.graph import DiGraph
+    from graphblas_algorithms_spark.operators.pagerank import pagerank
+    from graphblas_algorithms_spark.session import get_spark, stop_spark
+
+    stop_spark()
+    spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"scale-{cores}")
+    edges = spark.read.parquet(SCALE_DIR)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    G = DiGraph(edges, nodes, dedup=False)
+    G.nodes.persist().count()
+    ts = [time.time()]
+    def hook(it, err):
+        ts.append(time.time())
+    try:
+        pagerank(G, alpha=0.85, tol=0.0, max_iter=SCALE_ITERS, iteration_hook=hook)
+    except Exception:
+        pass  # ConvergenceFailure expected at tol=0 (fixed-length run)
+    walls = [ts[i + 1] - ts[i] for i in range(len(ts) - 1)]
+    return m / min(walls[2:])
+
+
+def _scaling_evidence() -> dict:
+    m, n = _scaling_build()
+    thr = {SCALE_LO: 0.0, SCALE_HI: 0.0}
+    for _ in range(SCALE_REPS):  # interleave levels to cancel host drift
+        for c in (SCALE_LO, SCALE_HI):
+            thr[c] = max(thr[c], _scaling_run(c, m))
+    eff = (thr[SCALE_HI] / thr[SCALE_LO]) / (SCALE_HI / SCALE_LO)
+    return {
+        "edges": m,
+        "nodes": n,
+        f"local{SCALE_LO}": {"edges_per_sec": round(thr[SCALE_LO], 1)},
+        f"local{SCALE_HI}": {"edges_per_sec": round(thr[SCALE_HI], 1)},
+        "efficiency": round(eff, 4),
+        "method": "min steady-state per-superstep wall over interleaved reps; "
+                  "shared edge parquet input; warmup iterations excluded",
+    }
+
+
 def _sf_queries(spark) -> dict:
     import __spark_entry__ as em
 
@@ -114,14 +220,7 @@ def main() -> None:
     result["pagerank"] = head
 
     if SCALING:
-        lo = _corpus_pagerank(8)
-        hi = head if CPUS == 32 else _corpus_pagerank(32)
-        eff = (hi["edges_per_sec"] / lo["edges_per_sec"]) / (32 / 8)
-        result["scaling"] = {
-            "local8": lo,
-            "local32": hi,
-            "efficiency": round(eff, 4),
-        }
+        result["scaling"] = _scaling_evidence()
 
     # per-query wall times on the sf tables
     stop_spark()

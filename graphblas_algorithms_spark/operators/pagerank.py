@@ -6,28 +6,40 @@ Reference semantics: ``algorithms/link_analysis/pagerank_alg.py:12-101``
 once (``:49-51``), dangling handling (``:62-75``), and L1 convergence
 ``err < n*tol`` (``_helpers.py:21-29``).
 
-Spark-first plan (SURVEY §7 step 3):
+Spark-first plan (SURVEY §7 step 3), fused-state formulation:
 
 * ``adj_coef`` built once: edges joined to out-degrees, carrying
   ``coef = alpha * weight / out_strength`` per edge — O4 constant
-  folding; persisted and reused every superstep.
-* per superstep, ONE action: ``new_ranks`` is persisted and the L1 error
-  computed via a single agg (O12).  The dangling mass is a 1-row agg
-  cross-joined in *lazily*, so it rides inside the same job rather than
-  being a separate collect.
-* lineage truncated / checkpointed per superstep via
-  :class:`~graphblas_algorithms_spark.plans.superstep.Superstep`
-  (resume = read newest complete iter).
+  folding; hash-partitioned by ``src`` and persisted, reused every
+  superstep with no further edge-side shuffle.
+* the iteration state carries the per-node CONSTANTS inline:
+  ``(id, value, _tele, _dw, _dang)`` — teleport term, dangling weight
+  and dangling flag ride with the rank value, so a superstep is ONE
+  join + ONE aggregation + ONE join-back, not a chain of joins against
+  separate constant tables.
+* the convergence diff ``|x_k - x_{k-1}|`` is computed in the SAME
+  projection that produces the new value (the previous value is already
+  a column of the join), so the L1 error is a plain column sum over the
+  checkpointed state — no extra join against the previous iterate (O12).
+* ``localCheckpoint`` preserves the physical hash-partitioning of the
+  state (Spark's LogicalRDD keeps outputPartitioning), and the state is
+  keyed/partitioned on ``id`` == the join key ``src``: with
+  ``shuffle_partitions == adj partitions`` the state->edges join and the
+  join-back of contributions are both exchange-free, leaving the
+  ``groupBy(dst)`` shuffle as the superstep's single exchange.  This is
+  the plan that survives a 100x scale-up: per superstep, exactly one
+  O(nnz) shuffle.
+* dangling mass = a 1-row agg over the cached state, broadcast-joined
+  lazily so it rides inside the same job (O12); skipped entirely when
+  the graph has no dangling vertices (detected once).
+* superstep checkpoint/resume via
+  :class:`~graphblas_algorithms_spark.plans.superstep.Superstep`.
 * skew: ``skew_salt=S`` switches the contribution join to the salted
   form (north_rule names power-law hubs explicitly); AQE skew-join
   handles the rest.
 * ``use_csr_udf=True`` routes the x@A product through the vectorized
   CSR-block gather-scatter pandas UDF (north_star mandate); the pure
   DataFrame path is the correctness reference.
-
-At 100 TB: edges hash-partitioned by src once (``Graph.partition_by_src``),
-rank vector shuffles are O(n) per iter vs O(nnz) for edges — the edge
-side never re-shuffles after the initial placement.
 """
 
 from __future__ import annotations
@@ -38,10 +50,10 @@ from pyspark.sql import functions as F
 from ..exceptions import ConvergenceFailure
 from ..functions.csr_udf import vxm_csr_sum
 from ..functions.semiring import salted_vxm_sum, vxm
-from ..plans.superstep import Superstep, scalar_agg
+from ..plans.superstep import Superstep
 
 
-def _normalized_vector(nodes: DataFrame, mapping: dict | None, default_dense: bool) -> DataFrame:
+def _normalized_vector(nodes: DataFrame, mapping: dict | None, default_dense: bool):
     """(id, value) with values summing to 1; dense 1/n when mapping None."""
     spark = nodes.sparkSession
     if mapping is None:
@@ -52,10 +64,12 @@ def _normalized_vector(nodes: DataFrame, mapping: dict | None, default_dense: bo
     total = float(sum(mapping.values()))
     if total <= 0:
         raise ZeroDivisionError("vector sums to 0")
-    df = spark.createDataFrame(
+    return spark.createDataFrame(
         [(int(k), float(v) / total) for k, v in mapping.items()], "id long, value double"
     )
-    return df
+
+
+_STATE_COLS = ("id", "value", "_tele", "_dw", "_dang")
 
 
 def pagerank(
@@ -100,108 +114,112 @@ def pagerank(
         adj_coef = adj.join(outdeg, "src").select(
             "src", "dst", (F.lit(alpha) / F.col("_od")).alias("weight")
         )
-    num_part = spark.sparkContext.defaultParallelism
+    num_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     adj_coef = adj_coef.repartition(num_part, "src").persist()
 
-    # --- teleport & dangling vectors (ref :62-75) -------------------------
+    # --- per-node constants, carried INSIDE the state ---------------------
     p = _normalized_vector(nodes, personalization, default_dense=True)
     dangling_w = p if dangling is None else _normalized_vector(nodes, dangling, False)
-    # dangling node ids: no out-edges
     dangling_ids = nodes.join(
         adj.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
-    ).persist()
+    )
     has_dangling = dangling_ids.limit(1).count() > 0
 
-    # base[id] = ((1-alpha)*p, dangling_w) — the per-node constants
-    base = (
-        p.select("id", (F.lit(1.0 - alpha) * F.col("value")).alias("_tele"))
-        .join(dangling_w.select("id", F.col("value").alias("_dw")), "id", "left")
-        .select("id", "_tele", F.coalesce("_dw", F.lit(0.0)).alias("_dw"))
-        .persist()
-    )
-
-    # --- x0 ---------------------------------------------------------------
     if nstart is None:
-        x = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("value"))
+        x0 = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("value"))
     else:
         total = float(sum(nstart.values()))
-        x = spark.createDataFrame(
+        x0 = spark.createDataFrame(
             [(int(k), float(v) / total) for k, v in nstart.items()],
             "id long, value double",
         )
-        x = nodes.join(x, "id", "left").select(
+        x0 = nodes.join(x0, "id", "left").select(
             "id", F.coalesce("value", F.lit(0.0)).alias("value")
         )
+
+    state = (
+        x0.join(
+            p.select("id", (F.lit(1.0 - alpha) * F.col("value")).alias("_tele")), "id"
+        )
+        .join(dangling_w.select("id", F.col("value").alias("_dw")), "id", "left")
+        .join(dangling_ids.select("id", F.lit(True).alias("_dang")), "id", "left")
+        .select(
+            "id",
+            "value",
+            "_tele",
+            F.coalesce("_dw", F.lit(0.0)).alias("_dw"),
+            F.coalesce("_dang", F.lit(False)).alias("_dang"),
+        )
+        # pre-place the state on the contraction key so every superstep's
+        # state->edges join and contribs join-back are exchange-free
+        .repartition(num_part, "id")
+    )
 
     harness = Superstep(spark, checkpoint_dir, checkpoint_every)
     start_iter = 0
     if resume and checkpoint_dir is not None:
         got = harness.latest()
         if got is not None:
-            start_iter, x = got[0] + 1, got[1]
+            start_iter, state = got[0] + 1, got[1]
     else:
-        x = x.persist()
-        x.count()
+        state = state.localCheckpoint(eager=True)
 
     iters = fixed_iters if fixed_iters is not None else max_iter
+    err = None
     for it in range(start_iter, iters):
         # contribution sum: y[dst] = sum_src x[src] * coef(src,dst)  (P1)
         if skew_salt:
-            contribs = salted_vxm_sum(x, adj_coef, salt=skew_salt, mul="times")
+            contribs = salted_vxm_sum(state, adj_coef, salt=skew_salt, mul="times")
         elif use_csr_udf:
-            contribs = vxm_csr_sum(x, adj_coef, mul="times")
+            contribs = vxm_csr_sum(state, adj_coef, mul="times")
         else:
-            contribs = vxm(x, adj_coef, add="sum", mul="times")
+            contribs = vxm(state, adj_coef, add="sum", mul="times")
         contribs = contribs.withColumnRenamed("value", "_c")
 
         if has_dangling:
-            # 1-row lazy aggregate, cross-joined so it runs inside the same job
-            mass = (
-                x.join(dangling_ids, "id", "left_semi")
-                .agg(F.coalesce(F.sum("value"), F.lit(0.0)).alias("_mass"))
+            # 1-row lazy aggregate over the cached state, broadcast so it
+            # rides inside the same job rather than a separate collect
+            mass = state.filter(F.col("_dang")).agg(
+                F.coalesce(F.sum("value"), F.lit(0.0)).alias("_mass")
             )
-            new_x = (
-                base.join(contribs, "id", "left")
-                .crossJoin(F.broadcast(mass))
-                .select(
-                    "id",
-                    (
-                        F.coalesce(F.col("_c"), F.lit(0.0))
-                        + F.lit(alpha) * F.col("_mass") * F.col("_dw")
-                        + F.col("_tele")
-                    ).alias("value"),
-                )
+            new_value = (
+                F.coalesce(F.col("_c"), F.lit(0.0))
+                + F.lit(alpha) * F.col("_mass") * F.col("_dw")
+                + F.col("_tele")
             )
+            joined = state.join(contribs, "id", "left").crossJoin(F.broadcast(mass))
         else:
-            new_x = base.join(contribs, "id", "left").select(
-                "id",
-                (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_tele")).alias("value"),
-            )
+            new_value = F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_tele")
+            joined = state.join(contribs, "id", "left")
 
+        # the previous value is already a column — fold the L1 diff into
+        # the same projection so convergence needs NO join (O12)
+        new_state = joined.select(
+            "id",
+            new_value.alias("value"),
+            "_tele",
+            "_dw",
+            "_dang",
+            F.abs(new_value - F.col("value")).alias("_diff"),
+        )
+
+        new_state = harness.materialize(new_state, it, {"kernel": "pagerank"})
+        state = new_state
         if fixed_iters is not None:
-            # deterministic iteration count: no convergence action
-            new_x = harness.materialize(new_x, it, {"kernel": "pagerank"})
-            x = new_x
             if iteration_hook:
                 iteration_hook(it, None)
             continue
-
-        new_x = harness.materialize(new_x, it, {"kernel": "pagerank"})
-        # single blocking action per superstep: L1 error (O12)
-        err = scalar_agg(
-            new_x.join(x.withColumnRenamed("value", "_prev"), "id", "left"),
-            err=F.sum(F.abs(F.col("value") - F.coalesce("_prev", F.lit(0.0)))),
-        )["err"]
-        x = new_x
+        # single blocking action per superstep: plain column sum
+        err = state.agg(F.sum("_diff").alias("err")).collect()[0]["err"]
         if iteration_hook:
             iteration_hook(it, err)
         if err is not None and err < n * tol:
-            result = x.select("id", F.col("value").alias("rank"))
+            result = state.select("id", F.col("value").alias("rank"))
             adj_coef.unpersist()
             return result
 
     if fixed_iters is not None:
-        result = x.select("id", F.col("value").alias("rank"))
+        result = state.select("id", F.col("value").alias("rank"))
         adj_coef.unpersist()
         return result
     raise ConvergenceFailure(f"pagerank: no convergence in {max_iter} iterations")

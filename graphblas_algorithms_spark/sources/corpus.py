@@ -60,6 +60,7 @@ def synthesize_source_table(
     files_per_repo: int = 50,
     seed: int = 42,
     max_imports: int = 20,
+    deg_exponent: float = -0.6,
     zipf_alpha: float = 3.0,
     hub_prob: float = 0.15,
     n_commits_per_repo: int = 3,
@@ -96,12 +97,16 @@ def synthesize_source_table(
     )
 
     # --- import targets --------------------------------------------------
-    # out-degree 1..max_imports, Zipf-ish via inverse-power of a hash-uniform
+    # out-degree 1..max_imports, Zipf-ish via inverse-power of a hash-uniform;
+    # deg_exponent controls the mean (~1/(1+deg_exponent) before the cap) —
+    # bench scaling runs raise it to make per-superstep compute dominate
     u_deg = _uniform(F.col("fid"), "deg", seed)
+    # cap with least() BEFORE the int cast: steep exponents make
+    # floor(u^e) overflow int for hash-uniforms near 0
     out_deg = F.least(
-        F.lit(max_imports),
-        F.greatest(F.lit(1), F.floor(F.pow(u_deg, F.lit(-0.6)))).cast("int"),
-    )
+        F.lit(max_imports).cast("long"),
+        F.greatest(F.lit(1).cast("long"), F.floor(F.pow(u_deg, F.lit(deg_exponent)))),
+    ).cast("int")
     # k-th import target: skewed toward low fids (power-law fan-in);
     # with prob hub_prob the first import is file 0 (the hub)
     ks = F.sequence(F.lit(0), out_deg - 1)
