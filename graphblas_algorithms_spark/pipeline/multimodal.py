@@ -114,12 +114,25 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
     Arrow batch in, vectorized decode loop out (the decode itself is the
     pluggable/stubbed part; batching, schema and shuffle are real)."""
 
+    # snapshot the registry BY VALUE: the closure must carry the decoder
+    # callables to the executors — referencing the DecoderRegistry class
+    # would pickle it by module reference, and the executor's fresh import
+    # has an empty registry
+    decoders = dict(DecoderRegistry._decoders)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                DecoderRegistry.decode(k, p, None)
-                for k, p in zip(pdf["kind"], pdf["payload"])
-            ]
+            feats = []
+            for k, p in zip(pdf["kind"], pdf["payload"]):
+                fn = decoders.get(k)
+                if fn is None:
+                    # STUB: no real codec libraries in this environment.
+                    raise NotImplementedError(
+                        f"no decoder registered for kind={k!r}; install/"
+                        "register a real decoder (PIL/torchaudio/ffmpeg) "
+                        "in production"
+                    )
+                feats.append(fn(p, None))
             yield pd.DataFrame(
                 {"asset_id": pdf["asset_id"], "kind": pdf["kind"], "feature": feats}
             )

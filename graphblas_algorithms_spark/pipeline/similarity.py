@@ -61,19 +61,60 @@ def cosine_topk(emb: DataFrame, queries: DataFrame | None = None, k: int = 10) -
     )
 
 
-def deterministic_centroids(emb: DataFrame, m: int) -> DataFrame:
-    """(centroid_id, cv) — every (n/m)-th corpus vector by id order.
-    Deterministic (no RNG; resume/oracle-safe)."""
+def deterministic_centroids(emb: DataFrame, m: int, refine_iters: int = 1) -> DataFrame:
+    """(centroid_id, cv) — seeded with every (n/m)-th corpus vector by id
+    order, then ``refine_iters`` deterministic Lloyd steps (assign each
+    vector to its nearest centroid, recompute centroids as normalized cell
+    means).  No RNG anywhere (resume/oracle-safe); the refinement makes
+    the cells follow the data distribution, which is what IVF recall
+    lives on."""
     n = emb.count()
     step = max(n // m, 1)
-    w = Window.orderBy("id")  # small: only runs over m rows after filter? no — rank first
     ranked = _norm_vec(emb).withColumn("_rn", F.row_number().over(Window.orderBy("id")))
-    return (
+    cents = (
         ranked.filter((F.col("_rn") - 1) % step == 0)
         .withColumn("centroid_id", ((F.col("_rn") - 1) / step).cast("long"))
         .filter(F.col("centroid_id") < m)
         .select("centroid_id", F.col("v").alias("cv"))
     )
+    vecs = _norm_vec(emb)
+    for _ in range(refine_iters):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("id", "v", "centroid_id", _dot(F.col("v"), F.col("cv")).alias("_sim"))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("centroid_id"))
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+        )
+        # cell means: posexplode -> per-dimension avg -> reassemble sorted
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("_pos", "_x"))
+            .groupBy("centroid_id", "_pos")
+            .agg(F.avg("_x").alias("_mx"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_mx"))
+                ).alias("_pairs")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("_pairs"), lambda s: s["_mx"]).alias("_mean"),
+            )
+        )
+        # L2-normalize the mean so _dot stays a cosine
+        nrm = F.sqrt(
+            F.aggregate(F.col("_mean"), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        cents = means.select(
+            "centroid_id",
+            F.transform(F.col("_mean"), lambda x: x / nrm).alias("cv"),
+        ).localCheckpoint(eager=True)
+    return cents
 
 
 def ivf_topk(

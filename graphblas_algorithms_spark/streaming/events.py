@@ -55,6 +55,14 @@ def windowed_counts_stream(
     """The same aggregation as a streaming query over a parquet source
     with a watermark; returns the started query (memory sink).  Use
     ``q.processAllAvailable()`` then read ``spark.sql(...)``."""
+    import os
+
+    # FileStreamSource derives basePath from the path: a bare FILE path
+    # (the driver testdata ships single-file tables) makes it error with
+    # "Option 'basePath' must be a directory" — turn the last character
+    # into a one-char glob so basePath resolves to the parent directory.
+    if os.path.isfile(parquet_dir):
+        parquet_dir = f"{parquet_dir[:-1]}[{parquet_dir[-1]}]"
     src = (
         spark.readStream.schema(EVENT_SCHEMA)
         .parquet(parquet_dir)
