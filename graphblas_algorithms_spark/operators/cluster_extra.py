@@ -53,18 +53,20 @@ def square_clustering(G, node_ids: list[int] | None = None) -> DataFrame:
     adj = _sym_offdiag(G).persist()
     deg = adj.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
 
-    # all open wedges u - v - w with u < w  (v = center)
+    # all open wedges u - v - w with u < w (v = center), built and persisted
+    # ONCE: the chunked per-node wedge set is a filter of it and the P2
+    # common-neighbor counts group the SAME cached rows — the most expensive
+    # intermediate is never computed twice
     e1 = adj.select(F.col("src").alias("v"), F.col("dst").alias("u"))
     e2 = adj.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    wedges = e1.join(e2, "v").filter(F.col("u") < F.col("w"))
+    allw = e1.join(e2, "v").filter(F.col("u") < F.col("w")).persist()
+    wedges = allw
     if node_ids is not None:
         ids_df = G.spark.createDataFrame([(int(i),) for i in node_ids], "v long")
         wedges = wedges.join(F.broadcast(ids_df), "v", "left_semi")
-    wedges = wedges.persist()
 
     # P2[u,w] = number of common neighbors of (u,w), u<w — from the SAME
     # wedge set grouped by endpoints (never materializes dense A²)
-    allw = e1.join(e2, "v").filter(F.col("u") < F.col("w"))
     pair_cnt = allw.groupBy("u", "w").agg(F.count("*").alias("_cn"))
 
     # θ[u,w] = 1 iff u-w is an edge (canonical orientation u<w)
@@ -92,6 +94,12 @@ def square_clustering(G, node_ids: list[int] | None = None) -> DataFrame:
             "_denom"
         ),
     )
+    # agg is ≤ n rows — snapshot it eagerly so the big cached intermediates
+    # (adj, allw) can be released before returning instead of leaking for
+    # the session
+    agg = agg.localCheckpoint(eager=True)
+    adj.unpersist()
+    allw.unpersist()
     nodes = G.nodes
     if node_ids is not None:
         ids_df = G.spark.createDataFrame([(int(i),) for i in node_ids], "id long")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..classes.graph import Graph
+from ..plans.superstep import _release_state
 
 
 def _edge_support(edges_df):
@@ -80,6 +81,10 @@ def k_truss(G: Graph, k: int) -> Graph:
             .localCheckpoint(eager=True)
         )
         m2 = kept.count()
+        # kept is fully materialized (eager checkpoint) — the retired round's
+        # edge snapshot can be released NOW; plain unpersist would leave its
+        # localCheckpoint blocks resident for the session (see _release_state)
+        _release_state(edges)
         edges = kept
         if m2 == m:
             break

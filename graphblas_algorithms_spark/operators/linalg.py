@@ -169,11 +169,18 @@ def google_matrix(
     dangling_rows = G.nodes.join(
         e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     ).select(F.col("id").alias("row"), F.lit(1).alias("_isd"))
+    # Dense row x col grid built from nodes x nodes; p/dw LEFT-joined so a
+    # partial personalization/dangling dict contributes 0 teleport for the
+    # missing columns but keeps every column (ref pagerank_alg.py:104-162
+    # missing keys -> 0).  n is already capped at 5000 so n^2 is fine.
     base = (
         G.nodes.select(F.col("id").alias("row"))
-        .crossJoin(p)
+        .crossJoin(G.nodes.select(F.col("id").alias("col")))
+        .join(p, "col", "left")
         .join(dangling_rows, "row", "left")
-        .join(dw.withColumnRenamed("_p", "_dwp"), "col")
+        .join(dw.withColumnRenamed("_p", "_dwp"), "col", "left")
+        .withColumn("_p", F.coalesce("_p", F.lit(0.0)))
+        .withColumn("_dwp", F.coalesce("_dwp", F.lit(0.0)))
         .select(
             "row",
             "col",

@@ -138,15 +138,20 @@ def pagerank(
         )
 
     state = (
+        # LEFT join: a partial personalization dict means missing nodes get
+        # teleport 0 but remain in the iteration (ref pagerank_alg.py missing
+        # keys -> p=0), exactly like the _dw/_dang handling below.
         x0.join(
-            p.select("id", (F.lit(1.0 - alpha) * F.col("value")).alias("_tele")), "id"
+            p.select("id", (F.lit(1.0 - alpha) * F.col("value")).alias("_tele")),
+            "id",
+            "left",
         )
         .join(dangling_w.select("id", F.col("value").alias("_dw")), "id", "left")
         .join(dangling_ids.select("id", F.lit(True).alias("_dang")), "id", "left")
         .select(
             "id",
             "value",
-            "_tele",
+            F.coalesce("_tele", F.lit(0.0)).alias("_tele"),
             F.coalesce("_dw", F.lit(0.0)).alias("_dw"),
             F.coalesce("_dang", F.lit(False)).alias("_dang"),
         )

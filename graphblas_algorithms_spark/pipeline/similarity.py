@@ -106,14 +106,24 @@ def deterministic_centroids(emb: DataFrame, m: int, refine_iters: int = 1) -> Da
                 F.transform(F.col("_pairs"), lambda s: s["_mx"]).alias("_mean"),
             )
         )
-        # L2-normalize the mean so _dot stays a cosine
+        # L2-normalize the mean so _dot stays a cosine; a zero-norm mean
+        # would divide by 0 and poison every downstream _dot with NaN
         nrm = F.sqrt(
             F.aggregate(F.col("_mean"), F.lit(0.0), lambda a, x: a + x * x)
         )
-        cents = means.select(
+        refined = means.select(
             "centroid_id",
-            F.transform(F.col("_mean"), lambda x: x / nrm).alias("cv"),
-        ).localCheckpoint(eager=True)
+            F.when(
+                nrm > 0, F.transform(F.col("_mean"), lambda x: x / nrm)
+            ).alias("_cv_new"),
+        )
+        # LEFT-join refined means onto the seeded set: an empty cell keeps
+        # its seed vector, so the centroid count never silently drops below m
+        cents = (
+            cents.join(refined, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("_cv_new", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
     return cents
 
 

@@ -109,6 +109,25 @@ def test_google_matrix_and_pagerank_consistency(spark):
     assert np.allclose(M, np.asarray(want), atol=1e-9)
 
 
+def test_google_matrix_partial_personalization(spark):
+    # partial dicts keep every column (ADVICE r1: inner join on p/dw
+    # dropped all columns outside the dict's key set)
+    nxg = nx.gnp_random_graph(15, 0.2, seed=5, directed=True)
+    nxg.add_node(14)  # ensure a dangling/isolated node exists
+    G = from_networkx(spark, nxg)
+    pers = {i: 1.0 + i for i in range(0, 15, 3)}
+    dang = {1: 1.0, 4: 2.0}
+    rows = google_matrix(G, alpha=0.85, personalization=pers, dangling=dang).collect()
+    n = G.n
+    M = np.zeros((n, n))
+    for r in rows:
+        M[r["row"], r["col"]] = r["value"]
+    want = nx.google_matrix(
+        nxg, alpha=0.85, personalization=pers, dangling=dang, nodelist=sorted(nxg)
+    )
+    assert np.allclose(M, np.asarray(want), atol=1e-9)
+
+
 def test_is_triad(spark):
     t = nx.DiGraph([(0, 1), (1, 2)])
     G = from_networkx(spark, t)

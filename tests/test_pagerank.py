@@ -71,6 +71,20 @@ def test_personalization_and_nstart(spark):
     )
 
 
+def test_partial_personalization_keeps_all_nodes(spark):
+    # missing keys -> teleport 0 but the node STAYS in the iteration
+    # (ADVICE r1: an inner join on p silently dropped uncovered nodes)
+    nxg = nx.gnp_random_graph(40, 0.1, seed=11, directed=True)
+    pers = {i: 1.0 for i in nxg.nodes if i % 4 == 0}  # 1/4 coverage
+    _check(spark, nxg, alpha=0.9, personalization=pers, fixed_iters=10)
+
+
+def test_partial_dangling_dict(spark):
+    nxg = nx.DiGraph([(0, 1), (1, 2), (2, 3), (4, 2)])  # 3 dangling
+    dang = {0: 2.0, 2: 1.0}  # partial dangling-weight dict
+    _check(spark, nxg, dangling=dang, fixed_iters=12)
+
+
 def test_dangling_weights(spark):
     nxg = nx.DiGraph([(0, 1), (1, 2), (2, 3)])  # 3 dangling
     dang = {i: float(i + 1) for i in nxg.nodes}
