@@ -256,21 +256,15 @@ def _q_inout_degrees(spark, sf_dir):
 
 
 def _q_katz(spark, sf_dir):
-    """Katz with fixed unrolled iterations, unnormalized (oracle-friendly)."""
-    G = _cust_supp_graph(spark, sf_dir)
-    from graphblas_algorithms_spark.functions.semiring import vxm
+    """Katz via the library operator, fixed iterations, unnormalized
+    (trajectory-identical to the unrolled DuckDB oracle)."""
+    from graphblas_algorithms_spark.operators.centrality import katz_centrality
 
-    alpha, beta = 0.05, 1.0
-    x = G.nodes.select("id", F.lit(0.0).alias("value"))
-    adj = G.edges.persist()
-    for _ in range(KATZ_ITERS):
-        prop = vxm(x, adj, add="sum", mul="first").withColumnRenamed("value", "_p")
-        x = G.nodes.join(prop, "id", "left").select(
-            "id",
-            (F.lit(alpha) * F.coalesce("_p", F.lit(0.0)) + F.lit(beta)).alias("value"),
-        )
-        x = x.localCheckpoint(eager=True)
-    return x.select("id", F.round("value", 6).alias("katz"))
+    G = _cust_supp_graph(spark, sf_dir)
+    x = katz_centrality(
+        G, alpha=0.05, beta=1.0, fixed_iters=KATZ_ITERS, normalized=False
+    )
+    return x.select("id", F.round("centrality", 6).alias("katz"))
 
 
 def _q_bfs(spark, sf_dir):
@@ -293,77 +287,28 @@ def _q_sssp(spark, sf_dir):
 
 
 def _q_hits(spark, sf_dir):
-    """HITS with fixed unrolled iterations (oracle-friendly, unnormalized):
-    a_k = maxnorm(h_{k-1} @ A), h_k = maxnorm(A @ a_k), dense over nodes."""
-    from graphblas_algorithms_spark.functions.semiring import mxv, vxm
+    """HITS via the library operator, fixed iterations, unnormalized
+    (trajectory-identical to the unrolled DuckDB oracle)."""
+    from graphblas_algorithms_spark.operators.centrality import hits
 
     G = _cust_supp_graph(spark, sf_dir)
-    adj = G.edges.persist()
-    nodes = G.nodes
-    n = G.n
-    h = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("value"))
-    a = None
-    for _ in range(HITS_ITERS):
-        a_raw = vxm(h, adj, add="sum", mul="first")
-        amax = a_raw.agg(F.max("value").alias("_m"))
-        a = (
-            nodes.join(a_raw.withColumnRenamed("value", "_v"), "id", "left")
-            .crossJoin(F.broadcast(amax))
-            .select(
-                "id",
-                F.when(F.col("_m") != 0, F.coalesce("_v", F.lit(0.0)) / F.col("_m"))
-                .otherwise(F.coalesce("_v", F.lit(0.0)))
-                .alias("value"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        h_raw = mxv(adj, a, add="sum", mul="first")
-        hmax = h_raw.agg(F.max("value").alias("_m"))
-        h = (
-            nodes.join(h_raw.withColumnRenamed("value", "_v"), "id", "left")
-            .crossJoin(F.broadcast(hmax))
-            .select(
-                "id",
-                F.when(F.col("_m") != 0, F.coalesce("_v", F.lit(0.0)) / F.col("_m"))
-                .otherwise(F.coalesce("_v", F.lit(0.0)))
-                .alias("value"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    h, a = hits(G, fixed_iters=HITS_ITERS, normalized=False)
     return (
-        h.withColumnRenamed("value", "hub")
-        .join(a.withColumnRenamed("value", "authority"), "id")
+        h.join(a, "id")
         .select("id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority"))
     )
 
 
 def _q_eigenvector(spark, sf_dir):
-    """Eigenvector centrality, fixed unrolled iterations with L2 normalize:
-    x_k = (x + x@A) / ||x + x@A||_2, dense (oracle-friendly)."""
-    from graphblas_algorithms_spark.functions.semiring import vxm
+    """Eigenvector centrality via the library operator, fixed iterations
+    (trajectory-identical to the unrolled DuckDB oracle)."""
+    from graphblas_algorithms_spark.operators.centrality import (
+        eigenvector_centrality,
+    )
 
     G = _part_graph(spark, sf_dir)
-    adj = G.get_property("sym_edges").persist()
-    nodes = G.nodes
-    n = G.n
-    x = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("value"))
-    for _ in range(EC_ITERS):
-        prop = vxm(x, adj, add="sum", mul="first").withColumnRenamed("value", "_p")
-        y = x.join(prop, "id", "left").select(
-            "id", (F.col("value") + F.coalesce("_p", F.lit(0.0))).alias("_y")
-        )
-        norm = y.agg(F.sqrt(F.sum(F.col("_y") * F.col("_y"))).alias("_n"))
-        x = (
-            y.crossJoin(F.broadcast(norm))
-            .select(
-                "id",
-                F.when(F.col("_n") > 0, F.col("_y") / F.col("_n"))
-                .otherwise(F.col("_y"))
-                .alias("value"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return x.select("id", F.round("value", 6).alias("ec"))
+    x = eigenvector_centrality(G, fixed_iters=EC_ITERS)
+    return x.select("id", F.round("centrality", 6).alias("ec"))
 
 
 def _chain_graph(spark, sf_dir) -> Graph:

@@ -73,8 +73,17 @@ def _adj(G) -> DataFrame:
     return G.edges if G.is_directed_flag else G.get_property("sym_edges")
 
 
-def eigenvector_centrality(G, max_iter: int = 100, tol: float = 1e-6, nstart: dict | None = None) -> DataFrame:
-    """(id, centrality) — power iteration (``eigenvector.py:9-33``)."""
+def eigenvector_centrality(
+    G,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    nstart: dict | None = None,
+    fixed_iters: int | None = None,
+) -> DataFrame:
+    """(id, centrality) — power iteration (``eigenvector.py:9-33``).
+
+    ``fixed_iters`` runs exactly that many iterations with no convergence
+    action (deterministic trajectory for the DuckDB-oracle queries)."""
     spark = G.spark
     n = G.n
     adj = _adj(G).persist()
@@ -86,7 +95,8 @@ def eigenvector_centrality(G, max_iter: int = 100, tol: float = 1e-6, nstart: di
         )
     x = x.persist()
     harness = Superstep(spark)
-    for it in range(max_iter):
+    iters = fixed_iters if fixed_iters is not None else max_iter
+    for it in range(iters):
         prop = vxm(x, adj, add="sum", mul="times").withColumnRenamed("value", "_p")
         y = x.join(prop, "id", "left").select(
             "id", (F.col("value") + F.coalesce("_p", F.lit(0.0))).alias("_y")
@@ -99,6 +109,9 @@ def eigenvector_centrality(G, max_iter: int = 100, tol: float = 1e-6, nstart: di
             .alias("value"),
         )
         new_x = harness.materialize(new_x, it, {"kernel": "eigenvector"})
+        if fixed_iters is not None:
+            x = new_x
+            continue
         err = scalar_agg(
             new_x.join(x.withColumnRenamed("value", "_prev"), "id", "left"),
             err=F.sum(F.abs(F.col("value") - F.coalesce("_prev", F.lit(0.0)))),
@@ -108,6 +121,8 @@ def eigenvector_centrality(G, max_iter: int = 100, tol: float = 1e-6, nstart: di
             adj.unpersist()
             return x.select("id", F.col("value").alias("centrality"))
     adj.unpersist()
+    if fixed_iters is not None:
+        return x.select("id", F.col("value").alias("centrality"))
     raise ConvergenceFailure(f"eigenvector: no convergence in {max_iter} iterations")
 
 
@@ -119,8 +134,12 @@ def katz_centrality(
     tol: float = 1e-6,
     nstart: dict | None = None,
     normalized: bool = True,
+    fixed_iters: int | None = None,
 ) -> DataFrame:
-    """(id, centrality) — ``katz.py:11-55``."""
+    """(id, centrality) — ``katz.py:11-55``.
+
+    ``fixed_iters`` runs exactly that many iterations with no convergence
+    action (deterministic trajectory for the DuckDB-oracle queries)."""
     spark = G.spark
     n = G.n
     adj = _adj(G).persist()
@@ -132,13 +151,17 @@ def katz_centrality(
         )
     x = x.persist()
     harness = Superstep(spark)
-    for it in range(max_iter):
+    iters = fixed_iters if fixed_iters is not None else max_iter
+    for it in range(iters):
         prop = vxm(x, adj, add="sum", mul="times").withColumnRenamed("value", "_p")
         new_x = G.nodes.join(prop, "id", "left").select(
             "id",
             (F.lit(alpha) * F.coalesce("_p", F.lit(0.0)) + F.lit(beta)).alias("value"),
         )
         new_x = harness.materialize(new_x, it, {"kernel": "katz"})
+        if fixed_iters is not None:
+            x = new_x
+            continue
         err = scalar_agg(
             new_x.join(x.withColumnRenamed("value", "_prev"), "id", "left"),
             err=F.sum(F.abs(F.col("value") - F.coalesce("_prev", F.lit(0.0)))),
@@ -147,8 +170,9 @@ def katz_centrality(
         if err is not None and err < n * tol:
             break
     else:
-        adj.unpersist()
-        raise ConvergenceFailure(f"katz: no convergence in {max_iter} iterations")
+        if fixed_iters is None:
+            adj.unpersist()
+            raise ConvergenceFailure(f"katz: no convergence in {max_iter} iterations")
     adj.unpersist()
     if normalized:
         norm = x.agg(F.sqrt(F.sum(F.col("value") * F.col("value"))).alias("_n"))
@@ -167,11 +191,14 @@ def hits(
     tol: float = 1e-8,
     nstart: dict | None = None,
     normalized: bool = True,
+    fixed_iters: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """((id, hub), (id, authority)) — ``hits_alg.py:9-62``.
 
     Per iteration: a = hlast@A (L-inf normalized), h = A@a (L-inf
-    normalized), converge on L1(h - hlast) < tol*n.
+    normalized), converge on L1(h - hlast) < tol*n.  ``fixed_iters``
+    runs exactly that many iterations with no convergence action
+    (deterministic trajectory for the DuckDB-oracle queries).
     """
     spark = G.spark
     n = G.n
@@ -185,7 +212,8 @@ def hits(
     h = h.persist()
     harness = Superstep(spark)
     a = None
-    for it in range(max_iter):
+    iters = fixed_iters if fixed_iters is not None else max_iter
+    for it in range(iters):
         a_raw = vxm(h, adj, add="sum", mul="times")  # a = h @ A
         amax = a_raw.agg(F.max("value").alias("_m"))
         a = a_raw.crossJoin(F.broadcast(amax)).select(
@@ -210,6 +238,9 @@ def hits(
             "id", F.coalesce("value", F.lit(0.0)).alias("value")
         )
         new_h = harness.materialize(new_h, it, {"kernel": "hits"})
+        if fixed_iters is not None:
+            h = new_h
+            continue
         err = scalar_agg(
             new_h.join(h.withColumnRenamed("value", "_prev"), "id", "left"),
             err=F.sum(F.abs(F.col("value") - F.coalesce("_prev", F.lit(0.0)))),
@@ -218,8 +249,9 @@ def hits(
         if err is not None and err < tol * n:
             break
     else:
-        adj.unpersist()
-        raise ConvergenceFailure(f"hits: no convergence in {max_iter} iterations")
+        if fixed_iters is None:
+            adj.unpersist()
+            raise ConvergenceFailure(f"hits: no convergence in {max_iter} iterations")
     a = G.nodes.join(a, "id", "left").select(
         "id", F.coalesce("value", F.lit(0.0)).alias("value")
     )
