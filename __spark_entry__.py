@@ -219,6 +219,14 @@ def _q_triangles(spark, sf_dir):
     return triangles(_part_graph(spark, sf_dir))
 
 
+def _q_triangles_weighted(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.triangles import triangles
+
+    G = _part_graph_weighted(spark, sf_dir)
+    t = triangles(G, weighted=True)
+    return t.select("id", F.round("triangles", 6).alias("tri_w"))
+
+
 def _q_clustering(spark, sf_dir):
     from graphblas_algorithms_spark.operators.triangles import clustering
 
@@ -395,7 +403,10 @@ def _q_edge_support(spark, sf_dir):
 
 
 def _q_ktruss(spark, sf_dir):
-    """Full k-truss fixpoint (no SQL oracle — iterative; rows-only check)."""
+    """Full k-truss fixpoint.  The fixpoint is deterministic, so the DuckDB
+    oracle unrolls KTRUSS_ROUNDS support-filter rounds — once the edge set
+    stops changing further rounds are no-ops, so any unroll depth >= the
+    actual round count yields the identical fixpoint."""
     from graphblas_algorithms_spark.operators.ktruss import k_truss
 
     K = k_truss(_part_graph(spark, sf_dir), 4)
@@ -581,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop": _q_labelprop,
         "graph_triangles_total": _q_triangles_total,
         "graph_triangles": _q_triangles,
+        "graph_triangles_weighted": _q_triangles_weighted,
         "graph_clustering": _q_clustering,
         "graph_transitivity": _q_transitivity,
         "graph_degree_centrality": _q_degree_centrality,
@@ -748,6 +760,31 @@ _SQL_DEG_MINUS = """
 deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM sym GROUP BY src)
 """
 
+# weighted triangles: per-triangle tw = cbrt(w1*w2*w3)/max_w, summed per
+# corner (mirrors triangles(G, weighted=True), reference cluster.py:44-64)
+_SQL_TRIANGLES_WEIGHTED = f"""WITH {_SQL_PART.strip()},
+pw AS (
+  SELECT src, dst, (1 + (src + dst) % 5)::DOUBLE AS w FROM part_pairs
+),
+mx AS (SELECT max(w) AS mw FROM pw),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c,
+         cbrt(e1.w * e2.w * e3.w) / mx.mw AS tw
+  FROM pw e1
+  JOIN pw e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN pw e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+  CROSS JOIN mx
+),
+corners AS (
+  SELECT a AS id, tw FROM tri
+  UNION ALL SELECT b, tw FROM tri
+  UNION ALL SELECT c, tw FROM tri
+),
+agg AS (SELECT id, sum(tw) AS t FROM corners GROUP BY id)
+SELECT n.id, round(coalesce(agg.t, 0.0), 6) AS tri_w
+FROM part_nodes n LEFT JOIN agg ON n.id = agg.id
+"""
+
 _SQL_CLUSTERING = f"""WITH {_SQL_TRI_LIST},
 corners AS (
   SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
@@ -855,6 +892,39 @@ sup AS (SELECT src, dst, count(*)::BIGINT AS s FROM tedges GROUP BY src, dst)
 SELECT p.src, p.dst, coalesce(sup.s, 0)::BIGINT AS support
 FROM part_pairs p LEFT JOIN sup ON p.src = sup.src AND p.dst = sup.dst
 """
+
+KTRUSS_ROUNDS = 6  # >= the observed sf0.01 fixpoint depth; extra rounds no-op
+
+
+def _sql_ktruss() -> str:
+    """Unrolled k-truss (k=4): per round, drop edges in < k-2 triangles."""
+    parts = ["WITH " + _SQL_PART.strip()]
+    parts.append(",\ne0 AS MATERIALIZED (SELECT src, dst FROM part_pairs)")
+    for r in range(1, KTRUSS_ROUNDS + 1):
+        parts.append(
+            f""",
+tri{r} AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e{r-1} e1
+  JOIN e{r-1} e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN e{r-1} e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+sup{r} AS MATERIALIZED (
+  SELECT src, dst, count(*)::BIGINT AS s FROM (
+    SELECT least(a,b) AS src, greatest(a,b) AS dst FROM tri{r}
+    UNION ALL SELECT least(a,c), greatest(a,c) FROM tri{r}
+    UNION ALL SELECT least(b,c), greatest(b,c) FROM tri{r}
+  ) GROUP BY src, dst
+),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r-1} e
+  JOIN sup{r} s ON e.src = s.src AND e.dst = s.dst
+  WHERE s.s >= 2
+)"""
+        )
+    parts.append(f"\nSELECT src, dst FROM e{KTRUSS_ROUNDS}")
+    return "".join(parts)
+
 
 def _sql_hits() -> str:
     parts = [
@@ -1430,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_labelprop": _sql_labelprop(),
         "graph_triangles_total": _SQL_TRIANGLES_TOTAL,
         "graph_triangles": _SQL_TRIANGLES,
+        "graph_triangles_weighted": _SQL_TRIANGLES_WEIGHTED,
         "graph_clustering": _SQL_CLUSTERING,
         "graph_transitivity": _SQL_TRANSITIVITY,
         "graph_degree_centrality": _SQL_DEGREE_CENTRALITY,
@@ -1449,7 +1520,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_clustering_directed": _SQL_CLUSTERING_DIRECTED,
         "graph_generalized_degree": _SQL_GENERALIZED_DEGREE,
         "graph_edge_support": _SQL_EDGE_SUPPORT,
-        # graph_ktruss: iterative fixpoint — rows-only check
+        "graph_ktruss": _sql_ktruss(),
         "graph_isolates": _SQL_ISOLATES,
         "graph_smetric": _SQL_SMETRIC,
         "graph_reciprocity": _SQL_RECIPROCITY,

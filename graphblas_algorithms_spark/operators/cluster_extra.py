@@ -155,17 +155,36 @@ def generalized_degree(G) -> DataFrame:
     return incident.groupBy("id", "ntri").agg(F.count("*").alias("n_edges"))
 
 
-def _directed_tri_counts(G) -> DataFrame:
+def _b_matrix(G, weighted: bool = False) -> DataFrame:
+    """B = Ahat + Ahat.T over off-diagonal edges, where Ahat = A for the
+    pattern case and ``cbrt(A / max_element)`` for the weighted case
+    (reference ``cluster.py:101-110``, Fagiolo 2007)."""
+    has_w = weighted and "weight" in G.edges.columns
+    if has_w:
+        from .triangles import _max_element
+
+        maxval = _max_element(G)
+        val = F.cbrt(F.col("weight") / F.lit(float(maxval)))
+    else:
+        val = F.lit(1.0)
+    e = G.edges.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst", val.alias("_v")
+    )
+    return (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "_v")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("_v").alias("b"))
+    )
+
+
+def _directed_tri_counts(G, weighted: bool = False) -> DataFrame:
     """(id, tri: double) — T(i) = sum_{j<k} b_ij*b_ik*b_jk with
     B = A + A.T (offdiag), the networkx directed-triangle count that the
-    reference assembles from 4 masked matmuls (``cluster.py:111-123``)."""
-    e = G.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    b = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("double").alias("b"))
-        .persist()
-    )
+    reference assembles from 4 masked matmuls (``cluster.py:111-123``);
+    ``weighted`` switches B to the cbrt-normalized form."""
+    b = _b_matrix(G, weighted=weighted).persist()
     e1 = b.select(F.col("src").alias("i"), F.col("dst").alias("j"), F.col("b").alias("_bj"))
     e2 = b.select(F.col("src").alias("i"), F.col("dst").alias("k"), F.col("b").alias("_bk"))
     close = b.select(F.col("src").alias("j"), F.col("dst").alias("k"), F.col("b").alias("_bjk"))
@@ -177,11 +196,12 @@ def _directed_tri_counts(G) -> DataFrame:
     )
 
 
-def clustering_directed(G, dense: bool = True) -> DataFrame:
+def clustering_directed(G, dense: bool = True, weighted: bool = False) -> DataFrame:
     """(id, clustering: double) — directed clustering coefficient
     (reference ``cluster.py:101-126``):
-    ``C(i) = T(i) / (d_tot*(d_tot-1) - 2*d_recip)``."""
-    tri = _directed_tri_counts(G)
+    ``C(i) = T(i) / (d_tot*(d_tot-1) - 2*d_recip)``; ``weighted`` uses the
+    cbrt-normalized triangle intensity over the same degree denominator."""
+    tri = _directed_tri_counts(G, weighted=weighted)
     off = G.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).persist()
     dtot = (
         off.select(F.col("src").alias("id"))
@@ -219,10 +239,90 @@ def clustering_directed(G, dense: bool = True) -> DataFrame:
     )
 
 
-def average_clustering_directed(G, count_zeros: bool = True) -> float:
+def average_clustering_directed(
+    G, count_zeros: bool = True, weighted: bool = False
+) -> float:
     """``cluster.py:176-193`` directed variant."""
-    c = clustering_directed(G, dense=True)
+    c = clustering_directed(G, dense=True, weighted=weighted)
     if not count_zeros:
         c = c.filter(F.col("clustering") != 0.0)
     row = c.agg(F.avg("clustering").alias("m")).collect()[0]
     return float(row["m"]) if row["m"] is not None else 0.0
+
+
+# -- node-local filter-first fast paths (reference cluster.py single_*) ------
+
+
+def single_clustering_directed(G, node: int, weighted: bool = False) -> float:
+    """Directed clustering at ONE node (reference ``cluster.py:149-173``):
+    the B-matrix triangle sum restricted to the node's neighborhood first —
+    work is O(deg(i)^2 join m), never the full wedge join."""
+    b = _b_matrix(G, weighted=weighted)
+    nbrs = b.filter(F.col("src") == node).select(
+        F.col("dst").alias("id"), F.col("b").alias("_bn")
+    )
+    pairs = (
+        nbrs.select(F.col("id").alias("j"), F.col("_bn").alias("_bj"))
+        .crossJoin(nbrs.select(F.col("id").alias("k"), F.col("_bn").alias("_bk")))
+        .filter(F.col("j") < F.col("k"))
+    )
+    closed = pairs.join(
+        b.select(F.col("src").alias("j"), F.col("dst").alias("k"), F.col("b").alias("_bjk")),
+        ["j", "k"],
+    )
+    row = closed.agg(
+        F.sum(F.col("_bj") * F.col("_bk") * F.col("_bjk")).alias("t")
+    ).collect()[0]
+    tri = float(row["t"]) if row["t"] is not None else 0.0
+    if tri == 0.0:
+        return 0.0
+    off = G.edges.filter(F.col("src") != F.col("dst"))
+    out_n = off.filter(F.col("src") == node).count()
+    in_n = off.filter(F.col("dst") == node).count()
+    recip = (
+        off.filter(F.col("src") == node)
+        .select("dst")
+        .join(off.filter(F.col("dst") == node).select(F.col("src").alias("dst")), "dst", "left_semi")
+        .count()
+    )
+    dtot = out_n + in_n
+    denom = dtot * (dtot - 1) - 2 * recip
+    return tri / denom if denom > 0 else 0.0
+
+
+def single_generalized_degree(G, node: int) -> DataFrame:
+    """(id, ntri, n_edges) for ONE node (reference ``cluster.py:285-310``
+    ``single_`` variant): per incident edge (node,u), the triangle count is
+    |N(node) ∩ N(u)| — computed against the node's neighbor set only."""
+    sym = G.get_property("sym_edges").select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    )
+    nbrs = sym.filter(F.col("src") == node).select(F.col("dst").alias("u")).persist()
+    # for each neighbor u: edges u -> w with w also a neighbor of node
+    tri_per_edge = (
+        sym.join(nbrs.select(F.col("u").alias("src")), "src", "left_semi")
+        .join(
+            nbrs.select(F.col("u").alias("dst")), "dst", "left_semi"
+        )
+        .groupBy(F.col("src").alias("u"))
+        .agg(F.count("*").alias("ntri"))
+    )
+    hist = (
+        nbrs.join(tri_per_edge, "u", "left")
+        .select(F.coalesce("ntri", F.lit(0)).alias("ntri"))
+        .groupBy("ntri")
+        .agg(F.count("*").alias("n_edges"))
+        .select(F.lit(int(node)).alias("id"), "ntri", "n_edges")
+    )
+    return hist
+
+
+def single_square_clustering(G, node: int) -> float:
+    """C4 coefficient at ONE node (reference ``cluster.py:197-226``) —
+    routed through the chunked bulk plan with a single-node chunk."""
+    rows = (
+        square_clustering(G, node_ids=[int(node)])
+        .filter(F.col("id") == int(node))
+        .collect()
+    )
+    return float(rows[0]["sq_clustering"]) if rows else 0.0

@@ -99,6 +99,37 @@ def modularity_matrix(G, materialize: bool = False):
     )
 
 
+def directed_modularity_matrix(G, is_weighted: bool = False, materialize: bool = False):
+    """B = A - k_out k_inᵀ / m (``modularitymatrix.py:17-37``).
+
+    Returns (A, k_out, k_in, m) factored by default — the rank-1 term is
+    dense and must never materialize at scale.  ``materialize=True``
+    cross-joins for small-graph tests only.  ``is_weighted=False`` uses
+    ``unary.one(A)`` pattern semantics like the reference."""
+    e = G.edges
+    if "weight" not in e.columns or not is_weighted:
+        e = e.select("src", "dst", F.lit(1.0).alias("weight"))
+    A = e.select(
+        F.col("src").alias("row"), F.col("dst").alias("col"), F.col("weight").alias("value")
+    )
+    k_out = e.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("kout"))
+    k_in = e.groupBy(F.col("dst").alias("id")).agg(F.sum("weight").alias("kin"))
+    m = float(e.agg(F.sum("weight").alias("s")).collect()[0]["s"] or 0.0)
+    if not materialize:
+        return A, k_out, k_in, m
+    dense = (
+        k_out.select(F.col("id").alias("row"), F.col("kout").alias("_kr"))
+        .crossJoin(k_in.select(F.col("id").alias("col"), F.col("kin").alias("_kc")))
+        .select("row", "col", (-F.col("_kr") * F.col("_kc") / F.lit(m)).alias("value"))
+    )
+    return (
+        A.unionByName(dense)
+        .groupBy("row", "col")
+        .agg(F.sum("value").alias("value"))
+        .filter(F.col("value") != 0)
+    )
+
+
 def bethe_hessian_matrix(G, r: float | None = None) -> DataFrame:
     """(r²-1)I - rA + D (``bethehessianmatrix.py:6-25``); default r =
     sqrt(avg of d²/avg d - 1) per the reference."""

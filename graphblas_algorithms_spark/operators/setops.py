@@ -71,9 +71,23 @@ def symmetric_difference(G, H):
 
 
 def compose(G, H):
-    """Right-biased merge (``binary.py:112-147``): all nodes/edges of both;
-    H's edge weights win on overlap (weightless here: pattern union)."""
-    return union(G, H)
+    """Right-biased merge (``binary.py:112-147``, ``binary.second(A | B)``):
+    all nodes and edges of both graphs; on a common edge H's weight wins.
+    When neither operand carries weights this degrades to pattern union.
+    (networkx-compatible on differing node sets: G-only edges between
+    common nodes survive, unlike the reference's block-assign quirk.)"""
+    cls = _same_kind(G, H)
+    if not (G.weighted or H.weighted):
+        return union(G, H)
+    gw = F.col("weight") if G.weighted else F.lit(1.0)
+    hw = F.col("weight") if H.weighted else F.lit(1.0)
+    ge = G.edges.select("src", "dst", gw.alias("_gw"))
+    he = H.edges.select("src", "dst", hw.alias("_hw"))
+    e = ge.join(he, ["src", "dst"], "full_outer").select(
+        "src", "dst", F.coalesce("_hw", "_gw").alias("weight")
+    )
+    nodes = G.nodes.unionByName(H.nodes).distinct()
+    return cls(e, nodes, **({"canonicalize": False} if cls is Graph else {"dedup": False}))
 
 
 def full_join(G, H):

@@ -23,11 +23,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _oriented_edges(G) -> DataFrame:
-    """(src, dst) with (deg[src], src) < (deg[dst], dst); one row per
-    undirected off-diagonal edge."""
+def _oriented_edges(G, weighted: bool = False) -> DataFrame:
+    """(src, dst[, weight]) with (deg[src], src) < (deg[dst], dst); one row
+    per undirected off-diagonal edge.  ``weighted`` carries the stored edge
+    weight (1.0 when the graph has no weight column — iso semantics)."""
     deg = G.get_property("degrees_minus")  # (id, degree), excludes self-edges
-    e = G.get_property("offdiag").select("src", "dst")
+    off = G.get_property("offdiag")
+    has_w = weighted and "weight" in off.columns
+    wcol = F.col("weight") if has_w else F.lit(1.0)
+    e = off.select("src", "dst", *([wcol.alias("weight")] if weighted else []))
     e = (
         e.join(
             deg.select(F.col("id").alias("src"), F.col("degree").alias("_ds")), "src"
@@ -42,21 +46,38 @@ def _oriented_edges(G) -> DataFrame:
         F.when(fwd_ok, F.col("dst")).otherwise(F.col("src")).alias("dst"),
         F.when(fwd_ok, F.col("_ds")).otherwise(F.col("_dd")).alias("deg_src"),
         F.when(fwd_ok, F.col("_dd")).otherwise(F.col("_ds")).alias("deg_dst"),
+        *([F.col("weight")] if weighted else []),
     )
 
 
-def triangle_list(G) -> DataFrame:
-    """(a, b, c) — one row per triangle, each exactly once."""
-    eo = _oriented_edges(G).persist()
+def _max_element(G) -> float:
+    """``max_element-``: max off-diagonal edge weight (graph.py property)."""
+    off = G.get_property("offdiag")
+    if "weight" not in off.columns:
+        return 1.0
+    row = off.agg(F.max("weight").alias("m")).collect()[0]
+    return float(row["m"]) if row["m"] is not None else 1.0
+
+
+def triangle_list(G, weighted: bool = False) -> DataFrame:
+    """(a, b, c[, tw]) — one row per triangle, each exactly once.
+
+    ``weighted``: ``tw = cbrt(w_ab * w_ac * w_bc) / max_element`` — the
+    reference's ``unary.cbrt(L / maxval)`` plus_times form
+    (``cluster.py:44-64``), i.e. the normalized geometric mean of the
+    three edge weights."""
+    eo = _oriented_edges(G, weighted=weighted).persist()
     e1 = eo.select(
         F.col("src").alias("u"),
         F.col("dst").alias("v"),
         F.col("deg_dst").alias("_dv"),
+        *([F.col("weight").alias("_w_uv")] if weighted else []),
     )
     e2 = eo.select(
         F.col("src").alias("u2"),
         F.col("dst").alias("w"),
         F.col("deg_dst").alias("_dw"),
+        *([F.col("weight").alias("_w_uw")] if weighted else []),
     )
     # wedges centered at the (low-degree) source u, ordered v < w in the
     # same (degree, id) orientation order so the closing edge is oriented v->w
@@ -64,31 +85,106 @@ def triangle_list(G) -> DataFrame:
         (F.col("_dv") < F.col("_dw"))
         | ((F.col("_dv") == F.col("_dw")) & (F.col("v") < F.col("w")))
     )
-    closing = eo.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tris = wedges.join(closing, ["v", "w"], "left_semi").select(
-        F.col("u").alias("a"), F.col("v").alias("b"), F.col("w").alias("c")
+    if not weighted:
+        closing = eo.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        return wedges.join(closing, ["v", "w"], "left_semi").select(
+            F.col("u").alias("a"), F.col("v").alias("b"), F.col("w").alias("c")
+        )
+    maxval = _max_element(G)
+    closing = eo.select(
+        F.col("src").alias("v"), F.col("dst").alias("w"), F.col("weight").alias("_w_vw")
     )
-    return tris
+    return wedges.join(closing, ["v", "w"]).select(
+        F.col("u").alias("a"),
+        F.col("v").alias("b"),
+        F.col("w").alias("c"),
+        (
+            F.cbrt(F.col("_w_uv") * F.col("_w_uw") * F.col("_w_vw"))
+            / F.lit(float(maxval))
+        ).alias("tw"),
+    )
 
 
-def triangles(G, dense: bool = True) -> DataFrame:
-    """Per-vertex triangle count (id: long, triangles: long).
+def triangles(G, dense: bool = True, weighted: bool = False) -> DataFrame:
+    """Per-vertex triangle count (id: long, triangles: long) — or, with
+    ``weighted=True``, (id, triangles: double) where each triangle
+    contributes the normalized geometric mean of its edge weights
+    (reference ``cluster.py:44-64`` ``weighted=`` kwarg).
 
-    Reference ``cluster.py:44-64`` returns a dense count vector via the
-    nxapi wrapper; ``dense=True`` fills zeros over all nodes.
+    Reference returns a dense count vector via the nxapi wrapper;
+    ``dense=True`` fills zeros over all nodes.
     """
-    tris = triangle_list(G)
+    tris = triangle_list(G, weighted=weighted)
+    val = [F.col("tw")] if weighted else []
     corners = (
-        tris.select(F.col("a").alias("id"))
-        .unionByName(tris.select(F.col("b").alias("id")))
-        .unionByName(tris.select(F.col("c").alias("id")))
+        tris.select(F.col("a").alias("id"), *val)
+        .unionByName(tris.select(F.col("b").alias("id"), *val))
+        .unionByName(tris.select(F.col("c").alias("id"), *val))
     )
-    counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+    if weighted:
+        counts = corners.groupBy("id").agg(F.sum("tw").alias("triangles"))
+        zero = F.lit(0.0)
+    else:
+        counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+        zero = F.lit(0)
     if not dense:
         return counts
     return G.nodes.join(counts, "id", "left").select(
-        "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
+        "id", F.coalesce("triangles", zero).alias("triangles")
     )
+
+
+def single_triangle(G, node: int, weighted: bool = False) -> float:
+    """Triangle count (or weighted sum) at ONE node — the filter-first fast
+    path (reference ``cluster.py:24-41``): restrict to the node's neighbor
+    set first, then count edges among neighbors; never touches the full
+    wedge join."""
+    has_w = weighted and "weight" in G.edges.columns
+    sym = G.get_property("sym_edges")
+    wcol = F.col("weight") if has_w else F.lit(1.0)
+    nbrs = sym.filter((F.col("src") == node) & (F.col("dst") != node)).select(
+        F.col("dst").alias("id"), *([wcol.alias("_wn")] if weighted else [])
+    )
+    off = G.get_property("offdiag")
+    among = (
+        off.select("src", "dst", *([wcol.alias("_we")] if weighted else []))
+        .join(
+            nbrs.select(
+                F.col("id").alias("src"), *([F.col("_wn").alias("_ws")] if weighted else [])
+            ),
+            "src",
+        )
+        .join(
+            nbrs.select(
+                F.col("id").alias("dst"), *([F.col("_wn").alias("_wd")] if weighted else [])
+            ),
+            "dst",
+        )
+    )
+    if not weighted:
+        return float(among.count())
+    maxval = _max_element(G)
+    row = among.agg(
+        F.sum(
+            F.cbrt(F.col("_we") * F.col("_ws") * F.col("_wd")) / F.lit(float(maxval))
+        ).alias("t")
+    ).collect()[0]
+    return float(row["t"]) if row["t"] is not None else 0.0
+
+
+def single_clustering(G, node: int, weighted: bool = False) -> float:
+    """Clustering coefficient at ONE node (reference ``cluster.py:129-147``):
+    2*tri / (d*(d-1)) with the filter-first triangle count."""
+    tri = single_triangle(G, node, weighted=weighted)
+    if tri == 0:
+        return 0.0
+    deg = (
+        G.get_property("degrees_minus").filter(F.col("id") == node).collect()
+    )
+    d = int(deg[0]["degree"]) if deg else 0
+    if d < 2:
+        return 0.0
+    return 2.0 * tri / (d * (d - 1))
 
 
 def total_triangles(G) -> int:
@@ -108,10 +204,12 @@ def transitivity(G) -> float:
     return 6.0 * total_triangles(G) / float(denom)
 
 
-def clustering(G, dense: bool = True) -> DataFrame:
+def clustering(G, dense: bool = True, weighted: bool = False) -> DataFrame:
     """(id, clustering: double) = 2*tri / (d*(d-1)) (``cluster.py:94-98``);
-    nodes with degree < 2 get 0.0 (networkx convention)."""
-    tri = triangles(G, dense=False)
+    nodes with degree < 2 get 0.0 (networkx convention).  ``weighted=True``
+    uses the geometric-mean weighted triangle sum (``cluster.py:94-98``
+    ``weighted=`` kwarg) over the same unweighted-degree denominator."""
+    tri = triangles(G, dense=False, weighted=weighted)
     deg = G.get_property("degrees_minus")
     out = deg.join(tri, "id", "left").select(
         "id",
@@ -131,9 +229,9 @@ def clustering(G, dense: bool = True) -> DataFrame:
     )
 
 
-def average_clustering(G, count_zeros: bool = True) -> float:
+def average_clustering(G, count_zeros: bool = True, weighted: bool = False) -> float:
     """``cluster.py:176-193``."""
-    c = clustering(G, dense=True)
+    c = clustering(G, dense=True, weighted=weighted)
     if not count_zeros:
         c = c.filter(F.col("clustering") != 0.0)
     row = c.agg(F.avg("clustering").alias("m")).collect()[0]
