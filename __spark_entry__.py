@@ -511,7 +511,7 @@ def _q_minhash_neardup(spark, sf_dir):
 def _q_simhash(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.dedup import simhash
 
-    return simhash(_read(spark, sf_dir, "documents"), bits=16)
+    return simhash(_read(spark, sf_dir, "documents"), bits=64)
 
 
 def _q_embedding_neardup(spark, sf_dir):
@@ -1374,7 +1374,7 @@ WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= {threshold}
 """
 
 
-def _sql_simhash(bits: int = 16) -> str:
+def _sql_simhash(bits: int = 64) -> str:
     votes = []
     for b in range(bits):
         nib = b // 4
@@ -1383,8 +1383,17 @@ def _sql_simhash(bits: int = 16) -> str:
             f"sum(((strpos('0123456789abcdef', substr(h, {nib + 1}, 1)) - 1) "
             f"// {shift}) % 2 * 2 - 1) AS v{b}"
         )
+    # bit 63 = the BIGINT sign bit: contributes -2^63 (two's complement),
+    # in lock-step with pipeline/dedup.py simhash()
+    # SQL can't spell -2^63 directly (unary minus binds after the cast of
+    # an out-of-range positive literal) — use (-(2^63-1) - 1)
+    def _term_val(b: int) -> str:
+        if b == 63:
+            return "(-9223372036854775807::BIGINT - 1)"
+        return f"{2 ** b}::BIGINT"
+
     terms = " + ".join(
-        f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
+        f"(CASE WHEN v{b} > 0 THEN {_term_val(b)} ELSE 0 END)" for b in range(bits)
     )
     return f"""
 WITH tok AS (

@@ -53,13 +53,38 @@ def single_target_shortest_path_length(G, target: int, cutoff: int | None = None
     )
 
 
-def all_pairs_shortest_path_length(G, sources: list[int] | None = None) -> DataFrame:
-    """(source, id, length) — batched multi-source BFS
-    (``unweighted.py:22-29``; chunking advice in nxapi:30-45 is subsumed
-    by Spark partitioning of the widened frontier)."""
+def _source_chunks(G, sources: list[int] | None, chunk_size: int | None):
+    """Split the source list into bounded batches — the Spark analog of the
+    nxapi "10 MiB" chunker (``nxapi/shortest_paths/unweighted.py:30-45``):
+    each batch's dense state is |chunk| x n rows; the default bounds that
+    at ~4M rows (~64 MiB of (source,id,level) longs) so one unbounded
+    batch never owns the whole n^2 state."""
     if sources is None:
-        sources = [r["id"] for r in G.nodes.collect()]
-    return bfs_levels_multi(G, sources).withColumnRenamed("level", "length")
+        sources = [r["id"] for r in G.nodes.orderBy("id").collect()]
+    if chunk_size is None:
+        n = max(G.n, 1)
+        chunk_size = max(1, 4_000_000 // n)
+    return [sources[i : i + chunk_size] for i in range(0, len(sources), chunk_size)]
+
+
+def all_pairs_shortest_path_length(
+    G, sources: list[int] | None = None, chunk_size: int | None = None
+) -> DataFrame:
+    """(source, id, length) — batched multi-source BFS
+    (``unweighted.py:22-29``), source list chunked per
+    ``nxapi/shortest_paths/unweighted.py:30-45`` so each batch's frontier
+    state stays bounded; chunk results are materialized then unioned."""
+    chunks = _source_chunks(G, sources, chunk_size)
+    parts = []
+    for chunk in chunks:
+        part = bfs_levels_multi(G, chunk).withColumnRenamed("level", "length")
+        if len(chunks) > 1:
+            part = part.localCheckpoint(eager=True)
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def bellman_ford_path_length(
@@ -122,8 +147,26 @@ def bellman_ford_path_length(
     return dist
 
 
-def bellman_ford_path_lengths(G, sources: list[int]) -> DataFrame:
-    """(source, id, dist) — multi-source batched (``weighted.py:118-197``)."""
+def bellman_ford_path_lengths(
+    G, sources: list[int], chunk_size: int | None = None
+) -> DataFrame:
+    """(source, id, dist) — multi-source batched (``weighted.py:118-197``),
+    source list chunked like :func:`all_pairs_shortest_path_length` so the
+    per-batch (source, id) state stays bounded."""
+    chunks = _source_chunks(G, list(sources), chunk_size)
+    if len(chunks) > 1:
+        parts = [
+            _bellman_ford_path_lengths_batch(G, c).localCheckpoint(eager=True)
+            for c in chunks
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    return _bellman_ford_path_lengths_batch(G, chunks[0])
+
+
+def _bellman_ford_path_lengths_batch(G, sources: list[int]) -> DataFrame:
     spark = G.spark
     adj = _wadj(G).persist()
     dist = spark.createDataFrame(

@@ -194,8 +194,12 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash: long) — per-token md5, one vote per bit,
     bit set iff positive vote sum.  Bits come from the first bits/4
-    hex nibbles of the token hash (engine-portable integer math)."""
-    assert bits % 4 == 0 and bits <= 32
+    hex nibbles of the token hash (engine-portable integer math).
+
+    Up to 64 bits: the value is the signed two's-complement view of the
+    bit pattern (bit 63 contributes -2^63), so the full corpus-scale
+    64-bit hash fits a BIGINT in both Spark and DuckDB."""
+    assert bits % 4 == 0 and bits <= 64
     tok = docs.select(
         "doc_id",
         F.explode(
@@ -213,7 +217,11 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     agg = tok.groupBy("doc_id").agg(*votes)
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        # bit 63 is the sign bit of the BIGINT two's-complement view; the
+        # remaining sum of lower bits is < 2^63 so the addition never
+        # overflows in either engine
+        val = -(2 ** 63) if b == 63 else 2 ** b
+        term = F.when(F.col(f"v{b}") > 0, F.lit(val)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
@@ -224,8 +232,10 @@ def simhash_near_duplicates(docs: DataFrame, bits: int = 16, max_hamming: int = 
     <= bits/2-1 shares at least one exact half — classic pigeonhole LSH)."""
     sh = simhash(docs, bits).persist()
     half = bits // 2
-    lo = (F.col("simhash") % (2 ** half)).alias("k")
-    hi = F.floor(F.col("simhash") / (2 ** half)).alias("k")
+    # bitwise ops, not %/floor-div: the 64-bit hash is a SIGNED long (bit
+    # 63 = sign), where arithmetic mod/div would mangle the halves
+    lo = F.col("simhash").bitwiseAND(F.lit(2 ** half - 1)).alias("k")
+    hi = F.shiftrightunsigned(F.col("simhash"), half).alias("k")
     banded = sh.select("doc_id", "simhash", F.lit(0).alias("band"), lo).unionByName(
         sh.select("doc_id", "simhash", F.lit(1).alias("band"), hi)
     )

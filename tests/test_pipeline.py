@@ -162,6 +162,47 @@ def test_simhash_deterministic_and_close_for_dups(spark, docs, docs_pd):
     assert all(0 <= v < 2**16 for v in sh.values())
 
 
+def test_simhash_64bit_vs_python_oracle(spark, docs, docs_pd):
+    import hashlib
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=64).collect()}
+
+    def py_simhash(text, bits=64):
+        tokens = _norm(text).split(" ")
+        votes = [0] * bits
+        for t in tokens:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for b in range(bits):
+                nib = int(h[b // 4], 16)
+                bit = (nib >> (b % 4)) & 1
+                votes[b] += 1 if bit else -1
+        val = 0
+        for b in range(bits):
+            if votes[b] > 0:
+                val += -(2**63) if b == 63 else 2**b
+        return val
+
+    for d, t in docs_pd.items():
+        assert got[d] == py_simhash(t), f"doc {d}"
+    # two's-complement view: negative values are legal (bit 63 set)
+    from graphblas_algorithms_spark.pipeline.dedup import simhash_near_duplicates
+
+    pairs = simhash_near_duplicates(docs, bits=64, max_hamming=3).collect()
+    by_norm = {}
+    for d, t in docs_pd.items():
+        by_norm.setdefault(_norm(t), []).append(d)
+    dup_pairs = {
+        (min(a, b), max(a, b))
+        for ids in by_norm.values()
+        if len(ids) > 1
+        for a in ids
+        for b in ids
+        if a != b
+    }
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert dup_pairs <= got_pairs  # exact dups always within hamming 0
+
+
 def test_embedding_neardup_and_topk_vs_numpy(spark, emb):
     rows = emb.collect()
     ids = np.array([r["vec_id"] for r in rows])

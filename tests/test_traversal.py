@@ -160,3 +160,32 @@ def test_all_pairs(spark):
         got.setdefault(r["source"], {})[r["id"]] = r["length"]
     for s, want in nx.all_pairs_shortest_path_length(nxg):
         assert got.get(s, {}) == want
+
+
+def test_all_pairs_chunked_matches_unchunked(spark):
+    # chunk_size forcing >1 chunk must be result-identical (nxapi 10MiB
+    # chunker analog, nxapi/shortest_paths/unweighted.py:30-45)
+    nxg = nx.gnp_random_graph(25, 0.15, seed=5)
+    G = from_networkx(spark, nxg)
+    one = sorted(
+        tuple(r) for r in all_pairs_shortest_path_length(G).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in all_pairs_shortest_path_length(G, chunk_size=7).collect()
+    )
+    assert one == many
+
+
+def test_bellman_ford_lengths_chunked(spark):
+    nxg = nx.gnp_random_graph(30, 0.12, seed=6, directed=True)
+    for u, v in nxg.edges:
+        nxg[u][v]["weight"] = float((u + 2 * v) % 4 + 1)
+    G = from_networkx(spark, nxg)
+    srcs = list(range(9))
+    one = sorted(tuple(r) for r in bellman_ford_path_lengths(G, srcs).collect())
+    many = sorted(
+        tuple(r)
+        for r in bellman_ford_path_lengths(G, srcs, chunk_size=4).collect()
+    )
+    assert one == many
