@@ -520,6 +520,14 @@ def _q_embedding_neardup(spark, sf_dir):
     return embedding_near_duplicates(_read(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def _q_embedding_lsh(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.dedup import embedding_lsh_near_duplicates
+
+    return embedding_lsh_near_duplicates(
+        _read(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=16, bands=4
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.similarity import cosine_topk
 
@@ -628,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_minhash_neardup": _q_minhash_neardup,
         "pipe_simhash": _q_simhash,
         "pipe_embedding_neardup": _q_embedding_neardup,
+        "pipe_embedding_lsh": _q_embedding_lsh,
         "pipe_ann_topk": _q_ann_topk,
         "pipe_ann_ivf": _q_ann_ivf,
         "events_windowed": _q_events_windowed,
@@ -1424,6 +1433,50 @@ FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.35
 """
 
+
+def _sql_embedding_lsh(n_planes: int = 16, bands: int = 4, dim: int = 64) -> str:
+    """Replicates embedding_lsh_near_duplicates verbatim: the hyperplane
+    literals come from the SAME deterministic generator, so bucket keys
+    (and therefore the candidate set) are engine-identical."""
+    from graphblas_algorithms_spark.pipeline.dedup import hyperplanes
+
+    planes = hyperplanes(n_planes, dim)
+    rows_per_band = n_planes // bands
+    bit_exprs = ",\n         ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(c) for c in planes[i])
+        + f"]) >= 0 THEN '1' ELSE '0' END) AS b{i}"
+        for i in range(n_planes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " || ".join(f"b{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " AS key FROM bits"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SQL_EMB_NORM.strip()},
+bits AS (
+  SELECT vec_id, e, nrm,
+         {bit_exprs}
+  FROM v
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) AS cosine
+FROM cand c
+JOIN v va ON va.vec_id = c.id_a
+JOIN v vb ON vb.vec_id = c.id_b
+WHERE round(list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) >= 0.35
+"""
+
 _SQL_ANN_TOPK = f"""
 WITH {_SQL_EMB_NORM.strip()},
 scored AS (
@@ -1545,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_minhash_neardup": _sql_minhash_neardup(),
         "pipe_simhash": _sql_simhash(),
         "pipe_embedding_neardup": _SQL_EMB_NEARDUP,
+        "pipe_embedding_lsh": _sql_embedding_lsh(),
         "pipe_ann_topk": _SQL_ANN_TOPK,
         # pipe_ann_ivf: approximate — rows-only check
         "events_windowed": _SQL_EVENTS_WINDOWED,

@@ -260,9 +260,102 @@ def simhash_near_duplicates(docs: DataFrame, bits: int = 16, max_hamming: int = 
 # ---------------------------------------------------------------------------
 
 
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG: component (i,j) is
+    derived from md5(i:j)), identical across engines/runs — the LSH bucket
+    keys they induce can therefore be replicated verbatim in a SQL oracle."""
+    import hashlib
+
+    planes = []
+    for i in range(n_planes):
+        comps = []
+        for j in range(dim):
+            h = hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+            comps.append((int(h[:8], 16) % 2001 - 1000) / 1000.0)
+        planes.append(comps)
+    return planes
+
+
+def embedding_lsh_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, cosine) — bucketed random-hyperplane LSH near-dup:
+
+    1. per vector, ``n_planes`` sign bits (dot with deterministic
+       hyperplanes — plain scan-side projections, no shuffle);
+    2. band the bits (pigeonhole): pairs agreeing on a full band become
+       candidates via a band-key self-join — candidates only, NEVER
+       all-pairs;
+    3. exact cosine verify >= threshold on the candidates.
+
+    This is the 100 TB shape (the brute-force
+    :func:`embedding_near_duplicates` is the tiny-scale exact verifier).
+    Output is the LSH-recalled subset of the exact result — deterministic,
+    so a SQL oracle can reproduce it bit-for-bit."""
+    rows_per_band = n_planes // bands
+    assert rows_per_band * bands == n_planes
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = hyperplanes(n_planes, dim)
+    v = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+
+    def _dot_plane(plane):
+        arr = F.array(*[F.lit(float(c)) for c in plane])
+        return F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bit_cols = [
+        F.when(_dot_plane(planes[i]) >= 0, F.lit("1")).otherwise(F.lit("0")).alias(f"b{i}")
+        for i in range(n_planes)
+    ]
+    bits = v.select("vec_id", "v", "norm", *bit_cols).persist()
+    banded = None
+    for b in range(bands):
+        key = F.concat(*[F.col(f"b{b * rows_per_band + r}") for r in range(rows_per_band)])
+        part = bits.select("vec_id", F.lit(b).alias("band"), key.alias("key"))
+        banded = part if banded is None else banded.unionByName(part)
+    cand = (
+        banded.select("band", "key", F.col("vec_id").alias("id_a"))
+        .join(banded.select("band", "key", F.col("vec_id").alias("id_b")), ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = bits.select(F.col("vec_id").alias("id_a"), F.col("v").alias("_va"), F.col("norm").alias("_na"))
+    vb = bits.select(F.col("vec_id").alias("id_b"), F.col("v").alias("_vb"), F.col("norm").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("_na") * F.col("_nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """(id_a, id_b, cosine) — brute-force pair scan with cosine >=
-    threshold.  Exact; the LSH/IVF route for scale is similarity.py."""
+    threshold.  Exact but O(n²): the tiny-scale verifier; the bucketed
+    scale path is :func:`embedding_lsh_near_duplicates` (and IVF in
+    similarity.py)."""
     v = emb.select(
         F.col("vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),

@@ -62,22 +62,21 @@ def cosine_topk(emb: DataFrame, queries: DataFrame | None = None, k: int = 10) -
 
 
 def deterministic_centroids(emb: DataFrame, m: int, refine_iters: int = 1) -> DataFrame:
-    """(centroid_id, cv) — seeded with every (n/m)-th corpus vector by id
-    order, then ``refine_iters`` deterministic Lloyd steps (assign each
-    vector to its nearest centroid, recompute centroids as normalized cell
-    means).  No RNG anywhere (resume/oracle-safe); the refinement makes
-    the cells follow the data distribution, which is what IVF recall
-    lives on."""
-    n = emb.count()
-    step = max(n // m, 1)
-    ranked = _norm_vec(emb).withColumn("_rn", F.row_number().over(Window.orderBy("id")))
-    cents = (
-        ranked.filter((F.col("_rn") - 1) % step == 0)
-        .withColumn("centroid_id", ((F.col("_rn") - 1) / step).cast("long"))
-        .filter(F.col("centroid_id") < m)
-        .select("centroid_id", F.col("v").alias("cv"))
-    )
+    """(centroid_id, cv) — seeded with the min-id vector of each
+    ``pmod(id, m)`` residue class (fully distributed: one small groupBy,
+    no global sort — the old row_number-over-everything seeding pulled
+    every vector through a single partition), then ``refine_iters``
+    deterministic Lloyd steps (assign each vector to its nearest centroid,
+    recompute centroids as normalized cell means).  No RNG anywhere
+    (resume/oracle-safe); the refinement makes the cells follow the data
+    distribution, which is what IVF recall lives on."""
     vecs = _norm_vec(emb)
+    seeds = (
+        vecs.select(F.pmod(F.col("id"), F.lit(m)).alias("centroid_id"), "id")
+        .groupBy("centroid_id")
+        .agg(F.min("id").alias("id"))
+    )
+    cents = seeds.join(vecs, "id").select("centroid_id", F.col("v").alias("cv"))
     for _ in range(refine_iters):
         assigned = (
             vecs.crossJoin(F.broadcast(cents))
@@ -136,13 +135,15 @@ def ivf_topk(
     """(query_id, neighbor_id, rank, cosine) — IVF-style ANN.
 
     Assignment and probing both broadcast the m-row centroid table; the
-    expensive exact scoring runs only within probed cells.
+    expensive exact scoring runs only within probed cells.  The
+    vecs x centroids similarity pass runs ONCE — assignment (rank 1) and
+    the n_probe probe list are two filters of the same persisted frame.
     """
     cents = F.broadcast(deterministic_centroids(emb, m).persist())
     vecs = _norm_vec(emb).persist()
 
-    # assign: nearest centroid per vector
-    assigned = (
+    # one scored pass; rank 1 = cell assignment, ranks <= n_probe = probes
+    scored = (
         vecs.crossJoin(cents)
         .select("id", "v", "centroid_id", _dot(F.col("v"), F.col("cv")).alias("_sim"))
         .withColumn(
@@ -151,22 +152,12 @@ def ivf_topk(
                 Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("centroid_id"))
             ),
         )
-        .filter(F.col("_rk") == 1)
-        .select("id", "v", "centroid_id")
+        .filter(F.col("_rk") <= max(n_probe, 1))
         .persist()
     )
-    # probe: top n_probe cells per query
-    probes = (
-        vecs.crossJoin(cents)
-        .select("id", "v", "centroid_id", _dot(F.col("v"), F.col("cv")).alias("_sim"))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("centroid_id"))
-            ),
-        )
-        .filter(F.col("_rk") <= n_probe)
-        .select(F.col("id").alias("query_id"), F.col("v").alias("vq"), "centroid_id")
+    assigned = scored.filter(F.col("_rk") == 1).select("id", "v", "centroid_id")
+    probes = scored.filter(F.col("_rk") <= n_probe).select(
+        F.col("id").alias("query_id"), F.col("v").alias("vq"), "centroid_id"
     )
     cand = probes.join(
         assigned.select(
