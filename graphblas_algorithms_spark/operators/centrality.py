@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..exceptions import ConvergenceFailure
 from ..functions.semiring import mxv, vxm
-from ..plans.superstep import Superstep, scalar_agg
+from ..plans.superstep import lineage_cut, Superstep, scalar_agg
 
 
 def degree_centrality(G) -> DataFrame:
@@ -224,7 +224,7 @@ def hits(
         )
         # a feeds both h_raw and hmax below — without a hard cut the plan
         # tree would double through the crossJoin every iteration
-        a = a.localCheckpoint(eager=True)
+        a = a.transform(lineage_cut)
         h_raw = mxv(adj, a, add="sum", mul="times")  # h = A @ a
         hmax = h_raw.agg(F.max("value").alias("_m"))
         new_h = h_raw.crossJoin(F.broadcast(hmax)).select(

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.superstep import lineage_cut
+
 
 def _sym_offdiag(G) -> DataFrame:
     """Symmetric off-diagonal adjacency (both directions), unweighted."""
@@ -97,7 +99,7 @@ def square_clustering(G, node_ids: list[int] | None = None) -> DataFrame:
     # agg is ≤ n rows — snapshot it eagerly so the big cached intermediates
     # (adj, allw) can be released before returning instead of leaking for
     # the session
-    agg = agg.localCheckpoint(eager=True)
+    agg = agg.transform(lineage_cut)
     adj.unpersist()
     allw.unpersist()
     nodes = G.nodes

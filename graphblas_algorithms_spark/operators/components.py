@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.joins import edge_join
-from ..plans.superstep import Superstep
+from ..plans.superstep import lineage_cut, Superstep, _release_state
 
 
 def _sym_adj(G) -> DataFrame:
@@ -72,7 +72,7 @@ def connected_components(
         # frontier AND labels cross-reference each other, so without a hard
         # plan cut every superstep the lineage tree grows exponentially
         # (Fibonacci-style); localCheckpoint truncates it in the same action
-        improved = improved.localCheckpoint(eager=True)
+        improved = improved.transform(lineage_cut)
         n_improved = improved.count()
         if n_improved == 0:
             improved.unpersist()
@@ -167,18 +167,59 @@ def number_connected_components(G) -> int:
     return connected_components(G).select("component").distinct().count()
 
 
-def strongly_connected_components(G, max_rounds: int = 100) -> DataFrame:
+def _scc_trim(edges, active, parts, max_trim_rounds: int = 64) -> DataFrame:
+    """Bulk-peel trivial SCCs: any active node with no in-edge or no
+    out-edge inside the active subgraph is its own SCC (it cannot sit on a
+    cycle).  Iterated to a (bounded) fixpoint, this collapses DAG-like
+    regions — the many-small-SCC worst case — in O(1) cheap jobs per
+    layer instead of a full forward-backward fixpoint per SCC batch."""
+    for _ in range(max_trim_rounds):
+        act_edges = (
+            edges.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(active.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        )
+        have_out = act_edges.select(F.col("src").alias("id")).distinct()
+        have_in = act_edges.select(F.col("dst").alias("id")).distinct()
+        nontrivial = (
+            active.join(have_out, "id", "left_semi")
+            .join(have_in, "id", "left_semi")
+            .transform(lineage_cut)
+        )
+        n_active = active.count()
+        n_nontrivial = nontrivial.count()
+        if n_nontrivial == n_active:
+            _release_state(nontrivial)
+            break
+        trivial = active.join(nontrivial, "id", "left_anti").select(
+            "id", F.col("id").alias("component")
+        )
+        parts.append(trivial.transform(lineage_cut))
+        _release_state(active)
+        active = nontrivial
+        if n_nontrivial == 0:
+            break
+    return active
+
+
+def strongly_connected_components(
+    G, max_rounds: int = 100, trim: bool = True
+) -> DataFrame:
     """(id: long, component: long) with component = min node id in SCC.
 
-    Forward-backward coloring, peeling one batch of SCCs per round.
-    Not in the reference (north_star requires it).
+    Forward-backward coloring, peeling one batch of SCCs per round, with a
+    bulk trivial-SCC trim (degree-0 in the active subgraph) before each round.
+    Not in the reference (north_star requires it).  All per-round state
+    (color / reached / active / act_edges) is released when the round
+    retires — nothing accumulates in the block manager across rounds.
     """
     spark = G.spark
     edges = G.edges.select("src", "dst").persist()
-    active = G.nodes.select("id").persist()
-    result = None  # (id, component)
+    active = G.nodes.select("id").transform(lineage_cut)
+    parts: list[DataFrame] = []  # (id, component) batches
 
-    for _ in range(max_rounds):
+    for round_idx in range(max_rounds):
+        if trim:
+            active = _scc_trim(edges, active, parts)
         if active.count() == 0:
             break
         act_edges = (
@@ -186,57 +227,109 @@ def strongly_connected_components(G, max_rounds: int = 100) -> DataFrame:
             .join(active.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .persist()
         )
-        # forward min-id color propagation to fixpoint within active subgraph
-        color = active.select("id", F.col("id").alias("color")).persist()
+        # min-id color propagation to fixpoint within the active subgraph.
+        # The direction ALTERNATES per round: forward colors = "min id that
+        # reaches u", backward colors = "min id u reaches".  Either way the
+        # found component label is the SCC's min id (the root r both reaches
+        # and is reached by every member found with it), but a chain of
+        # small SCCs monotone in node ids smears to ONE class in one
+        # direction while staying one-class-per-SCC in the other — the
+        # alternation collapses the r1-flagged O(#SCC * diameter) worst
+        # case to a couple of rounds.
+        if round_idx % 2 == 0:
+            color_adj = act_edges
+        else:
+            color_adj = act_edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        # color must OWN its checkpoint blocks: _release_state walks the
+        # plan's LogicalRDD leaves, so a plain select over `active` would
+        # release ACTIVE's blocks when the first color generation retires
+        color = (
+            active.select("id", F.col("id").alias("color")).transform(lineage_cut)
+        )
         frontier = color
+        retired_frontier = None
         while True:
-            cand = edge_join(frontier, act_edges).groupBy("id").agg(
+            cand = edge_join(frontier, color_adj).groupBy("id").agg(
                 F.min("color").alias("_cand")
             )
+            # frontier lineage is CUT every superstep: a persisted-only
+            # frontier chain retains every generation's nested plan in the
+            # cache manager (O(k^2) plan nodes by iteration k — observed as
+            # a driver OOM rendering explain strings on deep fixpoints)
             improved = (
                 cand.join(color.withColumnRenamed("color", "_cur"), "id")
                 .filter(F.col("_cand") < F.col("_cur"))
                 .select("id", F.col("_cand").alias("color"))
-                .persist()
+                .transform(lineage_cut)
             )
+            if retired_frontier is not None:
+                _release_state(retired_frontier)
+                retired_frontier = None
             if improved.count() == 0:
-                improved.unpersist()
+                _release_state(improved)
                 break
-            color = (
+            new_color = (
                 color.join(improved.withColumnRenamed("color", "_new"), "id", "left")
                 .select("id", F.coalesce("_new", "color").alias("color"))
-                .localCheckpoint(eager=True)
+                .transform(lineage_cut)
             )
+            _release_state(color)
+            color = new_color
+            if frontier is not color:
+                retired_frontier = frontier
             frontier = improved
-        # backward BFS from color roots along same-color reversed edges
+        # membership BFS from the color roots along same-color edges in the
+        # TRANSPOSE of the coloring direction (reached => mutual reach)
         same_color_rev = (
-            act_edges.join(color.withColumnRenamed("id", "src").withColumnRenamed("color", "_sc"), "src")
+            color_adj.join(color.withColumnRenamed("id", "src").withColumnRenamed("color", "_sc"), "src")
             .join(color.withColumnRenamed("id", "dst").withColumnRenamed("color", "_dc"), "dst")
             .filter(F.col("_sc") == F.col("_dc"))
             .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             .persist()
         )
-        reached = color.filter(F.col("id") == F.col("color")).select("id", "color").persist()
+        reached = color.filter(F.col("id") == F.col("color")).select("id", "color").transform(lineage_cut)
         frontier = reached
+        retired_frontier = None
         while True:
             nxt = (
                 edge_join(frontier, same_color_rev, payload=["color"])
                 .distinct()
                 .join(reached.select("id"), "id", "left_anti")
-                .persist()
+                .transform(lineage_cut)
             )
+            if retired_frontier is not None:
+                _release_state(retired_frontier)
+                retired_frontier = None
             if nxt.count() == 0:
-                nxt.unpersist()
+                _release_state(nxt)
                 break
-            reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+            new_reached = reached.unionByName(nxt).transform(lineage_cut)
+            if frontier is not reached:
+                retired_frontier = frontier
+            _release_state(reached)
+            reached = new_reached
             frontier = nxt
-        scc = reached.select("id", F.col("color").alias("component"))
-        result = scc if result is None else result.unionByName(scc)
-        result = result.localCheckpoint(eager=True)
-        active = active.join(reached.select("id"), "id", "left_anti").persist()
+        parts.append(
+            reached.select("id", F.col("color").alias("component")).localCheckpoint(
+                eager=True
+            )
+        )
+        new_active = active.join(reached.select("id"), "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        # round retires: release everything it pinned
+        _release_state(active)
+        _release_state(color)
+        _release_state(reached)
         act_edges.unpersist()
         same_color_rev.unpersist()
+        active = new_active
     edges.unpersist()
-    return result if result is not None else G.nodes.select(
-        "id", F.col("id").alias("component")
-    )
+    if not parts:
+        return G.nodes.select("id", F.col("id").alias("component"))
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..classes.graph import Graph
-from ..plans.superstep import _release_state
+from ..plans.superstep import lineage_cut, _release_state
 
 
 def _edge_support(edges_df):
@@ -70,7 +70,7 @@ def k_truss(G: Graph, k: int) -> Graph:
     # stack after ~15 fixpoint rounds (same lineage discipline as the
     # superstep harness, SURVEY §3 "Spark lifecycle")
     edges = (
-        G.get_property("offdiag").select("src", "dst").localCheckpoint(eager=True)
+        G.get_property("offdiag").select("src", "dst").transform(lineage_cut)
     )
     m = edges.count()
     while True:
@@ -78,7 +78,7 @@ def k_truss(G: Graph, k: int) -> Graph:
             _edge_support(edges)
             .filter(F.col("support") >= k - 2)
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         m2 = kept.count()
         # kept is fully materialized (eager checkpoint) — the retired round's

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from ..exceptions import Unbounded
 from ..functions.joins import edge_join
+
+from ..plans.superstep import lineage_cut
 from .traversal import bfs_levels, bfs_levels_multi
 
 
@@ -79,7 +81,7 @@ def all_pairs_shortest_path_length(
     for chunk in chunks:
         part = bfs_levels_multi(G, chunk).withColumnRenamed("level", "length")
         if len(chunks) > 1:
-            part = part.localCheckpoint(eager=True)
+            part = part.transform(lineage_cut)
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:
@@ -138,7 +140,7 @@ def bellman_ford_path_length(
                 .otherwise(F.col("dist"))
                 .alias("dist"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         frontier = improved
     adj.unpersist()
@@ -156,7 +158,7 @@ def bellman_ford_path_lengths(
     chunks = _source_chunks(G, list(sources), chunk_size)
     if len(chunks) > 1:
         parts = [
-            _bellman_ford_path_lengths_batch(G, c).localCheckpoint(eager=True)
+            _bellman_ford_path_lengths_batch(G, c).transform(lineage_cut)
             for c in chunks
         ]
         out = parts[0]
@@ -206,7 +208,7 @@ def _bellman_ford_path_lengths_batch(G, sources: list[int]) -> DataFrame:
                 .otherwise(F.col("dist"))
                 .alias("dist"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         frontier = improved
     adj.unpersist()
@@ -272,7 +274,7 @@ def bellman_ford_path(G, source: int) -> DataFrame:
                 .otherwise(F.col("parent"))
                 .alias("parent"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         frontier = improved.select("id", "dist")
     adj.unpersist()
@@ -314,10 +316,10 @@ def bidirectional_shortest_path_length(G, source: int, target: int) -> int | Non
             return None
         if expand_fwd:
             f, df, nf = nxt, df + 1, cnt
-            seen_f = seen_f.unionByName(nxt).localCheckpoint(eager=True)
+            seen_f = seen_f.unionByName(nxt).transform(lineage_cut)
         else:
             b, db, nb = nxt, db + 1, cnt
-            seen_b = seen_b.unionByName(nxt).localCheckpoint(eager=True)
+            seen_b = seen_b.unionByName(nxt).transform(lineage_cut)
         # meet test: the new frontier against the OTHER side's visited set
         other = seen_b if expand_fwd else seen_f
         if nxt.join(other, "id", "left_semi").limit(1).count() > 0:
@@ -425,7 +427,7 @@ def negative_edge_cycle(G) -> bool:
                 .otherwise(F.col("dist"))
                 .alias("dist"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         frontier = improved
     adj.unpersist()

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from ..functions.joins import edge_join
 
+from ..plans.superstep import lineage_cut
+
 
 def _adj(G, transpose: bool = False) -> DataFrame:
     adj = (
@@ -50,7 +52,7 @@ def bfs_levels(G, source: int, cutoff: int | None = None, transpose: bool = Fals
             break
         visited = visited.unionByName(
             nxt.select("id", F.lit(level).alias("level"))
-        ).localCheckpoint(eager=True)
+        ).transform(lineage_cut)
         frontier = nxt
     adj.unpersist()
     return visited
@@ -80,7 +82,7 @@ def bfs_levels_multi(G, sources: list[int], transpose: bool = False) -> DataFram
             break
         visited = visited.unionByName(
             nxt.select("source", "id", F.lit(level).alias("level"))
-        ).localCheckpoint(eager=True)
+        ).transform(lineage_cut)
         frontier = nxt
     adj.unpersist()
     return visited
@@ -105,7 +107,7 @@ def bfs_parent(G, source: int) -> DataFrame:
         if nxt.count() == 0:
             nxt.unpersist()
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(lineage_cut)
         frontier = nxt.select("id")
     adj.unpersist()
     return visited
@@ -132,7 +134,7 @@ def bfs_layers(G, sources) -> list[DataFrame]:
             nxt.unpersist()
             break
         layers.append(nxt)
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(lineage_cut)
         frontier = nxt
     adj.unpersist()
     return layers

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.superstep import lineage_cut
+
 
 def _norm_vec(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """(id, v: array<double> L2-normalized)."""
@@ -121,7 +123,7 @@ def deterministic_centroids(emb: DataFrame, m: int, refine_iters: int = 1) -> Da
         cents = (
             cents.join(refined, "centroid_id", "left")
             .select("centroid_id", F.coalesce("_cv_new", "cv").alias("cv"))
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
     return cents
 

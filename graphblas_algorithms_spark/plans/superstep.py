@@ -32,6 +32,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint + rebuild a STATS-FREE frame over the checkpointed
+    RDD.
+
+    Why not plain ``localCheckpoint``: Spark's ``Dataset.checkpoint``
+    carries the ESTIMATED ``Statistics`` of the original plan into the
+    replacement ``LogicalRDD`` (``LogicalRDD.rewriteStatsAndConstraints``).
+    The size-only estimator multiplies children's ``sizeInBytes`` for a
+    join, so an iterative program whose state is join-derived feeds each
+    generation's product back in as the next generation's leaf estimate:
+    the BigInt's DIGIT COUNT doubles per superstep and the stats pass
+    inside the next checkpoint multiplies ~2^k-digit integers — measured
+    ~3x wall growth per iteration from superstep ~17 (0.3s -> 99s by
+    superstep 22 on a 90-node graph).  Rebuilding the frame with
+    ``internalCreateDataFrame`` drops the poisoned estimate (leaf falls
+    back to default sizing) while keeping the checkpointed blocks.
+
+    The checkpointed intermediate is attached as ``_gas_ckpt`` so
+    :func:`_release_state` can free its blocks when the state retires.
+    """
+    ck = df.localCheckpoint(eager=eager)
+    try:
+        spark = df.sparkSession
+        jdf = ck._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        out = DataFrame(new_jdf, spark)
+        out._gas_ckpt = ck
+        return out
+    except Exception:
+        return ck  # older/connect sessions: plain checkpoint still correct
+
+
 def _release_state(df: DataFrame) -> None:
     """Free a retired superstep state, INCLUDING localCheckpoint blocks.
 
@@ -42,9 +77,15 @@ def _release_state(df: DataFrame) -> None:
     hundreds of MB per iteration at scale — and the mounting heap
     pressure shows up as 2-3x GC-induced swings in per-superstep CPU
     time.  Walk the analyzed plan for LogicalRDD leaves and unpersist
-    their RDDs directly.
+    their RDDs directly; a frame built by :func:`lineage_cut` releases
+    through its attached checkpoint instead.
     """
     df.unpersist()
+    ck = getattr(df, "_gas_ckpt", None)
+    if ck is not None:
+        df._gas_ckpt = None
+        _release_state(ck)
+        return
     try:
         plan = df._jdf.queryExecution().analyzed()
         it = plan.collectLeaves().iterator()
@@ -122,7 +163,7 @@ class Superstep:
             # convergence agg (O12) is the one job that both computes the
             # state and snapshots it, so a superstep costs ONE Spark job;
             # pass eager=True from kernels that run no follow-up action.
-            state = state.localCheckpoint(eager=eager)
+            state = lineage_cut(state, eager=eager)
         else:
             state = state.persist()
             if eager:

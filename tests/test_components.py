@@ -95,3 +95,33 @@ def test_scc_random(spark):
     G = from_networkx(spark, nxg)
     got = {r["id"]: r["component"] for r in strongly_connected_components(G).collect()}
     assert got == _scc_oracle(nxg)
+
+
+def test_scc_many_small_sccs(spark):
+    # the r1-flagged worst case: a long chain of small SCCs — 30 3-cycles
+    # linked in a chain plus a 15-node pure DAG chain of singletons.  The
+    # trivial-SCC trim must collapse the DAG part without one
+    # forward-backward fixpoint per singleton.
+    nxg = nx.DiGraph()
+    for c in range(30):
+        b = 3 * c
+        nxg.add_edges_from([(b, b + 1), (b + 1, b + 2), (b + 2, b)])
+        if c:
+            nxg.add_edge(b - 1, b)  # chain the cycles
+    base = 90
+    for i in range(15):
+        nxg.add_edge(base + i, base + i + 1)
+    nxg.add_edge(89, base)  # connect DAG tail to the last cycle
+    G = from_networkx(spark, nxg)
+    got = {r["id"]: r["component"] for r in strongly_connected_components(G).collect()}
+    assert got == _scc_oracle(nxg)
+
+
+def test_scc_trim_disabled_matches(spark):
+    nxg = nx.gnp_random_graph(40, 0.06, seed=11, directed=True)
+    G = from_networkx(spark, nxg)
+    got = {
+        r["id"]: r["component"]
+        for r in strongly_connected_components(G, trim=False).collect()
+    }
+    assert got == _scc_oracle(nxg)
