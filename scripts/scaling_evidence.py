@@ -15,6 +15,17 @@ both levels sample the same host-noise windows, and reports:
 
 Usage: python scripts/scaling_evidence.py [edges_parquet] [lo] [hi] [reps]
 Writes one JSON line to stdout.
+
+Config variants (each needs a FRESH process — JVM flags are fixed at
+gateway launch):
+* ``SPARK_GRAFT_SCALE_CONF``   — JSON dict of extra Spark conf applied to
+  every session (e.g. ``{"spark.shuffle.compress": "false"}``).
+* ``SPARK_GRAFT_SCALE_JAVAOPTS`` — replaces the default driver JVM opts
+  (e.g. ``-XX:+UseParallelGC -XX:ParallelGCThreads={cores}``; the literal
+  ``{cores}`` is substituted per burst — only honoured on the burst that
+  first launches the JVM, hence GC-thread sweeps pin LO==HI per process).
+* ``SPARK_GRAFT_SCALE_SHUFPARTS`` — shuffle partitions per burst as a
+  multiple of cores (default 1).
 """
 
 from __future__ import annotations
@@ -31,6 +42,9 @@ LO = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 HI = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "3"))
+EXTRA_CONF = json.loads(os.environ.get("SPARK_GRAFT_SCALE_CONF", "{}"))
+JAVAOPTS = os.environ.get("SPARK_GRAFT_SCALE_JAVAOPTS", "")
+SHUFX = float(os.environ.get("SPARK_GRAFT_SCALE_SHUFPARTS", "1"))
 
 
 def _jvm_cpu_seconds(spark) -> float:
@@ -48,8 +62,12 @@ def burst(cores: int, iters: int):
     from graphblas_algorithms_spark.session import get_spark, stop_spark
 
     stop_spark()
-    spark = get_spark(cores=cores, shuffle_partitions=cores,
-                      app_name=f"scaling-{cores}", driver_memory="48g")
+    conf = dict(EXTRA_CONF)
+    if JAVAOPTS:
+        conf["spark.driver.extraJavaOptions"] = JAVAOPTS.replace("{cores}", str(cores))
+    spark = get_spark(cores=cores, shuffle_partitions=max(1, int(cores * SHUFX)),
+                      app_name=f"scaling-{cores}", driver_memory="48g",
+                      extra_conf=conf)
     edges = spark.read.parquet(EDGES)
     adj = edges.repartition(cores, "src").persist()
     m = adj.count()
@@ -84,17 +102,18 @@ def burst(cores: int, iters: int):
 
 
 def main() -> None:
-    res = {c: {"walls": [], "cpus": []} for c in (LO, HI)}
+    levels = (LO,) if LO == HI else (LO, HI)  # pinned single-level mode for JVM-opt sweeps
+    res = {c: {"walls": [], "cpus": []} for c in levels}
     m = None
     for rep in range(REPS):
-        for c in (LO, HI):  # tight interleave: both levels see the same noise
+        for c in levels:  # tight interleave: both levels see the same noise
             w, cp, m = burst(c, ITERS)
             res[c]["walls"] += w
             res[c]["cpus"] += cp
             print(f"# rep{rep} cores={c} walls={[round(x,1) for x in w]} "
                   f"cpu={[round(x,1) for x in cp]}", file=sys.stderr, flush=True)
     out = {"edges": m, "iters_per_burst": ITERS, "reps": REPS}
-    for c in (LO, HI):
+    for c in levels:
         mn = min(res[c]["walls"])
         out[f"local{c}"] = {
             "min_wall_s": round(mn, 2),
@@ -102,12 +121,13 @@ def main() -> None:
             "edges_per_sec": round(m / mn, 1),
             "min_cpu_s": round(min(res[c]["cpus"]), 2),
         }
-    eff = (out[f"local{HI}"]["edges_per_sec"] / out[f"local{LO}"]["edges_per_sec"]) / (HI / LO)
-    out["wall_efficiency"] = round(eff, 4)
-    # work inflation: cpu-seconds per superstep should be ~flat across levels
-    out["cpu_work_inflation"] = round(
-        out[f"local{HI}"]["min_cpu_s"] / out[f"local{LO}"]["min_cpu_s"], 4
-    )
+    if LO != HI:
+        eff = (out[f"local{HI}"]["edges_per_sec"] / out[f"local{LO}"]["edges_per_sec"]) / (HI / LO)
+        out["wall_efficiency"] = round(eff, 4)
+        # work inflation: cpu-seconds per superstep should be ~flat across levels
+        out["cpu_work_inflation"] = round(
+            out[f"local{HI}"]["min_cpu_s"] / out[f"local{LO}"]["min_cpu_s"], 4
+        )
     print(json.dumps(out))
 
 
