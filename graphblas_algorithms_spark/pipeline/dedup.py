@@ -160,14 +160,33 @@ def _verify_jaccard(
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) — exact: inverted-index join on shingles,
-    so only pairs sharing >=1 shingle are scored."""
+    so only pairs sharing >=1 shingle are scored.
+
+    ``max_df`` (scale knob, default off): drop shingles present in more
+    than ``max_df`` docs from the *candidate-generation* join.  A shingle
+    in d docs fans out to d² pair rows, so one boilerplate shingle across
+    1M docs is a 10¹² -row skew bomb at corpus scale; capping df bounds
+    the join at O(max_df · Σdf).  Intersections are still counted over
+    capped shingles only, so a pair sharing ONLY hot shingles is missed —
+    documented recall trade; the exact default keeps the oracle exact."""
     sh = word_shingles(docs, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    idx = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        idx = sh.join(rare, "shingle")
     pairs = (
-        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(idx.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))

@@ -89,6 +89,150 @@ def windowed_counts_stream(
     )
 
 
+def windowed_counts_stream_append(
+    spark: SparkSession,
+    parquet_dir: str,
+    out_dir: str,
+    minutes: int = 60,
+    watermark: str = "2 hours",
+):
+    """Bounded-state production shape of :func:`windowed_counts_stream`:
+    ``outputMode("append")`` + file sink.  A window row is emitted once,
+    when the watermark passes its end, and its state is then DROPPED —
+    unlike complete-mode (test-only), state never grows with stream
+    length.  On a finite input only windows whose end <= max(ts) -
+    watermark are emitted (the rest are still open when the source runs
+    dry); the test compares exactly that closed subset against the batch
+    equivalent."""
+    import os
+
+    if os.path.isfile(parquet_dir):
+        parquet_dir = f"{parquet_dir[:-1]}[{parquet_dir[-1]}]"
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(parquet_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        src.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .start()
+    )
+
+
+def sessionize_stateful(
+    spark: SparkSession,
+    parquet_dir: str,
+    gap_minutes: int = 30,
+    query_name: str = "stateful_sessions",
+    timeout_minutes: float | None = None,
+):
+    """Custom stateful sessionization via ``applyInPandasWithState`` —
+    the arbitrary-state API the built-in ``session_window`` cannot
+    express variants of (e.g. value-weighted gap rules).  Per user_id the
+    state is the one OPEN session (start, last_ts, n, sum); each Arrow
+    batch merges its rows in event-time order, emits every session
+    CLOSED by a gap > threshold, and parks the trailing open session
+    back in state.  State is O(#active-users), not O(stream), and each
+    group's batch is one vectorized pandas pass.
+
+    ``timeout_minutes`` (production knob, default off): arm a
+    processing-time timeout so idle users' open sessions are flushed by
+    a later trigger.  Leave it ``None`` on finite inputs — pending
+    timeouts keep scheduling empty micro-batches after the source runs
+    dry, so ``processAllAvailable`` spins instead of returning.
+
+    On a finite input with no timeout, emitted rows == batch
+    sessionization minus each user's final (still-open) session — the
+    deterministic subset the test oracles."""
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if os.path.isfile(parquet_dir):
+        parquet_dir = f"{parquet_dir[:-1]}[{parquet_dir[-1]}]"
+    gap_s = gap_minutes * 60
+
+    out_schema = (
+        "user_id long, session_start timestamp, n_events long, sum_value double"
+    )
+    state_schema = "start_us long, last_us long, n long, s double"
+
+    def _fn(key, pdf_iter, state):
+        (user_id,) = key
+        rows = []  # closed sessions to emit
+        if state.hasTimedOut:
+            st, last, n, s = state.get
+            rows.append((st, n, s))
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            for pdf in pdf_iter:
+                ts_us = (
+                    pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                ).to_numpy()  # microseconds since epoch
+                order = ts_us.argsort(kind="stable")
+                vals = pdf["value"].to_numpy()[order]
+                ts_us = ts_us[order]
+                for t, v in zip(ts_us, vals):
+                    if cur is None:
+                        cur = (int(t), int(t), 1, float(v))
+                    elif t - cur[1] > gap_s * 1_000_000:
+                        rows.append((cur[0], cur[2], cur[3]))
+                        cur = (int(t), int(t), 1, float(v))
+                    else:
+                        cur = (cur[0], int(t), cur[2] + 1, cur[3] + float(v))
+            if cur is not None:
+                state.update(cur)
+                if timeout_minutes is not None:
+                    state.setTimeoutDuration(int(timeout_minutes * 60_000))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(rows),
+                    "session_start": pd.to_datetime(
+                        [r[0] * 1000 for r in rows], unit="ns"
+                    ),
+                    "n_events": [r[1] for r in rows],
+                    "sum_value": [round(r[2], 6) for r in rows],
+                }
+            )
+
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(parquet_dir)
+    sessions = src.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """(user_id, session_id, session_start, n_events, sum_value) — classic
     lag+cumsum sessionization (gap > threshold starts a session).  Batch

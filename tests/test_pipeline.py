@@ -287,3 +287,24 @@ def test_multimodal_unregistered_kind_raises(spark):
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         extract_features(assets).collect()
     register_fake_decoders()
+
+
+def test_ngram_jaccard_max_df_cap(spark, docs, docs_pd):
+    """max_df caps candidate fan-out on hot shingles: result is a subset
+    of the exact pairs, and pairs sharing any sub-cap shingle survive
+    with an under-or-equal jaccard (intersection counted over capped
+    shingles only)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 3, 0.5).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 3, 0.5, max_df=3).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, j in capped.items():
+        assert j <= exact[k] + 1e-9
+    # the cap must not kill everything on this corpus (dup pairs share
+    # many doc-unique shingles)
+    assert len(capped) >= max(1, len(exact) // 2)

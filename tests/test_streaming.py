@@ -63,3 +63,69 @@ def test_sessionize_batch_oracle(spark, events):
         for r in rows
     }
     assert got == want
+
+
+def test_windowed_append_mode_bounded_state(spark, events, tmp_path):
+    """Append-mode + watermark: emits exactly the windows the watermark
+    has closed (end <= max(ts) - watermark), then drops their state."""
+    from pyspark.sql import functions as F
+
+    from graphblas_algorithms_spark.streaming.events import (
+        windowed_counts_stream_append,
+    )
+
+    q = windowed_counts_stream_append(
+        spark, f"{SF}/events.parquet", str(tmp_path / "out"),
+        minutes=60, watermark="2 hours",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(tmp_path / "out" / "data")).collect()
+    }
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_counts_batch(events, minutes=60).collect()
+        if r["window_start"] + datetime.timedelta(minutes=60) <= cutoff
+    }
+    assert got == want
+    assert len(want) > 5  # the finite input must actually close windows
+
+
+def test_sessionize_stateful_closed_sessions(spark, events):
+    """applyInPandasWithState sessionizer: on a finite single-batch input
+    it emits every session CLOSED by a gap; each user's trailing open
+    session stays in state (flushed only by a later timeout trigger)."""
+    from graphblas_algorithms_spark.streaming.events import sessionize_stateful
+
+    q = sessionize_stateful(spark, f"{SF}/events.parquet", gap_minutes=30,
+                            query_name="stateful_sessions_t")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM stateful_sessions_t").collect()
+        }
+    finally:
+        q.stop()
+    # batch oracle minus each user's final session
+    sess = sessionize_batch(events, gap_minutes=30).collect()
+    last = {}
+    for r in sess:
+        cur = last.get(r["user_id"])
+        if cur is None or r["session_start"] > cur:
+            last[r["user_id"]] = r["session_start"]
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in sess
+        if r["session_start"] != last[r["user_id"]]
+    }
+    assert got == want
+    assert len(want) > 50
