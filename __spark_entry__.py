@@ -553,6 +553,49 @@ def _q_events_sessions(spark, sf_dir):
     return sessionize_batch(_read(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def _q_events_windowed_closed(spark, sf_dir):
+    """PRODUCTION streaming shape: append-mode + watermark + file sink
+    (bounded state — window state is dropped once the watermark closes
+    it).  On the finite input the emitted set is exactly the windows
+    whose end <= max(ts) - watermark, which the SQL oracle reproduces."""
+    import tempfile
+
+    from graphblas_algorithms_spark.streaming.events import (
+        windowed_counts_stream_append,
+    )
+
+    out = tempfile.mkdtemp(prefix="evt_win_closed_")
+    q = windowed_counts_stream_append(
+        spark, f"{sf_dir}/events.parquet", out, minutes=60, watermark="2 hours"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(f"{out}/data")
+
+
+def _q_events_sessions_closed(spark, sf_dir):
+    """PRODUCTION streaming shape: applyInPandasWithState sessionizer
+    (state = one open session per user, O(#users) not O(stream)).  On
+    the finite input it emits every gap-closed session; each user's
+    trailing open session stays in state — the SQL oracle is batch
+    sessionization minus each user's last session."""
+    import uuid
+
+    from graphblas_algorithms_spark.streaming.events import sessionize_stateful
+
+    name = f"sess_closed_{uuid.uuid4().hex[:8]}"
+    q = sessionize_stateful(
+        spark, f"{sf_dir}/events.parquet", gap_minutes=30, query_name=name
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def _q_olap_pricing(spark, sf_dir):
     """TPC-H Q1-style scan+agg (engine breadth check)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -641,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_ann_ivf": _q_ann_ivf,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
+        "events_windowed_closed": _q_events_windowed_closed,
+        "events_sessions_closed": _q_events_sessions_closed,
         "olap_pricing": _q_olap_pricing,
         "olap_top_customers": _q_olap_top_customers,
     }
@@ -1523,6 +1568,44 @@ SELECT user_id, session_id::BIGINT AS session_id,
 FROM sessions GROUP BY user_id, session_id
 """
 
+_SQL_EVENTS_WINDOWED_CLOSED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 60 MINUTE
+       <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+"""
+
+_SQL_EVENTS_SESSIONS_CLOSED = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+agg AS (
+  SELECT user_id, session_id,
+         min(ts) AS session_start,
+         count(*)::BIGINT AS n_events,
+         round(sum(value), 6) AS sum_value
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, n_events, sum_value
+FROM agg
+WHERE session_id < (SELECT max(b.session_id) FROM agg b
+                    WHERE b.user_id = agg.user_id)
+"""
+
 _SQL_OLAP_PRICING = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty,
@@ -1603,6 +1686,8 @@ def oracle_sql() -> dict[str, str]:
         # pipe_ann_ivf: approximate — rows-only check
         "events_windowed": _SQL_EVENTS_WINDOWED,
         "events_sessions": _SQL_EVENTS_SESSIONS,
+        "events_windowed_closed": _SQL_EVENTS_WINDOWED_CLOSED,
+        "events_sessions_closed": _SQL_EVENTS_SESSIONS_CLOSED,
         "olap_pricing": _SQL_OLAP_PRICING,
         "olap_top_customers": _SQL_OLAP_TOPCUST,
     }
