@@ -541,6 +541,15 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_topk(_read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=4)
 
 
+def _q_ann_ivf_pandas(spark, sf_dir):
+    """IVF ANN, per-cell numpy-matmul scoring via cogrouped applyInPandas
+    (approximate — no SQL oracle; rows-only check; pytest proves it equals
+    ivf_topk rank-for-rank)."""
+    from graphblas_algorithms_spark.pipeline.similarity import ivf_topk_pandas
+
+    return ivf_topk_pandas(_read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=4)
+
+
 def _q_events_windowed(spark, sf_dir):
     from graphblas_algorithms_spark.streaming.events import windowed_counts_batch
 
@@ -682,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_embedding_lsh": _q_embedding_lsh,
         "pipe_ann_topk": _q_ann_topk,
         "pipe_ann_ivf": _q_ann_ivf,
+        "pipe_ann_ivf_pandas": _q_ann_ivf_pandas,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "events_windowed_closed": _q_events_windowed_closed,

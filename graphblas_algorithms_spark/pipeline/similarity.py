@@ -10,10 +10,12 @@
   (one broadcast join against m centroids); a query probes the
   ``n_probe`` nearest cells only.  At 100 TB this turns all-pairs into
   (m·q) + (q·n/m·n_probe) work with the centroid table broadcast.
-* ``cosine_topk_pandas`` — the same brute-force product but through a
-  vectorized pandas UDF doing a numpy matmul per Arrow batch —
-  demonstrates the sanctioned fast path when the built-in array ops
-  become the bottleneck (wide embeddings).
+* ``ivf_topk_pandas`` — same IVF structure, but the per-cell exact
+  scoring is one numpy matmul per cell via cogrouped ``applyInPandas``:
+  the distributed sanctioned-Python path for wide embeddings where the
+  fold-based ``aggregate`` dot product becomes the bottleneck.
+* ``cosine_topk_pandas`` — brute force through a driver-broadcast
+  corpus matmul; bench-scale demo only (documented as such).
 """
 
 from __future__ import annotations
@@ -128,23 +130,17 @@ def deterministic_centroids(emb: DataFrame, m: int, refine_iters: int = 1) -> Da
     return cents
 
 
-def ivf_topk(
-    emb: DataFrame,
-    k: int = 10,
-    m: int = 16,
-    n_probe: int = 4,
-) -> DataFrame:
-    """(query_id, neighbor_id, rank, cosine) — IVF-style ANN.
+def _ivf_parts(emb: DataFrame, m: int, n_probe: int):
+    """Shared IVF front half: (assigned, probes).
 
-    Assignment and probing both broadcast the m-row centroid table; the
-    expensive exact scoring runs only within probed cells.  The
-    vecs x centroids similarity pass runs ONCE — assignment (rank 1) and
-    the n_probe probe list are two filters of the same persisted frame.
+    ``assigned`` = (id, v, centroid_id): each vector in its nearest cell.
+    ``probes``   = (query_id, vq, centroid_id): each query replicated to
+    its ``n_probe`` nearest cells.  The vecs x centroids similarity pass
+    runs ONCE — assignment (rank 1) and the probe list are two filters
+    of the same persisted frame; the m-row centroid table is broadcast.
     """
     cents = F.broadcast(deterministic_centroids(emb, m).persist())
     vecs = _norm_vec(emb).persist()
-
-    # one scored pass; rank 1 = cell assignment, ranks <= n_probe = probes
     scored = (
         vecs.crossJoin(cents)
         .select("id", "v", "centroid_id", _dot(F.col("v"), F.col("cv")).alias("_sim"))
@@ -161,6 +157,21 @@ def ivf_topk(
     probes = scored.filter(F.col("_rk") <= n_probe).select(
         F.col("id").alias("query_id"), F.col("v").alias("vq"), "centroid_id"
     )
+    return assigned, probes
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    m: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — IVF-style ANN.
+
+    Assignment and probing both broadcast the m-row centroid table; the
+    expensive exact scoring runs only within probed cells.
+    """
+    assigned, probes = _ivf_parts(emb, m, n_probe)
     cand = probes.join(
         assigned.select(
             F.col("id").alias("neighbor_id"), F.col("v").alias("vc"), "centroid_id"
@@ -173,6 +184,70 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+
+
+def ivf_topk_pandas(
+    emb: DataFrame,
+    k: int = 10,
+    m: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — IVF ANN with the per-cell
+    exact scoring done as ONE numpy matmul per cell via a cogrouped
+    ``applyInPandas``.
+
+    The distributed sanctioned-Python path: queries and cell members are
+    cogrouped on ``centroid_id`` (one shuffle each, keyed exactly like
+    the SQL variant's candidate join), each cell scores Q @ M.T in a
+    single Arrow-batched matmul and emits only its per-cell top-k
+    candidates, then a global window merges the <= n_probe partial
+    lists per query.  Same candidates and tie-break as ``ivf_topk``;
+    no driver collect, no full-corpus broadcast — per-task memory is
+    O(|cell|·d), bounded by the centroid count m.
+    """
+    import numpy as np
+
+    assigned, probes = _ivf_parts(emb, m, n_probe)
+    # both sides derive from the same scored frame — rename the member
+    # side's key so the cogroup isn't an ambiguous self-reference
+    # (cogroup keys pair positionally, names need not match)
+    members = assigned.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("vc"),
+    )
+
+    def score_cell(key, qpdf: pd.DataFrame, mpdf: pd.DataFrame):
+        if qpdf.empty or mpdf.empty:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+        qm = np.vstack(qpdf["vq"].to_numpy())  # (q, d)
+        mm = np.vstack(mpdf["vc"].to_numpy())  # (c, d)
+        nids = mpdf["neighbor_id"].to_numpy()
+        sims = np.round(qm @ mm.T, 6)  # (q, c)
+        rows = []
+        for i, qid in enumerate(qpdf["query_id"].to_numpy()):
+            s = sims[i]
+            keep = nids != qid
+            # per-cell partial top-k, same tie-break as the SQL path:
+            # cosine desc, neighbor_id asc
+            order = np.lexsort((nids[keep], -s[keep]))[:k]
+            kn, ks = nids[keep], s[keep]
+            for j in order:
+                rows.append((int(qid), int(kn[j]), float(ks[j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = (
+        probes.groupBy("centroid_id")
+        .cogroup(members.groupBy("cell"))
+        .applyInPandas(score_cell, schema="query_id long, neighbor_id long, cosine double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.distinct()
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
     )

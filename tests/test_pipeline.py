@@ -248,6 +248,26 @@ def test_ivf_recall_reasonable(spark, emb):
     assert sum(recalls) / len(recalls) > 0.6  # coarse IVF: decent recall
 
 
+def test_ivf_pandas_matches_ivf_sql(spark, emb):
+    """The cogrouped per-cell matmul path scores the exact same candidate
+    set with the same tie-break as the SQL IVF, so ranked results match."""
+    from graphblas_algorithms_spark.pipeline.similarity import ivf_topk_pandas
+
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk(emb, k=5, m=8, n_probe=3).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk_pandas(emb, k=5, m=8, n_probe=3).collect()
+    }
+    assert set(a) == set(b)
+    for key, (nid, cos) in a.items():
+        bn, bc = b[key]
+        assert bn == nid, key
+        assert abs(bc - cos) < 2e-6, key
+
+
 def test_pandas_topk_matches_sql_topk(spark, emb):
     a = {
         (r["query_id"], r["rank"]): r["neighbor_id"]
