@@ -82,6 +82,7 @@ def pagerank(
     dangling: dict | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
+    checkpoint_table: str | None = None,
     resume: bool = False,
     fixed_iters: int | None = None,
     use_csr_udf: bool = False,
@@ -160,9 +161,10 @@ def pagerank(
         .repartition(num_part, "id")
     )
 
-    harness = Superstep(spark, checkpoint_dir, checkpoint_every)
+    harness = Superstep(spark, checkpoint_dir, checkpoint_every,
+                        checkpoint_table=checkpoint_table)
     start_iter = 0
-    if resume and checkpoint_dir is not None:
+    if resume and (checkpoint_dir is not None or checkpoint_table is not None):
         got = harness.latest()
         if got is not None:
             start_iter, state = got[0] + 1, got[1]

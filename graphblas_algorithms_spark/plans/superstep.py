@@ -20,6 +20,18 @@ Resume: ``latest()`` finds the newest complete iter (presence of
 ``metrics.json`` marks completeness — written AFTER the parquet commit),
 reads the state back, and the kernel continues from iter K+1.  A killed
 run therefore restarts mid-iteration losing at most one superstep.
+
+Iceberg mode (north_star: "checkpoints frontier and score vectors to
+Iceberg"): pass ``checkpoint_table="catalog.db.prefix"`` instead of a
+directory and each superstep state goes to the Iceberg table
+``<prefix>_iter_<K>`` via ``writeTo(...).createOrReplace()`` with the
+same metrics row appended LAST to ``<prefix>_metrics`` as the commit
+marker (Iceberg's snapshot commit is atomic, so a killed run leaves at
+most an unreferenced orphan table, never a half-visible state).  This
+container ships no Iceberg runtime jar, so the path is gated on
+:func:`iceberg_available` and exercised only where a catalog is
+configured; the parquet layout above is the tested default and is
+semantically identical (directory = table, metrics.json = metrics row).
 """
 
 from __future__ import annotations
@@ -97,6 +109,16 @@ def _release_state(df: DataFrame) -> None:
         pass  # best-effort: releasing cache is never correctness-critical
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg SparkCatalog class is on the session's JVM
+    classpath (i.e. ``writeTo(...).using("iceberg")`` can commit)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
 class Superstep:
     def __init__(
         self,
@@ -104,9 +126,22 @@ class Superstep:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
         lineage_cut_every: int = 1,
+        checkpoint_table: str | None = None,
     ):
         self.spark = spark
         self.dir = checkpoint_dir
+        self.table = checkpoint_table
+        if checkpoint_table is not None:
+            if checkpoint_dir is not None:
+                raise ValueError("pass checkpoint_dir OR checkpoint_table, not both")
+            if not iceberg_available(spark):
+                raise RuntimeError(
+                    "checkpoint_table= needs an Iceberg runtime on the Spark "
+                    "classpath (spark.jars.packages org.apache.iceberg:"
+                    "iceberg-spark-runtime-*) and a configured catalog; "
+                    "use checkpoint_dir= for the parquet layout instead"
+                )
+            self.dir = checkpoint_table  # non-None => checkpointing enabled
         self.every = max(1, checkpoint_every)
         self.cut_every = max(1, lineage_cut_every)
         self._live: DataFrame | None = None
@@ -117,8 +152,23 @@ class Superstep:
     def _iter_dir(self, it: int) -> str:
         return os.path.join(self.dir, f"iter={it}")
 
+    def _iter_table(self, it: int) -> str:
+        return f"{self.table}_iter_{it}"
+
     def latest(self) -> tuple[int, DataFrame] | None:
         """Newest complete checkpoint (iter, state) or None."""
+        if self.table is not None:
+            try:
+                mx = (
+                    self.spark.table(f"{self.table}_metrics")
+                    .agg(F.max("iter"))
+                    .collect()[0][0]
+                )
+            except Exception:
+                return None  # metrics table absent: no complete checkpoint
+            if mx is None:
+                return None
+            return int(mx), self.spark.table(self._iter_table(int(mx))).persist()
         if self.dir is None or not os.path.isdir(self.dir):
             return None
         done = []
@@ -134,6 +184,14 @@ class Superstep:
         return it, df.persist()
 
     def read_metrics(self, it: int) -> dict:
+        if self.table is not None:
+            row = (
+                self.spark.table(f"{self.table}_metrics")
+                .filter(F.col("iter") == it)
+                .collect()[-1]
+            )
+            payload = json.loads(row["payload"])
+            return payload
         with open(os.path.join(self._iter_dir(it), "metrics.json")) as f:
             return json.load(f)
 
@@ -175,10 +233,14 @@ class Superstep:
         return state
 
     def _checkpoint(self, state: DataFrame, it: int, metrics: dict) -> DataFrame:
-        path = self._iter_dir(it)
-        state_path = os.path.join(path, "state")
-        state.write.mode("overwrite").parquet(state_path)
-        reread = self.spark.read.parquet(state_path).persist()
+        if self.table is not None:
+            state.writeTo(self._iter_table(it)).using("iceberg").createOrReplace()
+            reread = self.spark.table(self._iter_table(it)).persist()
+        else:
+            path = self._iter_dir(it)
+            state_path = os.path.join(path, "state")
+            state.write.mode("overwrite").parquet(state_path)
+            reread = self.spark.read.parquet(state_path).persist()
         # per-partition lineage: rows per output partition of this superstep
         part_rows = {
             str(r["p"]): r["rows"]
@@ -194,9 +256,18 @@ class Superstep:
             "partition_rows": part_rows,
             **metrics,
         }
-        # metrics.json written last = commit marker for resume
-        with open(os.path.join(path, "metrics.json"), "w") as f:
-            json.dump(payload, f)
+        # metrics written LAST = commit marker for resume
+        if self.table is not None:
+            row = self.spark.createDataFrame(
+                [(it, json.dumps(payload))], "iter int, payload string"
+            )
+            try:
+                row.writeTo(f"{self.table}_metrics").append()
+            except Exception:
+                row.writeTo(f"{self.table}_metrics").using("iceberg").create()
+        else:
+            with open(os.path.join(path, "metrics.json"), "w") as f:
+                json.dump(payload, f)
         return reread
 
     def finish(self) -> None:

@@ -87,3 +87,20 @@ def test_components_checkpoint_resume(spark, ckpt):
         for r in connected_components(G, checkpoint_dir=ckpt, resume=True).collect()
     }
     assert resumed == full
+
+
+def test_iceberg_mode_gated(spark):
+    """checkpoint_table= fails fast with a clear message when no Iceberg
+    runtime is on the classpath (this container ships none), and the
+    availability probe itself answers False rather than raising."""
+    from graphblas_algorithms_spark.plans.superstep import iceberg_available
+
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present; gating path not applicable")
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        Superstep(spark, checkpoint_table="local.db.ckpt")
+
+
+def test_dir_and_table_mutually_exclusive(spark, ckpt):
+    with pytest.raises(ValueError):
+        Superstep(spark, checkpoint_dir=ckpt, checkpoint_table="local.db.ckpt")
