@@ -515,6 +515,12 @@ def _q_langid(spark, sf_dir):
     return language_id(_read(spark, sf_dir, "documents"))
 
 
+def _q_clean_corpus(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.text import clean_corpus
+
+    return clean_corpus(_read(spark, sf_dir, "documents"), min_quality=0.65, langs=("en",))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.dedup import ngram_jaccard_pairs
 
@@ -705,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_exact_dups": _q_exact_dups,
         "pipe_quality": _q_quality,
         "pipe_langid": _q_langid,
+        "pipe_clean_corpus": _q_clean_corpus,
         "pipe_ngram_jaccard": _q_ngram_jaccard,
         "pipe_minhash_neardup": _q_minhash_neardup,
         "pipe_simhash": _q_simhash,
@@ -1347,6 +1354,21 @@ FROM m
 """
 
 
+def _sql_clean_corpus() -> str:
+    """Composition oracle for pipeline/text.py::clean_corpus — the dedup
+    canonical filter, quality floor, and language filter over the SAME
+    per-stage SQL used by pipe_exact_dups / pipe_quality / pipe_langid."""
+    return f"""
+WITH fp AS (SELECT doc_id, md5({_SQL_NORM}) AS f FROM documents),
+can AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+q AS ({_SQL_QUALITY}),
+lg AS ({_sql_langid()})
+SELECT q.doc_id, lg.pred_lang, q.n_tokens, q.quality
+FROM can JOIN q ON can.doc_id = q.doc_id JOIN lg ON q.doc_id = lg.doc_id
+WHERE q.quality >= 0.65 AND lg.pred_lang IN ('en')
+"""
+
+
 def _sql_langid() -> str:
     from graphblas_algorithms_spark.pipeline.text import LANG_MARKERS
 
@@ -1708,6 +1730,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_exact_dups": _SQL_EXACT_DUPS,
         "pipe_quality": _SQL_QUALITY,
         "pipe_langid": _sql_langid(),
+        "pipe_clean_corpus": _sql_clean_corpus(),
         "pipe_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "pipe_minhash_neardup": _sql_minhash_neardup(),
         "pipe_simhash": _sql_simhash(),

@@ -364,7 +364,11 @@ def embedding_lsh_near_duplicates(
         .select(
             "id_a",
             "id_b",
-            F.round(dot / (F.col("_na") * F.col("_nb")), 6).alias("cosine"),
+            # greatest(..., 1e-12) only guards pathological zero vectors;
+            # identical to the SQL oracle on any nonzero input
+            F.round(dot / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-12)), 6).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -394,7 +398,9 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95) -> DataFr
         pairs.select(
             "id_a",
             "id_b",
-            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+            F.round(dot / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)), 6).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= threshold)
     )

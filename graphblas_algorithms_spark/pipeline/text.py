@@ -114,3 +114,33 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     portable; the normalization is the part that matters for dedup)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.65,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """(doc_id, pred_lang, n_tokens, quality) — composed training-data
+    cleaning pipeline: exact-dedup (keep the min-doc_id canonical of each
+    normalized-text md5 group), language filter, quality floor.
+
+    The 100 TB shape: quality and language scores are scan-side
+    projections (zero shuffle); dedup is ONE groupBy on the fingerprint;
+    the three doc_id-keyed joins reuse one hash partitioning.  This is
+    the end-to-end composition a pretraining ingest actually runs, with
+    every stage individually oracled (pipe_quality / pipe_langid /
+    pipe_exact_dups) and the composition oracled as pipe_clean_corpus.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = docs.select("doc_id", F.md5(norm).alias("fp"))
+    canonical = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = fp.join(canonical, ["fp", "doc_id"], "left_semi").select("doc_id")
+    q = quality_scores(docs).select("doc_id", "n_tokens", "quality")
+    lg = language_id(docs).select("doc_id", "pred_lang")
+    return (
+        kept.join(q, "doc_id")
+        .join(lg, "doc_id")
+        .filter((F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs))
+        .select("doc_id", "pred_lang", "n_tokens", "quality")
+    )

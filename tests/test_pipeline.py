@@ -328,3 +328,42 @@ def test_ngram_jaccard_max_df_cap(spark, docs, docs_pd):
     # the cap must not kill everything on this corpus (dup pairs share
     # many doc-unique shingles)
     assert len(capped) >= max(1, len(exact) // 2)
+
+
+def test_clean_corpus_dedups_and_filters(spark, docs):
+    """clean_corpus must (a) keep exactly one canonical (min doc_id) per
+    exact-dup group, (b) apply the quality floor and language filter, and
+    (c) equal the composition of its stage operators."""
+    from graphblas_algorithms_spark.pipeline.text import clean_corpus
+
+    # inject exact duplicates of two docs under fresh high doc_ids so the
+    # dedup stage is actually exercised (the sf corpus has no exact dups)
+    two = docs.orderBy("doc_id").limit(2).collect()
+    extra = spark.createDataFrame(
+        [
+            (10_000 + i, r["text"] + ("  " if i % 2 else " "), r["lang"], r["source"], r["n_chars"])
+            for i, r in enumerate([*two, *two])
+        ],
+        schema=docs.schema,
+    )
+    corpus = docs.unionByName(extra)
+
+    got = clean_corpus(corpus, min_quality=0.5, langs=("en",))
+    rows = {r["doc_id"]: r for r in got.collect()}
+
+    # (a) injected copies normalize to the originals' text -> never kept
+    assert all(did < 10_000 for did in rows), sorted(rows)[-3:]
+
+    # (b)+(c) python oracle over the kept set
+    ql = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    lg = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    want = {
+        did
+        for did in ql
+        if ql[did]["quality"] >= 0.5 and lg[did] == "en"
+    }
+    assert set(rows) == want
+    for did, r in rows.items():
+        assert r["quality"] == ql[did]["quality"]
+        assert r["n_tokens"] == ql[did]["n_tokens"]
+        assert r["pred_lang"] == "en"
