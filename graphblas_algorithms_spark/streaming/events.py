@@ -14,7 +14,7 @@ events(event_id: long, ts: timestamp, user_id: long,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -307,3 +307,58 @@ def streaming_edge_accumulator(
         .option("checkpointLocation", f"{checkpoint_dir}/_ckpt")
         .start()
     )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    parquet_dir: str,
+    out_dir: str,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+):
+    """Streaming exact-dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes its event time, then drops it — the
+    streaming analog of the batch exact-dedup groupBy
+    (``pipeline/dedup.py``), sized for ingest feeds where duplicates
+    arrive close together (retries, replays, at-least-once sources)
+    rather than arbitrarily late.  Append-mode file sink; each surviving
+    row is emitted exactly once.
+
+    Batch equivalence on a finite input: every duplicate pair in the
+    test feed lands inside one watermark span, so the surviving set ==
+    ``dedup_batch`` (ties broken by arrival order within a micro-batch;
+    with one input file that is parquet row order).
+    """
+    import os
+
+    if os.path.isfile(parquet_dir):
+        parquet_dir = f"{parquet_dir[:-1]}[{parquet_dir[-1]}]"
+    keys = keys or ["user_id", "event_type", "value"]
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(parquet_dir)
+        .withWatermark("ts", watermark)
+    )
+    deduped = src.dropDuplicatesWithinWatermark(keys)
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .start()
+    )
+
+
+def dedup_batch(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Batch equivalent of :func:`dedup_stream` on a finite input: keep
+    the earliest event (min ts, then min event_id) per key group."""
+    keys = keys or ["user_id", "event_type", "value"]
+    w_cols = [F.col(k) for k in keys]
+    ranked = events.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(*w_cols).orderBy(F.asc("ts"), F.asc("event_id"))
+        ),
+    )
+    return ranked.filter(F.col("_rk") == 1).drop("_rk")

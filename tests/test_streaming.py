@@ -129,3 +129,51 @@ def test_sessionize_stateful_closed_sessions(spark, events):
     }
     assert got == want
     assert len(want) > 50
+
+
+def test_dedup_stream_bounded_state_equals_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must keep exactly one row per key on
+    a finite feed whose duplicates arrive within the watermark, matching
+    the batch dedup's surviving key set."""
+    import datetime as dt
+
+    from graphblas_algorithms_spark.streaming.events import (
+        EVENT_SCHEMA,
+        dedup_batch,
+        dedup_stream,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for key in range(8):
+        n_copies = 1 + key % 3  # keys 0,3,6 unique; others duplicated
+        for c in range(n_copies):
+            rows.append(
+                (
+                    eid,
+                    t0 + dt.timedelta(minutes=key * 10 + c),
+                    key % 4,
+                    f"type{key % 2}",
+                    float(key),
+                    "{}",
+                )
+            )
+            eid += 1
+    feed_dir = str(tmp_path / "feed")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(rows, schema=EVENT_SCHEMA).coalesce(1).write.parquet(feed_dir)
+
+    keys = ["user_id", "event_type", "value"]
+    q = dedup_stream(spark, feed_dir, out_dir, keys=keys, watermark="2 hours")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(f"{out_dir}/data")
+    want = dedup_batch(spark.read.parquet(feed_dir), keys=keys)
+    got_keys = sorted(map(tuple, got.select(*keys).collect()))
+    want_keys = sorted(map(tuple, want.select(*keys).collect()))
+    assert got_keys == want_keys
+    # exactly one survivor per key: state was bounded AND complete
+    assert got.count() == got.select(*keys).distinct().count() == 8
