@@ -54,7 +54,11 @@ def _corpus_pagerank(cores: int) -> dict:
     Returns throughput numbers. Fresh SparkSession at the given core count."""
     from graphblas_algorithms_spark.classes.graph import DiGraph
     from graphblas_algorithms_spark.operators.pagerank import pagerank
-    from graphblas_algorithms_spark.session import get_spark, stop_spark
+    from graphblas_algorithms_spark.session import (
+        get_spark,
+        stop_spark,
+        tune_shuffle_partitions,
+    )
     from graphblas_algorithms_spark.sources.corpus import synthesize_source_table
     from graphblas_algorithms_spark.sources.edges import build_link_graph
 
@@ -64,8 +68,11 @@ def _corpus_pagerank(cores: int) -> dict:
     edges, nodes = build_link_graph(src)
     edges = edges.persist()
     m = edges.count()
+    # size-aware width: tiny graphs are scheduling-floor bound at full
+    # core width (measured 2.4x; see session.tune_shuffle_partitions)
+    parts = tune_shuffle_partitions(spark, m, max_parts=cores)
     G = DiGraph(edges, nodes.select("id"), dedup=False)
-    G.partition_by_src(cores)
+    G.partition_by_src(parts)
     iters = []
     t0 = time.time()
     ranks = pagerank(G, alpha=0.85, tol=1e-6, max_iter=100,
@@ -179,6 +186,13 @@ def _scaling_evidence() -> dict:
 
 def _sf_queries(spark) -> dict:
     import __spark_entry__ as em
+    from graphblas_algorithms_spark.session import tune_shuffle_partitions
+
+    # size-aware width for the whole query pass: the sf tables' shared
+    # co-purchase graph is ~77k edges at sf0.1 — scheduling-floor bound at
+    # 32-wide shuffles (see session.tune_shuffle_partitions)
+    n_li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    tune_shuffle_partitions(spark, n_li, rows_per_partition=75_000, max_parts=CPUS)
 
     picks = [
         "graph_pagerank",
