@@ -74,3 +74,17 @@ def test_keyed_triangles_undirected(spark):
     want = nx.triangles(nxg)
     assert got == {key[u]: t for u, t in want.items()}
     assert kg.transitivity() == pytest.approx(nx.transitivity(nxg))
+
+
+def test_tune_shuffle_partitions(spark):
+    from graphblas_algorithms_spark.session import tune_shuffle_partitions
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert tune_shuffle_partitions(spark, 77_000, max_parts=32) == 7
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert tune_shuffle_partitions(spark, 10, max_parts=32) == 2       # floor
+        assert tune_shuffle_partitions(spark, 10**9, max_parts=32) == 32   # cap
+        assert tune_shuffle_partitions(spark, 0, max_parts=32) == 2        # degenerate
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
