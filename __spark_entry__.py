@@ -47,7 +47,24 @@ def _read(spark, sf_dir, name):
 _PAIRS_MEMO: dict = {}
 
 
+def _evict_dead_sessions() -> None:
+    """Drop memo entries whose SparkSession has been stopped — a driver
+    that creates one session per query would otherwise pin every dead
+    session (and its persisted DataFrame) for the whole run."""
+    dead = []
+    for key, (sess, _df) in _PAIRS_MEMO.items():
+        try:
+            stopped = sess.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            dead.append(key)
+    for key in dead:
+        _PAIRS_MEMO.pop(key, None)
+
+
 def _part_pairs(spark, sf_dir) -> DataFrame:
+    _evict_dead_sessions()
     key = (id(spark), sf_dir)
     hit = _PAIRS_MEMO.get(key)
     if hit is not None and hit[0] is spark:

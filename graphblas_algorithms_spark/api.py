@@ -254,3 +254,224 @@ class KeyedGraph:
         from .operators.structure import isolates as _f
 
         return self._keyed(_f(self.G))
+
+    # -- construction from kernel parts -------------------------------------
+    @classmethod
+    def _from_parts(cls, G, dim: DataFrame) -> "KeyedGraph":
+        """Wrap an already-built id-typed graph + (id, key) dim table."""
+        kg = cls.__new__(cls)
+        kg.G = G
+        kg._dim = dim
+        return kg
+
+    def _ids_of(self, keys) -> DataFrame:
+        """(id) DataFrame for an iterable of keys (or pass a DataFrame
+        with a ``key`` column through the dim join)."""
+        if isinstance(keys, DataFrame):
+            kdf = keys.select("key")
+        else:
+            kdf = self._dim.sparkSession.createDataFrame(
+                [(k,) for k in keys], "key string"
+            )
+        return self._dim.join(kdf, "key").select("id")
+
+    def edges_with_keys(self) -> DataFrame:
+        """(src_key, dst_key[, weight]) — the id-typed edge list joined
+        back to keys (display/interchange boundary)."""
+        dim = self._dim
+        cols = ["src_key", "dst_key"] + (
+            ["weight"] if "weight" in self.G.edges.columns else []
+        )
+        return (
+            self.G.edges.join(dim.withColumnRenamed("id", "src"), "src")
+            .withColumnRenamed("key", "src_key")
+            .join(dim.withColumnRenamed("id", "dst"), "dst")
+            .withColumnRenamed("key", "dst_key")
+            .select(*cols)
+        )
+
+    # -- binary setops (nxapi analog: operands align on node KEYS) ----------
+    def _align(self, other: "KeyedGraph"):
+        """Re-express both operands over ONE shared key->id space.
+
+        Each KeyedGraph renumbered its keys independently, so the raw id
+        spaces are incomparable; the reference's nxapi setops operate on
+        node keys (``nxapi/operators/binary.py``).  One combined
+        renumbering (renumber-once rule), then both edge lists remapped —
+        each aligned graph keeps its OWN node set inside the shared space
+        (intersection/difference semantics need that)."""
+        from .classes._utils import assign_dense_ids
+
+        if self.G.is_directed_flag != other.G.is_directed_flag:
+            raise ValueError("operands must both be directed or both undirected")
+        cls = type(self.G)
+        all_keys = self._dim.select("key").unionByName(other._dim.select("key"))
+        dim = assign_dense_ids(all_keys, "key")
+
+        def remap(kg):
+            ke = kg.edges_with_keys()
+            cols = ["src", "dst"] + (["weight"] if "weight" in ke.columns else [])
+            edges = (
+                ke.join(dim.withColumnRenamed("key", "src_key"), "src_key")
+                .withColumnRenamed("id", "src")
+                .join(
+                    dim.select(
+                        F.col("id").alias("dst"), F.col("key").alias("dst_key")
+                    ),
+                    "dst_key",
+                )
+                .select(*cols)
+            )
+            nodes = dim.join(kg._dim.select("key"), "key").select("id")
+            return cls(edges, nodes)
+
+        return remap(self), remap(other), dim
+
+    def _binary_setop(self, other: "KeyedGraph", op) -> "KeyedGraph":
+        Ga, Hb, dim = self._align(other)
+        R = op(Ga, Hb)
+        # keep only keys of surviving nodes in the result's dim
+        rdim = dim.join(R.nodes, "id")
+        return KeyedGraph._from_parts(R, rdim)
+
+    def union(self, other: "KeyedGraph") -> "KeyedGraph":
+        from .operators.setops import union as _op
+
+        return self._binary_setop(other, _op)
+
+    def intersection(self, other: "KeyedGraph") -> "KeyedGraph":
+        from .operators.setops import intersection as _op
+
+        return self._binary_setop(other, _op)
+
+    def difference(self, other: "KeyedGraph") -> "KeyedGraph":
+        from .operators.setops import difference as _op
+
+        return self._binary_setop(other, _op)
+
+    def symmetric_difference(self, other: "KeyedGraph") -> "KeyedGraph":
+        from .operators.setops import symmetric_difference as _op
+
+        return self._binary_setop(other, _op)
+
+    def compose(self, other: "KeyedGraph") -> "KeyedGraph":
+        from .operators.setops import compose as _op
+
+        return self._binary_setop(other, _op)
+
+    # -- unary graph->graph --------------------------------------------------
+    def complement(self) -> "KeyedGraph":
+        from .operators.setops import complement as _op
+
+        return KeyedGraph._from_parts(_op(self.G), self._dim)
+
+    def reverse(self) -> "KeyedGraph":
+        from .operators.setops import reverse as _op
+
+        return KeyedGraph._from_parts(_op(self.G), self._dim)
+
+    def to_undirected(self) -> "KeyedGraph":
+        from .operators.setops import to_undirected as _op
+
+        return KeyedGraph._from_parts(_op(self.G), self._dim)
+
+    # -- boundary / cuts -----------------------------------------------------
+    def _keyed_edges(self, edges: DataFrame) -> DataFrame:
+        dim = self._dim
+        return (
+            edges.join(dim.withColumnRenamed("id", "src"), "src")
+            .withColumnRenamed("key", "src_key")
+            .join(dim.withColumnRenamed("id", "dst"), "dst")
+            .withColumnRenamed("key", "dst_key")
+            .select("src_key", "dst_key")
+        )
+
+    def edge_boundary(self, s_keys, t_keys=None) -> DataFrame:
+        from .operators.boundary import edge_boundary as _f
+
+        t = self._ids_of(t_keys) if t_keys is not None else None
+        return self._keyed_edges(_f(self.G, self._ids_of(s_keys), t))
+
+    def node_boundary(self, s_keys) -> DataFrame:
+        from .operators.boundary import node_boundary as _f
+
+        return self._keyed(_f(self.G, self._ids_of(s_keys)))
+
+    def cut_size(self, s_keys, t_keys=None) -> int:
+        from .operators.boundary import cut_size as _f
+
+        t = self._ids_of(t_keys) if t_keys is not None else None
+        return _f(self.G, self._ids_of(s_keys), t)
+
+    def volume(self, s_keys) -> int:
+        from .operators.boundary import volume as _f
+
+        return _f(self.G, self._ids_of(s_keys))
+
+    def conductance(self, s_keys, t_keys=None) -> float:
+        from .operators.boundary import conductance as _f
+
+        t = self._ids_of(t_keys) if t_keys is not None else None
+        return _f(self.G, self._ids_of(s_keys), t)
+
+    def normalized_cut_size(self, s_keys, t_keys=None) -> float:
+        from .operators.boundary import normalized_cut_size as _f
+
+        t = self._ids_of(t_keys) if t_keys is not None else None
+        return _f(self.G, self._ids_of(s_keys), t)
+
+    # -- linalg (matrices keyed on both axes) --------------------------------
+    def _keyed_matrix(self, M: DataFrame) -> DataFrame:
+        dim = self._dim
+        return (
+            M.join(dim.withColumnRenamed("id", "row"), "row")
+            .withColumnRenamed("key", "row_key")
+            .join(dim.withColumnRenamed("id", "col"), "col")
+            .withColumnRenamed("key", "col_key")
+            .select("row_key", "col_key", "value")
+        )
+
+    def adjacency_matrix(self, weighted: bool = True) -> DataFrame:
+        from .operators.linalg import adjacency_matrix as _f
+
+        return self._keyed_matrix(_f(self.G, weighted))
+
+    def laplacian_matrix(self) -> DataFrame:
+        from .operators.linalg import laplacian_matrix as _f
+
+        return self._keyed_matrix(_f(self.G))
+
+    def normalized_laplacian_matrix(self) -> DataFrame:
+        from .operators.linalg import normalized_laplacian_matrix as _f
+
+        return self._keyed_matrix(_f(self.G))
+
+    # -- multi-source traversal ----------------------------------------------
+    def bfs_levels_multi(self, source_keys, **kw) -> DataFrame:
+        """(source_key, key, level) — batched multi-source BFS."""
+        from .operators.traversal import bfs_levels_multi as _f
+
+        srcs = [self._id_of(k) for k in source_keys]
+        res = _f(self.G, srcs, **kw)
+        dim = self._dim
+        return (
+            res.join(dim.withColumnRenamed("id", "source"), "source")
+            .withColumnRenamed("key", "source_key")
+            .join(dim, "id")
+            .select("source_key", "key", "level")
+        )
+
+    def descendants(self, source_key) -> DataFrame:
+        from .operators.traversal import descendants as _f
+
+        return self._keyed(_f(self.G, self._id_of(source_key)))
+
+    def ancestors(self, source_key) -> DataFrame:
+        from .operators.traversal import ancestors as _f
+
+        return self._keyed(_f(self.G, self._id_of(source_key)))
+
+    def descendants_at_distance(self, source_key, distance: int) -> DataFrame:
+        from .operators.traversal import descendants_at_distance as _f
+
+        return self._keyed(_f(self.G, self._id_of(source_key), distance))

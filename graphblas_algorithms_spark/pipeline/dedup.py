@@ -374,11 +374,22 @@ def embedding_lsh_near_duplicates(
     )
 
 
-def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+def embedding_near_duplicates(
+    emb: DataFrame, threshold: float = 0.95, max_n: int | None = -1
+) -> DataFrame:
     """(id_a, id_b, cosine) — brute-force pair scan with cosine >=
     threshold.  Exact but O(n²): the tiny-scale verifier; the bucketed
     scale path is :func:`embedding_lsh_near_duplicates` (and IVF in
-    similarity.py)."""
+    similarity.py).  Guarded to ``max_n`` corpus rows (default
+    ``ALL_PAIRS_MAX_N`` from similarity.py; ``None`` disables)."""
+    from .similarity import ALL_PAIRS_MAX_N, _guard_all_pairs
+
+    _guard_all_pairs(
+        emb,
+        ALL_PAIRS_MAX_N if max_n == -1 else max_n,
+        "embedding_near_duplicates",
+        "embedding_lsh_near_duplicates",
+    )
     v = emb.select(
         F.col("vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),

@@ -43,12 +43,42 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
-def cosine_topk(emb: DataFrame, queries: DataFrame | None = None, k: int = 10) -> DataFrame:
+#: Default corpus-size cap for the all-pairs verifiers below.  The
+#: O(n*q) crossJoin is exact and oracled but is NOT the 100 TB plan;
+#: past this size callers must either pass ``max_n=None`` explicitly
+#: (accepting the cost) or use the bucketed paths (``ivf_topk`` /
+#: ``embedding_lsh_near_duplicates``).  Mirrors the ``google_matrix`` /
+#: ``floyd_warshall`` tiny-n guards (operators/linalg.py,
+#: operators/shortest_paths.py).
+ALL_PAIRS_MAX_N = 200_000
+
+
+def _guard_all_pairs(df: DataFrame, max_n: int | None, fn: str, alt: str) -> None:
+    if max_n is None:
+        return
+    n = df.limit(max_n + 1).count()
+    if n > max_n:
+        raise ValueError(
+            f"{fn} is an all-pairs O(n^2) verifier and the corpus exceeds "
+            f"max_n={max_n}; use {alt} for the bucketed scale path, or pass "
+            f"max_n=None to force the exact scan."
+        )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    max_n: int | None = ALL_PAIRS_MAX_N,
+) -> DataFrame:
     """(query_id, neighbor_id, rank, cosine) — exact brute force.
 
     ``queries`` defaults to the corpus itself (self-join, excluding self
     matches).  Deterministic tie-break: (cosine desc, neighbor_id asc).
+    Guarded to ``max_n`` corpus rows — this is the tiny-scale exact
+    verifier; ``ivf_topk`` is the scale path.
     """
+    _guard_all_pairs(emb, max_n, "cosine_topk", "ivf_topk / ivf_topk_pandas")
     corpus = _norm_vec(emb).select(F.col("id").alias("neighbor_id"), F.col("v").alias("vc"))
     qs = _norm_vec(queries if queries is not None else emb).select(
         F.col("id").alias("query_id"), F.col("v").alias("vq")
@@ -178,9 +208,14 @@ def ivf_topk(
         ),
         "centroid_id",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
+    # No .distinct(): each neighbor lives in exactly ONE cell (_rk == 1
+    # assignment) and each query probes n_probe DISTINCT cells, so every
+    # (query_id, neighbor_id) pair appears at most once — a distinct here
+    # was a pure extra shuffle (uniqueness is asserted in
+    # tests/test_pipeline.py::test_ivf_candidates_unique).
     scored = cand.select(
         "query_id", "neighbor_id", F.round(_dot(F.col("vq"), F.col("vc")), 6).alias("cosine")
-    ).distinct()
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -244,24 +279,30 @@ def ivf_topk_pandas(
         .cogroup(members.groupBy("cell"))
         .applyInPandas(score_cell, schema="query_id long, neighbor_id long, cosine double")
     )
+    # Same uniqueness argument as ivf_topk: one cell per neighbor, distinct
+    # probe cells per query — no dedup shuffle needed before the merge.
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        partial.distinct()
-        .withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
     )
 
 
-def cosine_topk_pandas(emb: DataFrame, k: int = 10) -> DataFrame:
+def cosine_topk_pandas(
+    emb: DataFrame, k: int = 10, max_n: int | None = ALL_PAIRS_MAX_N
+) -> DataFrame:
     """Brute-force top-k via a vectorized pandas UDF: the whole corpus is
     broadcast to each Arrow batch and scored with one numpy matmul —
-    the O13-style sanctioned Python path (never per-row)."""
+    the O13-style sanctioned Python path (never per-row).  The corpus is
+    collect()ed to the driver, so this is guarded to ``max_n`` rows;
+    ``ivf_topk_pandas`` is the distributed sanctioned-Python path."""
     import numpy as np
 
+    _guard_all_pairs(emb, max_n, "cosine_topk_pandas", "ivf_topk_pandas")
     spark = emb.sparkSession
     vecs = _norm_vec(emb)
-    corpus = vecs.collect()  # bench-scale corpora only; IVF is the big path
+    corpus = vecs.collect()  # guarded above; IVF is the big path
     ids = np.array([r["id"] for r in corpus])
     mat = np.array([r["v"] for r in corpus])  # (n, d)
     b_ids = spark.sparkContext.broadcast(ids)

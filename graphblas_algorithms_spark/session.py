@@ -86,8 +86,16 @@ def tune_shuffle_partitions(
 
     Sets ``spark.sql.shuffle.partitions`` (a runtime conf) and returns
     the chosen width; kernels pick it up through groupBy/repartition.
+    The conf change is session-global and intentionally outlives the
+    kernel that tuned it (the next kernel on the same graph wants the
+    same width); callers that need the old width back can save
+    ``spark.conf.get("spark.sql.shuffle.partitions")`` first.
+
+    The cap wins over the floor: ``min_parts`` only raises the width up
+    to ``max_parts`` (a ``local[1]`` caller with ``max_parts=1`` gets 1,
+    never 2).
     """
     cap = max_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = max(min_parts, min(cap, n_rows // rows_per_partition or 1))
+    parts = max(1, min(cap, max(min_parts, n_rows // rows_per_partition or 1)))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     return parts

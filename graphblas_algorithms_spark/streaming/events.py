@@ -18,6 +18,31 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _stream_source_path(path: str) -> str:
+    """Resolve a user path into a FileStreamSource-safe pattern.
+
+    FileStreamSource derives ``basePath`` from the path: a bare FILE path
+    (the driver testdata ships single-file tables) errors with "Option
+    'basePath' must be a directory".  For a plain single file we turn the
+    last character into a one-character glob so basePath resolves to the
+    parent directory.  That rewrite is only sound when the path contains
+    no OTHER glob metacharacters — ``*?[]{}`` anywhere else would make
+    the rewritten pattern match wrong files or nothing, silently — so
+    such paths are rejected with a clear error instead (point the stream
+    at a directory in that case)."""
+    import os
+
+    if not os.path.isfile(path):
+        return path
+    if any(c in path for c in "*?[]{}"):
+        raise ValueError(
+            f"streaming source file path {path!r} contains glob "
+            "metacharacters; pass a directory instead (FileStreamSource "
+            "treats paths as glob patterns)"
+        )
+    return f"{path[:-1]}[{path[-1]}]"
+
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -55,14 +80,7 @@ def windowed_counts_stream(
     """The same aggregation as a streaming query over a parquet source
     with a watermark; returns the started query (memory sink).  Use
     ``q.processAllAvailable()`` then read ``spark.sql(...)``."""
-    import os
-
-    # FileStreamSource derives basePath from the path: a bare FILE path
-    # (the driver testdata ships single-file tables) makes it error with
-    # "Option 'basePath' must be a directory" — turn the last character
-    # into a one-char glob so basePath resolves to the parent directory.
-    if os.path.isfile(parquet_dir):
-        parquet_dir = f"{parquet_dir[:-1]}[{parquet_dir[-1]}]"
+    parquet_dir = _stream_source_path(parquet_dir)
     src = (
         spark.readStream.schema(EVENT_SCHEMA)
         .parquet(parquet_dir)
@@ -104,10 +122,7 @@ def windowed_counts_stream_append(
     watermark are emitted (the rest are still open when the source runs
     dry); the test compares exactly that closed subset against the batch
     equivalent."""
-    import os
-
-    if os.path.isfile(parquet_dir):
-        parquet_dir = f"{parquet_dir[:-1]}[{parquet_dir[-1]}]"
+    parquet_dir = _stream_source_path(parquet_dir)
     src = (
         spark.readStream.schema(EVENT_SCHEMA)
         .parquet(parquet_dir)
@@ -160,15 +175,13 @@ def sessionize_stateful(
     On a finite input with no timeout, emitted rows == batch
     sessionization minus each user's final (still-open) session — the
     deterministic subset the test oracles."""
-    import os
-
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    if os.path.isfile(parquet_dir):
-        parquet_dir = f"{parquet_dir[:-1]}[{parquet_dir[-1]}]"
-    gap_s = gap_minutes * 60
+    parquet_dir = _stream_source_path(parquet_dir)
+    gap_us = gap_minutes * 60 * 1_000_000
 
     out_schema = (
         "user_id long, session_start timestamp, n_events long, sum_value double"
@@ -185,20 +198,54 @@ def sessionize_stateful(
         else:
             cur = state.get if state.exists else None
             for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
                 ts_us = (
                     pd.to_datetime(pdf["ts"]).astype("int64") // 1000
                 ).to_numpy()  # microseconds since epoch
                 order = ts_us.argsort(kind="stable")
-                vals = pdf["value"].to_numpy()[order]
+                vals = pdf["value"].to_numpy(dtype=np.float64)[order]
                 ts_us = ts_us[order]
-                for t, v in zip(ts_us, vals):
-                    if cur is None:
-                        cur = (int(t), int(t), 1, float(v))
-                    elif t - cur[1] > gap_s * 1_000_000:
-                        rows.append((cur[0], cur[2], cur[3]))
-                        cur = (int(t), int(t), 1, float(v))
+                # Vectorized gap split: a session boundary sits wherever
+                # the inter-event gap exceeds the threshold.  Segment
+                # starts -> reduceat aggregates; Python touches only the
+                # state boundary, never per-event rows.
+                starts = np.flatnonzero(
+                    np.concatenate(([True], np.diff(ts_us) > gap_us))
+                )
+                seg_start = ts_us[starts]
+                seg_last = ts_us[np.concatenate((starts[1:] - 1, [len(ts_us) - 1]))]
+                seg_n = np.diff(np.concatenate((starts, [len(ts_us)])))
+                seg_sum = np.add.reduceat(vals, starts)
+                i0 = 0
+                if cur is not None:
+                    if ts_us[0] - cur[1] <= gap_us:
+                        # batch's first segment continues the open session
+                        cur = (
+                            cur[0],
+                            int(seg_last[0]),
+                            cur[2] + int(seg_n[0]),
+                            cur[3] + float(seg_sum[0]),
+                        )
+                        i0 = 1
                     else:
-                        cur = (cur[0], int(t), cur[2] + 1, cur[3] + float(v))
+                        rows.append((cur[0], cur[2], cur[3]))
+                        cur = None
+                if i0 < len(starts):
+                    # all complete segments except the trailing one close now
+                    if cur is not None:
+                        rows.append((cur[0], cur[2], cur[3]))
+                    for j in range(i0, len(starts) - 1):
+                        rows.append(
+                            (int(seg_start[j]), int(seg_n[j]), float(seg_sum[j]))
+                        )
+                    j = len(starts) - 1
+                    cur = (
+                        int(seg_start[j]),
+                        int(seg_last[j]),
+                        int(seg_n[j]),
+                        float(seg_sum[j]),
+                    )
             if cur is not None:
                 state.update(cur)
                 if timeout_minutes is not None:
@@ -330,10 +377,7 @@ def dedup_stream(
     ``dedup_batch`` (ties broken by arrival order within a micro-batch;
     with one input file that is parquet row order).
     """
-    import os
-
-    if os.path.isfile(parquet_dir):
-        parquet_dir = f"{parquet_dir[:-1]}[{parquet_dir[-1]}]"
+    parquet_dir = _stream_source_path(parquet_dir)
     keys = keys or ["user_id", "event_type", "value"]
     src = (
         spark.readStream.schema(EVENT_SCHEMA)

@@ -86,5 +86,135 @@ def test_tune_shuffle_partitions(spark):
         assert tune_shuffle_partitions(spark, 10, max_parts=32) == 2       # floor
         assert tune_shuffle_partitions(spark, 10**9, max_parts=32) == 32   # cap
         assert tune_shuffle_partitions(spark, 0, max_parts=32) == 2        # degenerate
+        # cap wins over the floor: a local[1]-style cap of 1 must not be
+        # silently raised to min_parts (ADVICE r2)
+        assert tune_shuffle_partitions(spark, 77_000, max_parts=1) == 1
+        assert tune_shuffle_partitions(spark, 10, max_parts=1) == 1
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+@pytest.fixture(scope="module")
+def two_kgs(spark):
+    """Two undirected key graphs over OVERLAPPING but different key sets —
+    the case where naive id-space setops would be wrong (each KeyedGraph
+    renumbers independently; alignment must happen on keys)."""
+    g1 = nx.gnp_random_graph(18, 0.25, seed=11)
+    g2 = nx.gnp_random_graph(18, 0.25, seed=12)
+    g2 = nx.relabel_nodes(g2, {i: i + 8 for i in g2.nodes})  # keys 8..25
+    key = {i: f"k{i:02d}" for i in range(30)}
+    r1 = spark.createDataFrame(
+        [(key[u], key[v]) for u, v in g1.edges], "a string, b string"
+    )
+    r2 = spark.createDataFrame(
+        [(key[u], key[v]) for u, v in g2.edges], "a string, b string"
+    )
+    kg1 = KeyedGraph(r1, "a", "b", directed=False)
+    kg2 = KeyedGraph(r2, "a", "b", directed=False)
+    return kg1, kg2, g1, g2, key
+
+
+def _edge_keyset(kg):
+    return {
+        frozenset((r["src_key"], r["dst_key"]))
+        for r in kg.edges_with_keys().collect()
+        if r["src_key"] != r["dst_key"]
+    }
+
+
+def _nx_edge_keyset(nxg, key):
+    return {frozenset((key[u], key[v])) for u, v in nxg.edges if u != v}
+
+
+def test_keyed_setops_align_on_keys(two_kgs):
+    kg1, kg2, g1, g2, key = two_kgs
+    # union / intersection / difference / symmetric_difference on KEYS
+    assert _edge_keyset(kg1.union(kg2)) == _nx_edge_keyset(g1, key) | _nx_edge_keyset(
+        g2, key
+    )
+    inter = kg1.intersection(kg2)
+    assert _edge_keyset(inter) == _nx_edge_keyset(g1, key) & _nx_edge_keyset(g2, key)
+    assert _edge_keyset(kg1.difference(kg2)) == _nx_edge_keyset(
+        g1, key
+    ) - _nx_edge_keyset(g2, key)
+    assert _edge_keyset(kg1.symmetric_difference(kg2)) == _nx_edge_keyset(
+        g1, key
+    ) ^ _nx_edge_keyset(g2, key)
+    # compose == union for unweighted operands (right-biased weights moot)
+    assert _edge_keyset(kg1.compose(kg2)) == _edge_keyset(kg1.union(kg2))
+    # result dim covers exactly the surviving node keys
+    union_keys = {r["key"] for r in kg1.union(kg2)._dim.select("key").collect()}
+    assert union_keys == {key[u] for u in set(g1.nodes) | set(g2.nodes)}
+
+
+def test_keyed_boundary_and_cuts(kg_and_nx):
+    kg, nxg, key = kg_and_nx
+    s_nodes = [0, 1, 2, 3, 4, 5]
+    s_keys = [key[u] for u in s_nodes]
+    got_eb = {
+        (r["src_key"], r["dst_key"]) for r in kg.edge_boundary(s_keys).collect()
+    }
+    want_eb = {(key[u], key[v]) for u, v in nx.edge_boundary(nxg, s_nodes)}
+    assert got_eb == want_eb
+    got_nb = {r["key"] for r in kg.node_boundary(s_keys).collect()}
+    assert got_nb == {key[u] for u in nx.node_boundary(nxg, s_nodes)}
+    t_nodes = sorted(set(nxg.nodes) - set(s_nodes))
+    # nx.cut_size(digraph, S, T=None) raises in this nx version; pass T
+    assert kg.cut_size(s_keys) == nx.cut_size(nxg, s_nodes, t_nodes)
+    assert kg.cut_size(s_keys, [key[u] for u in t_nodes]) == nx.cut_size(
+        nxg, s_nodes, t_nodes
+    )
+    assert kg.volume(s_keys) == nx.volume(nxg, s_nodes)
+    assert kg.conductance(s_keys) == pytest.approx(nx.conductance(nxg, s_nodes))
+    assert kg.normalized_cut_size(s_keys) == pytest.approx(
+        nx.normalized_cut_size(nxg, s_nodes)
+    )
+
+
+def test_keyed_linalg_and_reverse(kg_and_nx):
+    import numpy as np
+
+    kg, nxg, key = kg_and_nx
+    und = kg.to_undirected()
+    got = {
+        (r["row_key"], r["col_key"]): r["value"]
+        for r in und.laplacian_matrix().collect()
+    }
+    # hand-rolled L = D - A (nx.laplacian_matrix needs scipy, absent here)
+    ug = nxg.to_undirected()
+    want = {}
+    for u in ug.nodes:
+        d = float(ug.degree(u))
+        if d:
+            want[(key[u], key[u])] = d
+    for u, v in ug.edges:
+        if u == v:
+            want[(key[u], key[u])] = want.get((key[u], key[u]), 0.0) - 1.0
+            continue
+        want[(key[u], key[v])] = -1.0
+        want[(key[v], key[u])] = -1.0
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
+    # reverse flips every directed edge
+    fwd = {(r["src_key"], r["dst_key"]) for r in kg.edges_with_keys().collect()}
+    rev = {(r["src_key"], r["dst_key"]) for r in kg.reverse().edges_with_keys().collect()}
+    assert rev == {(b, a) for a, b in fwd}
+    assert np is not None
+
+
+def test_keyed_multi_source_bfs(kg_and_nx):
+    kg, nxg, key = kg_and_nx
+    srcs = [0, 7]
+    got = {
+        (r["source_key"], r["key"]): r["level"]
+        for r in kg.bfs_levels_multi([key[s] for s in srcs]).collect()
+    }
+    want = {}
+    for s in srcs:
+        for u, lv in nx.single_source_shortest_path_length(nxg, s).items():
+            want[(key[s], key[u])] = lv
+    assert got == want
+    got_d = {r["key"] for r in kg.descendants(key[0]).collect()}
+    assert got_d == {key[u] for u in nx.descendants(nxg, 0)}
+    got_a = {r["key"] for r in kg.ancestors(key[0]).collect()}
+    assert got_a == {key[u] for u in nx.ancestors(nxg, 0)}

@@ -367,3 +367,38 @@ def test_clean_corpus_dedups_and_filters(spark, docs):
         assert r["quality"] == ql[did]["quality"]
         assert r["n_tokens"] == ql[did]["n_tokens"]
         assert r["pred_lang"] == "en"
+
+
+def test_all_pairs_guard_trips(spark, emb):
+    """The O(n^2) verifiers refuse oversized corpora and point at the
+    bucketed paths (VERDICT r2 'Next round' #3); max_n=None bypasses."""
+    from graphblas_algorithms_spark.pipeline.similarity import ALL_PAIRS_MAX_N
+
+    assert ALL_PAIRS_MAX_N >= 100_000  # sf-scale corpora stay un-guarded
+    with pytest.raises(ValueError, match="ivf_topk"):
+        cosine_topk(emb, k=2, max_n=3)
+    with pytest.raises(ValueError, match="ivf_topk_pandas"):
+        cosine_topk_pandas(emb, k=2, max_n=3)
+    with pytest.raises(ValueError, match="embedding_lsh_near_duplicates"):
+        embedding_near_duplicates(emb, threshold=0.9, max_n=3)
+    # explicit opt-out still runs the exact scan
+    assert cosine_topk(emb, k=1, max_n=None).count() > 0
+
+
+def test_ivf_candidates_unique(spark, emb):
+    """Each vector is assigned to exactly one cell (_rk == 1) and each
+    query probes n_probe DISTINCT cells, so the IVF candidate set holds
+    every (query_id, neighbor_id) pair at most once — this is what makes
+    dropping the old .distinct() (an extra shuffle) sound."""
+    from graphblas_algorithms_spark.pipeline.similarity import _ivf_parts
+
+    assigned, probes = _ivf_parts(emb, m=8, n_probe=3)
+    cand = probes.join(
+        assigned.select(
+            F.col("id").alias("neighbor_id"), "centroid_id"
+        ),
+        "centroid_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    total = cand.count()
+    distinct = cand.select("query_id", "neighbor_id").distinct().count()
+    assert total == distinct > 0

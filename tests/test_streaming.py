@@ -177,3 +177,47 @@ def test_dedup_stream_bounded_state_equals_batch(spark, tmp_path):
     assert got_keys == want_keys
     # exactly one survivor per key: state was bounded AND complete
     assert got.count() == got.select(*keys).distinct().count() == 8
+
+
+def test_stream_source_path_rules(tmp_path):
+    """Single plain files get the one-char-glob rewrite; files whose path
+    contains glob metacharacters are rejected loudly instead of being
+    rewritten into a pattern that could match the wrong files (ADVICE r2);
+    directories pass through untouched."""
+    from graphblas_algorithms_spark.streaming.events import _stream_source_path
+
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"x")
+    got = _stream_source_path(str(f))
+    assert got == f"{str(f)[:-1]}[t]"
+    d = tmp_path / "adir"
+    d.mkdir()
+    assert _stream_source_path(str(d)) == str(d)
+    weird = tmp_path / "ev[1].parquet"
+    weird.write_bytes(b"x")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="glob"):
+        _stream_source_path(str(weird))
+
+
+def test_stream_source_path_rules(tmp_path):
+    """Single plain files get the one-char-glob rewrite; files whose path
+    contains glob metacharacters are rejected loudly instead of being
+    rewritten into a pattern that could match the wrong files (ADVICE r2);
+    directories pass through untouched."""
+    from graphblas_algorithms_spark.streaming.events import _stream_source_path
+
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"x")
+    got = _stream_source_path(str(f))
+    assert got == str(f)[:-1] + "[t]"
+    d = tmp_path / "adir"
+    d.mkdir()
+    assert _stream_source_path(str(d)) == str(d)
+    weird = tmp_path / "ev[1].parquet"
+    weird.write_bytes(b"x")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="glob"):
+        _stream_source_path(str(weird))
