@@ -273,8 +273,19 @@ class DiGraph(_BaseGraph):
         """Edge-reversed view (``operators/unary.py:15-18``)."""
         return DiGraph(self.get_property("AT"), self._nodes, dedup=False)
 
-    def to_undirected(self) -> Graph:
-        """``binary.any(A | A.T)`` (``digraph.py:604-612``)."""
+    def to_undirected(self, weighted: bool = False) -> Graph:
+        """``binary.any(A | A.T)`` (``digraph.py:604-612``).
+
+        ``weighted=True`` keeps weights: reciprocal pairs merge by max
+        (the Graph constructor's arbitrary-but-deterministic dedup,
+        matching the undirected-dup rule in ``Graph.__init__``) — the
+        weighted undirected view VERDICT r2 flagged as unconstructible."""
+        if weighted and self.weighted:
+            return Graph(
+                self.edges.select("src", "dst", "weight"),
+                self._nodes,
+                canonicalize=True,
+            )
         return Graph(self.edges.select("src", "dst"), self._nodes, canonicalize=True)
 
 

@@ -109,6 +109,18 @@ def salted_vxm_sum(
     (big) edge side and replicate the (per-key-single-row) rank side S
     times, splitting a hub's adjacency across S tasks.  The groupBy(dst)
     sum is unaffected (partial aggregation already combines map-side).
+
+    Measured crossover (scripts/skew_bench.py, BENCH/BASELINE.md round-3
+    skew section; 4 hubs x 5M edges = 50% of a 40M-edge graph): use this
+    when (a) the state vector exceeds the broadcast threshold — a
+    broadcast-hash join is skew-immune and faster, the engine's regime 0
+    — AND (b) a single src key's edge bytes exceed ~2x the target
+    shuffle-partition size.  There S=16 ran 2x faster than the plain
+    shuffle join (7.0 s vs 14.3 s) and matched a fully RETUNED AQE
+    (skew threshold lowered 256m->32m, coalescing off: 7.4 s); default
+    AQE does NOT split hub partitions under its 256 MB threshold and
+    its coalescing amplified the straggler 2.3x.  Salting needs no
+    session-config control, which a library kernel usually lacks.
     """
     has_w = "weight" in edges.columns
     e = edges.select(

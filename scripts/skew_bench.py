@@ -97,13 +97,23 @@ def main():
         )
         print(f"{label}: min {mn:.2f}s median {md:.2f}s ({thr:.1f} M edges/s)", flush=True)
 
-    run("plain vxm (AQE skew-join on)", lambda: vxm(x, edges).count(), aqe=True)
-    run("plain vxm (AQE off)", lambda: vxm(x, edges).count(), aqe=False)
+    # -- regime 0: state vector fits the broadcast threshold ------------
+    # (engine session default 64 MB).  A broadcast-hash join never
+    # partitions edges by src, so hub skew cannot bite — the measured
+    # reason small-state supersteps are skew-immune.  At 10^12-file scale
+    # the state is NOT broadcastable, hence regime 1 below.
+    run("plain vxm, state broadcast (AQE on)", lambda: vxm(x, edges).count(), aqe=True)
+
+    # -- regime 1: force the shuffle join (the 100 TB shape) ------------
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    run("plain vxm, shuffle join (AQE skew-join on)", lambda: vxm(x, edges).count(), aqe=True)
+    run("plain vxm, shuffle join (AQE off)", lambda: vxm(x, edges).count(), aqe=False)
     for s in (4, 16):
         # salting must not depend on AQE to work — measure with AQE off,
         # then the production combination (salted + AQE) as well
-        run(f"salted S={s} (AQE off)", lambda s=s: salted_vxm_sum(x, edges, salt=s).count(), aqe=False)
-        run(f"salted S={s} (AQE on)", lambda s=s: salted_vxm_sum(x, edges, salt=s).count(), aqe=True)
+        run(f"salted S={s}, shuffle join (AQE off)", lambda s=s: salted_vxm_sum(x, edges, salt=s).count(), aqe=False)
+        run(f"salted S={s}, shuffle join (AQE on)", lambda s=s: salted_vxm_sum(x, edges, salt=s).count(), aqe=True)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     out = {
