@@ -62,11 +62,17 @@ class KeyedGraph:
     SURVEY §2.3): holds the id-typed kernel graph plus the (id, key) dim
     table, translates source keys in and joins keys back onto every
     vector result.  Kernels stay dense-long-id; this is the only string
-    boundary.
+    boundary.  Covers link analysis, centrality, components, triangles/
+    clustering, truss, traversal (incl. multi-source BFS), boundary/cuts,
+    keyed matrices (adjacency/laplacian), and binary setops — the setops
+    align operands on node KEYS through one combined renumbering, since
+    each KeyedGraph's id space is private (r3; reference
+    ``nxapi/operators/binary.py`` semantics).
 
     >>> kg = KeyedGraph(raw_edges, "from_repo", "to_repo", directed=True)
     >>> kg.pagerank().show()          # (key, rank)
     >>> kg.bfs_levels("torch/torch")  # (key, level)
+    >>> kg.union(other_kg).edges_with_keys()  # key-aligned setop
     """
 
     def __init__(

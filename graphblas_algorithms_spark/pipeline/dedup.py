@@ -226,12 +226,23 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         ).alias("token"),
     ).withColumn("h", F.md5("token"))
     hexmap = "0123456789abcdef"
+    # decode each hex nibble ONCE in a projection (bits/4 string ops per
+    # token), then derive the 4 bit votes per nibble with integer
+    # shift/mask — the r2-flagged 64-wide string-expression tree did the
+    # instr+substring work per BIT (4x the string ops) and relied on
+    # codegen CSE that the aggregate planner does not guarantee
+    nibs = [
+        (F.instr(F.lit(hexmap), F.substring(F.col("h"), nib + 1, 1)) - 1).alias(
+            f"n{nib}"
+        )
+        for nib in range(bits // 4)
+    ]
+    tok = tok.select("doc_id", *nibs)
     votes = []
     for b in range(bits):
         nib = b // 4
         shift = b % 4
-        nib_val = F.instr(F.lit(hexmap), F.substring(F.col("h"), nib + 1, 1)) - 1
-        bit = F.floor(nib_val / (2 ** shift)) % 2
+        bit = F.shiftright(F.col(f"n{nib}"), shift).bitwiseAND(F.lit(1))
         votes.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
     agg = tok.groupBy("doc_id").agg(*votes)
     sim = None
