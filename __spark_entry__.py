@@ -692,6 +692,75 @@ def _q_olap_top_customers(spark, sf_dir):
     )
 
 
+def _q_keyed_pagerank(spark, sf_dir):
+    """nxapi shell (api.KeyedGraph) end-to-end: string-keyed edges in,
+    (key, rank) out — renumber once, run the id-typed kernel, join keys
+    back only at the output boundary (reference nxapi key-typed surface)."""
+    from graphblas_algorithms_spark.api import KeyedGraph
+
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src_key"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst_key"),
+        )
+        .distinct()
+    )
+    kg = KeyedGraph(raw, "src_key", "dst_key", directed=True)
+    # few iterations on purpose: this row value-checks the key-translation
+    # boundary (renumber in / join keys back out), not convergence — the
+    # id-typed kernel itself is checked by graph_pagerank at PR_ITERS
+    r = kg.pagerank(alpha=0.85, fixed_iters=KEYED_PR_ITERS)
+    return r.select("key", F.round("rank", 6).alias("rank"))
+
+
+KEYED_PR_ITERS = 6
+
+MM_N_ASSETS = 240
+MM_FEATURE_DIM = 8
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal surface end-to-end: binary payload -> mapInPandas decode
+    (deterministic fake: sha256-seeded floats — no codec libs in this
+    container; the Arrow batch plumbing is what this row value-checks) ->
+    exploded (asset_id, kind, dim_idx, v).  Input is the deterministic
+    synthetic asset table, independent of sf_dir."""
+    from graphblas_algorithms_spark.pipeline.multimodal import (
+        extract_features,
+        register_fake_decoders,
+        synth_assets,
+    )
+
+    register_fake_decoders(dim=MM_FEATURE_DIM)
+    assets = synth_assets(spark, n=MM_N_ASSETS)
+    feats = extract_features(assets, dim=MM_FEATURE_DIM)
+    return feats.select(
+        "asset_id", "kind", F.posexplode("feature").alias("dim_idx", "v")
+    ).select(
+        "asset_id",
+        "kind",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.round("v", 6).alias("v"),
+    )
+
+
+def _q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (pure Catalyst sequence+explode) over the
+    deterministic synthetic asset table."""
+    from graphblas_algorithms_spark.pipeline.multimodal import (
+        sample_frames,
+        synth_assets,
+    )
+
+    assets = synth_assets(spark, n=MM_N_ASSETS)
+    return sample_frames(assets, every=5).select(
+        "asset_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_pagerank": _q_pagerank,
@@ -748,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_closed": _q_events_sessions_closed,
         "olap_pricing": _q_olap_pricing,
         "olap_top_customers": _q_olap_top_customers,
+        "graph_keyed_pagerank": _q_keyed_pagerank,
+        "pipe_multimodal_features": _q_multimodal_features,
+        "pipe_frame_sample": _q_frame_sample,
     }
 
 
@@ -756,16 +828,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _sql_pagerank() -> str:
+def _sql_pagerank_unrolled(
+    prelude: str, edges: str, nodes: str, out_cols: str, iters: int | None = None
+) -> str:
+    """Unrolled fixed-iteration PageRank over <edges>(src,dst) /
+    <nodes>(id) CTEs defined by ``prelude`` — shared by the id-typed and
+    the string-keyed (nxapi shell) oracle variants."""
     alpha = 0.85
+    iters = iters or PR_ITERS
     parts = [
-        "WITH " + _SQL_CUST_SUPP.strip().rstrip(",").strip(),
-        """,
-outdeg AS MATERIALIZED (SELECT src, count(*) AS c FROM cs_edges GROUP BY src),
-nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS cnt FROM cs_nodes),
-x0 AS MATERIALIZED (SELECT id, 1.0/nn.cnt AS r FROM cs_nodes, nn)""",
+        "WITH " + prelude.strip().rstrip(",").strip(),
+        f""",
+outdeg AS MATERIALIZED (SELECT src, count(*) AS c FROM {edges} GROUP BY src),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS cnt FROM {nodes}),
+x0 AS MATERIALIZED (SELECT id, 1.0/nn.cnt AS r FROM {nodes}, nn)""",
     ]
-    for k in range(1, PR_ITERS + 1):
+    for k in range(1, iters + 1):
         parts.append(
             f""",
 x{k} AS MATERIALIZED (
@@ -773,20 +851,46 @@ x{k} AS MATERIALIZED (
          (1-{alpha})/nn.cnt
          + {alpha} * coalesce(c.s, 0)
          + {alpha} * dm.mass / nn.cnt AS r
-  FROM cs_nodes no
+  FROM {nodes} no
   CROSS JOIN nn
   CROSS JOIN (SELECT coalesce(sum(p.r), 0) AS mass
               FROM x{k-1} p LEFT JOIN outdeg od ON p.id = od.src
               WHERE od.src IS NULL) dm
   LEFT JOIN (SELECT e.dst AS id, sum(p.r / od.c) AS s
              FROM x{k-1} p
-             JOIN cs_edges e ON p.id = e.src
+             JOIN {edges} e ON p.id = e.src
              JOIN outdeg od ON od.src = e.src
              GROUP BY e.dst) c ON c.id = no.id
 )"""
         )
-    parts.append(f"\nSELECT id, round(r, 6) AS rank FROM x{PR_ITERS}")
+    parts.append(f"\nSELECT {out_cols} FROM x{iters}")
     return "".join(parts)
+
+
+def _sql_pagerank() -> str:
+    return _sql_pagerank_unrolled(
+        _SQL_CUST_SUPP, "cs_edges", "cs_nodes", "id, round(r, 6) AS rank"
+    )
+
+
+_SQL_KEYED_EDGES = """
+kedges AS (
+  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+                  's' || l_suppkey::VARCHAR AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+knodes AS (SELECT src AS id FROM kedges UNION SELECT dst FROM kedges)
+"""
+
+
+def _sql_keyed_pagerank() -> str:
+    return _sql_pagerank_unrolled(
+        _SQL_KEYED_EDGES,
+        "kedges",
+        "knodes",
+        "id AS key, round(r, 6) AS rank",
+        iters=KEYED_PR_ITERS,
+    )
 
 
 _SQL_COMPONENTS = f"""
@@ -1711,6 +1815,34 @@ SELECT n_name, c_custkey, revenue, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
 """
 
 
+# Replicates pipeline.multimodal exactly: payload = utf-8 bytes of
+# sha2('asset:'||id, 256) lowercase hex; fake decode = sha256(payload)
+# digest bytes scaled /255 (DuckDB sha256(VARCHAR) hashes the utf-8 bytes,
+# matching Spark's encode(..., 'utf-8') payload).
+_SQL_MULTIMODAL_FEATURES = f"""
+WITH ids AS (SELECT range AS asset_id FROM range({MM_N_ASSETS})),
+a AS (
+  SELECT asset_id,
+         CASE asset_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         sha256(sha256('asset:' || asset_id::VARCHAR)) AS digest
+  FROM ids
+),
+dims AS (SELECT range AS dim_idx FROM range({MM_FEATURE_DIM}))
+SELECT a.asset_id, a.kind, dim_idx::BIGINT AS dim_idx,
+       round(((strpos('0123456789abcdef', substr(digest, dim_idx*2+1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(digest, dim_idx*2+2, 1)) - 1))
+             / 255.0, 6) AS v
+FROM a CROSS JOIN dims
+"""
+
+_SQL_FRAME_SAMPLE = f"""
+WITH ids AS (SELECT range AS asset_id FROM range({MM_N_ASSETS})),
+v AS (SELECT asset_id, asset_id % 30 + 1 AS nf FROM ids WHERE asset_id % 3 = 2)
+SELECT asset_id, unnest(range(0, nf, 5))::BIGINT AS frame_idx FROM v
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_pagerank": _sql_pagerank(),
@@ -1766,4 +1898,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions_closed": _SQL_EVENTS_SESSIONS_CLOSED,
         "olap_pricing": _SQL_OLAP_PRICING,
         "olap_top_customers": _SQL_OLAP_TOPCUST,
+        "graph_keyed_pagerank": _sql_keyed_pagerank(),
+        "pipe_multimodal_features": _SQL_MULTIMODAL_FEATURES,
+        "pipe_frame_sample": _SQL_FRAME_SAMPLE,
     }
