@@ -552,6 +552,14 @@ def _q_minhash_neardup(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.dedup import near_duplicate_clusters
+
+    return near_duplicate_clusters(
+        _read(spark, sf_dir, "documents"), k=3, n_hashes=12, bands=4, threshold=0.7
+    )
+
+
 def _q_simhash(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.dedup import simhash
 
@@ -805,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_clean_corpus": _q_clean_corpus,
         "pipe_ngram_jaccard": _q_ngram_jaccard,
         "pipe_minhash_neardup": _q_minhash_neardup,
+        "pipe_dedup_clusters": _q_dedup_clusters,
         "pipe_simhash": _q_simhash,
         "pipe_embedding_neardup": _q_embedding_neardup,
         "pipe_embedding_lsh": _q_embedding_lsh,
@@ -1564,7 +1573,10 @@ WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.8
 """
 
 
-def _sql_minhash_neardup(n_hashes: int = 12, bands: int = 4, threshold: float = 0.7) -> str:
+def _sql_minhash_prelude(n_hashes: int = 12, bands: int = 4) -> str:
+    """Shared CTE chain shingles -> minhash sig -> banded -> candidate
+    pairs -> shingle sizes -> intersections; consumed by the pairwise
+    near-dup oracle and the cluster (connected-components) oracle."""
     rows = n_hashes // bands
     mins = ",\n         ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(n_hashes)
@@ -1576,8 +1588,7 @@ def _sql_minhash_neardup(n_hashes: int = 12, bands: int = 4, threshold: float = 
             f"SELECT doc_id, {b} AS band, md5({key}) AS key FROM sig"
         )
     banded = "\nUNION ALL\n".join(band_selects)
-    return f"""
-WITH {_SQL_SHINGLES.strip()},
+    return f"""{_SQL_SHINGLES.strip()},
 sig AS (
   SELECT doc_id,
          {mins}
@@ -1597,13 +1608,48 @@ inter AS (
   JOIN sh a ON a.doc_id = c.doc_a
   JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
   GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+
+def _sql_minhash_neardup(n_hashes: int = 12, bands: int = 4, threshold: float = 0.7) -> str:
+    return f"""
+WITH {_sql_minhash_prelude(n_hashes, bands)}
 SELECT doc_a, doc_b,
        round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= {threshold}
+"""
+
+
+def _sql_dedup_clusters(n_hashes: int = 12, bands: int = 4, threshold: float = 0.7) -> str:
+    """Transitive near-dup clusters: verified pairs -> undirected edges ->
+    recursive min-reachable-id fixpoint (the SQL statement of the engine's
+    connected-components kernel) -> (doc_id, cluster_id, is_survivor)."""
+    return f"""
+WITH RECURSIVE {_sql_minhash_prelude(n_hashes, bands)},
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= {threshold}
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT und.a, reach.r FROM und JOIN reach ON reach.node = und.b
+)
+SELECT node AS doc_id,
+       min(r) AS cluster_id,
+       (node = min(r)) AS is_survivor
+FROM reach GROUP BY node
 """
 
 
@@ -1887,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_clean_corpus": _sql_clean_corpus(),
         "pipe_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "pipe_minhash_neardup": _sql_minhash_neardup(),
+        "pipe_dedup_clusters": _sql_dedup_clusters(),
         "pipe_simhash": _sql_simhash(),
         "pipe_embedding_neardup": _SQL_EMB_NEARDUP,
         "pipe_embedding_lsh": _sql_embedding_lsh(),

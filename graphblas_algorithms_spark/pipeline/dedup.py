@@ -128,6 +128,47 @@ def minhash_near_duplicates(
     return _verify_jaccard(docs, cand, k, threshold)
 
 
+def near_duplicate_clusters(
+    docs: DataFrame,
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(doc_id, cluster_id, is_survivor) — corpus-level dedup.
+
+    Pairwise near-dup detection is not enough to deduplicate a corpus:
+    "keep one copy per near-dup PAIR" over-deletes when dups chain
+    (A~B, B~C but not A~C).  The industry-standard answer is the
+    transitive closure — cluster = connected component of the verified
+    candidate-pair graph — which this operator gets by feeding
+    ``minhash_near_duplicates`` edges into the engine's own
+    ``connected_components`` kernel (min-label delta-frontier).
+
+    * ``cluster_id`` = min doc_id reachable through near-dup links;
+      singleton docs are their own cluster.
+    * ``is_survivor`` = the canonical kept copy (min doc_id per
+      cluster) — deterministic, engine-portable.
+
+    100 TB shape: LSH banding is a bucketed self-join, Jaccard verify
+    touches candidates only, and the CC fixpoint shuffles a shrinking
+    delta frontier — no all-pairs step anywhere.
+    """
+    from ..classes.graph import Graph
+    from ..operators.components import connected_components
+
+    pairs = minhash_near_duplicates(docs, k, n_hashes, bands, threshold)
+    # doc_a < doc_b already holds — Graph's canonical src <= dst for free
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(Graph(edges, nodes=nodes))
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    )
+
+
 def _verify_jaccard(
     docs: DataFrame, pairs: DataFrame, k: int, threshold: float
 ) -> DataFrame:

@@ -150,6 +150,49 @@ def test_minhash_lsh_finds_exact_dups(spark, docs, docs_pd):
     assert want <= cand
 
 
+def test_near_duplicate_clusters_transitive(spark):
+    """Transitive chain A~B~C (but A!~C directly) must land in ONE cluster
+    with exactly one survivor (the min doc_id); unrelated docs stay
+    singleton survivors.  Built from synthetic docs so the chain shape is
+    controlled, not data-luck."""
+    from graphblas_algorithms_spark.pipeline.dedup import near_duplicate_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    words = base.split()
+    mid = words[:]  # ~B: one word changed vs A, one vs C
+    mid[10] = "altered"
+    far = mid[:]
+    far[40] = "different"
+    rows = [
+        (1, " ".join(words)),   # A
+        (2, " ".join(mid)),     # B ~ A and ~ C
+        (3, " ".join(far)),     # C ~ B, further from A
+        (4, "completely unrelated text about spark dataframes and shuffles"),
+        (5, "another singleton document mentioning parquet and arrow"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in near_duplicate_clusters(docs, threshold=0.7).collect()
+    }
+    assert len(out) == 5  # every doc labeled, singletons included
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)  # pulled in transitively through B
+    assert out[4] == (4, True)
+    assert out[5] == (5, True)
+    # sanity: direct pairwise at this threshold does link the chain ends
+    # through B (A-B and B-C pairs exist), which is what CC closes over
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(docs, threshold=0.7).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs
+    # true shingle Jaccard(A, C) = 0.667 < 0.7: the A-C link exists ONLY
+    # through the closure, so this really tests transitivity
+    assert (1, 3) not in pairs
+
+
 def test_simhash_deterministic_and_close_for_dups(spark, docs, docs_pd):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     # identical normalized text -> identical simhash
