@@ -526,6 +526,18 @@ def _q_quality(spark, sf_dir):
     return quality_scores(_read(spark, sf_dir, "documents"))
 
 
+def _q_repetition(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.text import repetition_scores
+
+    return repetition_scores(_read(spark, sf_dir, "documents"))
+
+
+def _q_source_mix(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.text import source_mix
+
+    return source_mix(_read(spark, sf_dir, "documents"))
+
+
 def _q_langid(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.text import language_id
 
@@ -809,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_fingerprints": _q_fingerprints,
         "pipe_exact_dups": _q_exact_dups,
         "pipe_quality": _q_quality,
+        "pipe_repetition": _q_repetition,
+        "pipe_source_mix": _q_source_mix,
         "pipe_langid": _q_langid,
         "pipe_clean_corpus": _q_clean_corpus,
         "pipe_ngram_jaccard": _q_ngram_jaccard,
@@ -1451,6 +1465,42 @@ FROM documents
 
 _SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+_SQL_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS w FROM documents
+)
+SELECT doc_id,
+       len(w)::BIGINT AS n_words,
+       CASE WHEN len(w) >= 2 THEN round(
+         1.0 - len(list_distinct(list_transform(
+                 generate_series(1, len(w) - 1),
+                 i -> array_to_string(w[i:i+1], ' ')
+               )))::DOUBLE / (len(w) - 1), 6)
+       ELSE 0.0 END AS dup2_frac,
+       CASE WHEN len(w) >= 3 THEN round(
+         1.0 - len(list_distinct(list_transform(
+                 generate_series(1, len(w) - 2),
+                 i -> array_to_string(w[i:i+2], ' ')
+               )))::DOUBLE / (len(w) - 2), 6)
+       ELSE 0.0 END AS dup3_frac
+FROM t
+"""
+
+_SQL_SOURCE_MIX = """
+WITH t AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS tok
+  FROM documents
+),
+a AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS ws_tokens
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, ws_tokens,
+       round(ws_tokens::DOUBLE / sum(ws_tokens) OVER (), 6) AS token_share
+FROM a
+"""
+
 _SQL_FINGERPRINTS = f"SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents"
 
 _SQL_EXACT_DUPS = f"""
@@ -1929,6 +1979,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_fingerprints": _SQL_FINGERPRINTS,
         "pipe_exact_dups": _SQL_EXACT_DUPS,
         "pipe_quality": _SQL_QUALITY,
+        "pipe_repetition": _SQL_REPETITION,
+        "pipe_source_mix": _SQL_SOURCE_MIX,
         "pipe_langid": _sql_langid(),
         "pipe_clean_corpus": _sql_clean_corpus(),
         "pipe_ngram_jaccard": _SQL_NGRAM_JACCARD,

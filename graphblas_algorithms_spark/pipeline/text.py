@@ -116,6 +116,66 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, dup2_frac, dup3_frac) — intra-document
+    repetition: the fraction of duplicate word 2-grams / 3-grams
+    (Gopher-style "repetition" quality signals; high values flag
+    boilerplate, keyword stuffing, and degenerate generations).
+
+    100 TB shape: pure scan-side Catalyst projection — the n-gram
+    arrays, distinct counts and fractions are all array expressions
+    inside one whole-stage-codegen'd project, zero shuffles and zero
+    Python.  Docs shorter than n words score 0.0 (nothing to repeat).
+    """
+    w = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+
+    def dup_frac(n: int):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(w) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+        return F.when(
+            F.size(w) >= n,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        dup_frac(2).alias("dup2_frac"),
+        dup_frac(3).alias("dup3_frac"),
+    )
+
+
+def source_mix(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, ws_tokens, token_share) — the mixture table a
+    token-budget planner starts from: per-source document and
+    whitespace-token totals and each source's share of the corpus.
+
+    100 TB shape: token counting is scan-side; the groupBy(source)
+    partial-aggregates before the (tiny, #sources-row) shuffle; the
+    share window runs over the K aggregated rows, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("t"),
+    )
+    agg = tok.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("t").alias("ws_tokens")
+    )
+    total = F.sum("ws_tokens").over(Window.partitionBy())
+    return agg.select(
+        "source",
+        "n_docs",
+        "ws_tokens",
+        F.round(F.col("ws_tokens") / total, 6).alias("token_share"),
+    )
+
+
 def clean_corpus(
     docs: DataFrame,
     min_quality: float = 0.65,

@@ -56,6 +56,11 @@ def docs_pd(docs):
     return {r["doc_id"]: r["text"] for r in docs.collect()}
 
 
+@pytest.fixture(scope="module")
+def docs_sources(docs):
+    return {r["doc_id"]: r["source"] for r in docs.collect()}
+
+
 def _norm(t):
     return re.sub(r"\s+", " ", t.strip().lower())
 
@@ -73,6 +78,50 @@ def test_token_counts(spark, docs, docs_pd):
         ws = len(text.strip().split())
         bpe = len(re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", text))
         assert got[did] == (ws, bpe), did
+
+
+def test_repetition_scores(spark, docs, docs_pd):
+    from graphblas_algorithms_spark.pipeline.text import repetition_scores
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["dup2_frac"], r["dup3_frac"])
+        for r in repetition_scores(docs).collect()
+    }
+
+    def frac(words, n):
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        if len(words) < n:
+            return 0.0
+        return round(1.0 - len(set(grams)) / len(grams), 6)
+
+    for did, text in docs_pd.items():
+        w = _norm(text).split(" ")
+        assert got[did] == (len(w), frac(w, 2), frac(w, 3)), did
+    # a pathological repeated doc must score near 1
+    rep = spark.createDataFrame([(99, "spam " * 50)], ["doc_id", "text"])
+    r = repetition_scores(rep).collect()[0]
+    assert r["dup2_frac"] > 0.95 and r["dup3_frac"] > 0.95
+
+
+def test_source_mix(spark, docs, docs_pd, docs_sources):
+    from graphblas_algorithms_spark.pipeline.text import source_mix
+
+    got = {
+        r["source"]: (r["n_docs"], r["ws_tokens"], r["token_share"])
+        for r in source_mix(docs).collect()
+    }
+    want: dict[str, list[int]] = {}
+    for did, text in docs_pd.items():
+        src = docs_sources[did]
+        n = len(text.strip().split())
+        want.setdefault(src, [0, 0])
+        want[src][0] += 1
+        want[src][1] += n
+    total = sum(v[1] for v in want.values())
+    assert set(got) == set(want)
+    for src, (nd, tok) in want.items():
+        assert got[src] == (nd, tok, round(tok / total, 6)), src
+    assert abs(sum(v[2] for v in got.values()) - 1.0) < 1e-3
 
 
 def test_fingerprints_and_exact_dup(spark, docs, docs_pd):
