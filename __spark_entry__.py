@@ -538,6 +538,30 @@ def _q_source_mix(spark, sf_dir):
     return source_mix(_read(spark, sf_dir, "documents"))
 
 
+def _q_decontaminate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from graphblas_algorithms_spark.pipeline.curation import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    # held-out "benchmark": the first-12-word prefix of every 101st doc
+    # (derived from the same table so the DuckDB oracle can reproduce it
+    # exactly; a real run would read an external eval-set table here)
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.concat_ws(" ", F.slice(words, 1, 12)).alias("text")
+    )
+    return decontaminate(docs, bench, k=3, min_hits=2)
+
+
+def _q_token_budget_sample(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.curation import token_budget_sample
+
+    return token_budget_sample(_read(spark, sf_dir, "documents"), budget_tokens=700)
+
+
 def _q_langid(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.text import language_id
 
@@ -823,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_quality": _q_quality,
         "pipe_repetition": _q_repetition,
         "pipe_source_mix": _q_source_mix,
+        "pipe_decontaminate": _q_decontaminate,
+        "pipe_token_budget_sample": _q_token_budget_sample,
         "pipe_langid": _q_langid,
         "pipe_clean_corpus": _q_clean_corpus,
         "pipe_ngram_jaccard": _q_ngram_jaccard,
@@ -1486,6 +1512,22 @@ SELECT doc_id,
 FROM t
 """
 
+_SQL_TOKEN_BUDGET_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens
+  FROM documents
+),
+r AS (
+  SELECT source, least(1.0, 700.0 / sum(ws_tokens)) AS rate
+  FROM t GROUP BY source
+)
+SELECT t.doc_id, t.source, t.ws_tokens
+FROM t JOIN r USING (source)
+WHERE ('0x' || substr(md5('budget:' || t.doc_id::VARCHAR), 1, 15))::UBIGINT
+        / 1152921504606846976.0 < r.rate
+"""
+
 _SQL_SOURCE_MIX = """
 WITH t AS (
   SELECT source,
@@ -1604,6 +1646,29 @@ sh AS (
           FROM documents)
   )
 )
+"""
+
+_SQL_DECONTAMINATE = f"""
+WITH {_SQL_SHINGLES.strip()},
+bench AS (
+  SELECT array_to_string(
+           (regexp_split_to_array(
+              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))[1:12],
+           ' ') AS text
+  FROM documents WHERE doc_id % 101 = 0
+),
+bsh AS (
+  SELECT DISTINCT unnest(list_transform(
+           generate_series(1, greatest(len(w) - 2, 1)),
+           i -> array_to_string(w[i:i+2], ' '))) AS shingle
+  FROM (SELECT regexp_split_to_array(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+        FROM bench)
+)
+SELECT sh.doc_id, count(*)::BIGINT AS bench_hits
+FROM sh JOIN bsh USING (shingle)
+GROUP BY sh.doc_id
+HAVING count(*) >= 2
 """
 
 _SQL_NGRAM_JACCARD = f"""
@@ -1981,6 +2046,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_quality": _SQL_QUALITY,
         "pipe_repetition": _SQL_REPETITION,
         "pipe_source_mix": _SQL_SOURCE_MIX,
+        "pipe_decontaminate": _SQL_DECONTAMINATE,
+        "pipe_token_budget_sample": _SQL_TOKEN_BUDGET_SAMPLE,
         "pipe_langid": _sql_langid(),
         "pipe_clean_corpus": _sql_clean_corpus(),
         "pipe_ngram_jaccard": _SQL_NGRAM_JACCARD,

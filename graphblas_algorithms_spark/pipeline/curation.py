@@ -1,0 +1,155 @@
+"""Corpus-curation operators: benchmark decontamination and
+deterministic stratified sampling for training-data mixes.
+
+These close the loop the other pipeline modules open: dedup/quality
+(pipeline/dedup.py, pipeline/text.py) decide WHAT may enter a training
+corpus; these decide what must be REMOVED because an eval set contains
+it, and HOW MUCH of each source to keep for a target mixture.  No
+reference analog (the reference is graph-only); the semantics follow the
+published pretraining-hygiene recipes (GPT-3 appendix C / Gopher A.3
+style n-gram overlap decontamination; The Pile / DoReMi style source
+mixing), re-expressed as Catalyst plans.
+
+Scale notes (the 100 TB shapes):
+
+* ``decontaminate`` — the benchmark shingle set is tiny next to the
+  corpus (MBs vs TBs), so it is distinct-ed and broadcast; the corpus
+  side is one scan + generator explode feeding a broadcast hash join.
+  The corpus is never shuffled; only matching (doc_id, shingle) hits
+  reach the final groupBy, whose input is bounded by |benchmark| x
+  contamination rate, not corpus size.
+* ``stratified_sample`` / ``token_budget_sample`` — sampling decisions
+  are pure scan-side expressions on an md5-derived uniform, so the
+  filter is a zero-shuffle projection Catalyst pushes into the scan;
+  determinism means re-runs, resumes, and other engines (the DuckDB
+  oracle) pick the exact same rows.  ``token_budget_sample`` adds one
+  tiny per-source aggregate (|sources| rows) broadcast back onto the
+  scan — two passes over the corpus, zero corpus shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+# 16^15 — an md5 15-hex-digit prefix is uniform on [0, 16^15); dividing
+# by this maps it to [0, 1).  15 digits = 60 bits: exact in a double AND
+# inside BIGINT range, so Spark's conv() and DuckDB's ::UBIGINT produce
+# bit-identical uniforms (the oracle replicates this arithmetic).
+_HEX15 = 1152921504606846976.0
+
+
+def _uniform(col, salt: str):
+    """Deterministic hash-uniform double in [0, 1) from any column.
+
+    md5 (not xxhash64) so the DuckDB value oracle can reproduce the
+    exact same doubles: both engines compute
+    int(md5(salt || ':' || value)[:15], 16) / 16^15.
+    """
+    h = F.md5(F.concat(F.lit(salt + ":"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(_HEX15)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(doc_id, bench_hits) — training documents sharing >= ``min_hits``
+    distinct k-word shingles with a held-out benchmark corpus.
+
+    ``benchmark`` needs a ``text`` column (eval prompts/completions).
+    Shingling matches pipeline/dedup.py:word_shingles (lowercased,
+    whitespace-normalized) so dedup and decontamination agree on what a
+    "shared n-gram" is.  Join is on the raw shingle string for oracle
+    exactness; at 100 TB map both sides through xxhash64(shingle) first
+    to shrink the broadcast (collisions only add false positives, which
+    is the safe direction for decontamination).
+
+    Returns only contaminated docs; anti-join ``docs`` against the
+    result for the clean corpus (see ``decontaminated_corpus``).
+    """
+    # bench doc identity is irrelevant — only the distinct shingle set is
+    # kept — so a constant id avoids a nondeterministic mono-id lineage
+    bench_sh = (
+        word_shingles(benchmark.select(F.lit(0).alias("doc_id"), "text"), k=k)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = word_shingles(docs, k=k)
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("bench_hits"))
+        .filter(F.col("bench_hits") >= min_hits)
+    )
+    return hits.select("doc_id", "bench_hits")
+
+
+def decontaminated_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """``docs`` minus everything ``decontaminate`` flags (left-anti)."""
+    flagged = decontaminate(docs, benchmark, k=k, min_hits=min_hits)
+    return docs.join(flagged, "doc_id", "left_anti")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-source Bernoulli sample: keep a row iff
+    uniform(doc_id) < rates[source].
+
+    Zero-shuffle: the rate lookup is a literal CASE chain and the keep
+    test a scan-side predicate, so Catalyst pushes the whole thing into
+    the parquet scan.  Deterministic in doc_id alone — adding or
+    removing OTHER rows never flips a row's fate (unlike df.sample,
+    whose per-partition RNG reshuffles under repartitioning), which is
+    what makes incremental corpus refreshes reproducible.
+    """
+    rate = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col("source") == src, F.lit(float(r))).otherwise(rate)
+    return docs.filter(_uniform(F.col("doc_id"), salt) < rate)
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    salt: str = "budget",
+) -> DataFrame:
+    """(doc_id, source, ws_tokens) — sample each source down to ~``budget_tokens``
+    whitespace tokens: rate(source) = min(1, budget / total_tokens(source)).
+
+    The mixture table (one row per source) is a tiny aggregate joined
+    back broadcast; the keep decision is the same scan-side md5 uniform
+    as ``stratified_sample``.  Expected sampled tokens per source ≈ the
+    budget; sources under budget are kept whole (rate 1).  This is the
+    distributed form of the "sample source X down to Y tokens" step in
+    every published data-mix recipe.
+    """
+    ws_tokens = (
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens")
+    )
+    toks = docs.select("doc_id", "source", ws_tokens)
+    totals = toks.groupBy("source").agg(F.sum("ws_tokens").alias("total_tokens"))
+    rates = totals.select(
+        "source",
+        F.least(
+            F.lit(1.0), F.lit(float(budget_tokens)) / F.col("total_tokens")
+        ).alias("rate"),
+    )
+    return (
+        toks.join(F.broadcast(rates), "source")
+        .filter(_uniform(F.col("doc_id"), salt) < F.col("rate"))
+        .select("doc_id", "source", "ws_tokens")
+    )

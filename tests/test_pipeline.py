@@ -542,3 +542,110 @@ def test_ivf_recall_clustered_geq_090(spark):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# curation: decontamination + deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_planted_overlap(spark, docs, docs_pd):
+    """A benchmark built from verbatim snippets of two corpus docs must
+    flag exactly the docs sharing >= min_hits shingles with them, per a
+    python shingle oracle; unrelated bench text flags nothing."""
+    from graphblas_algorithms_spark.pipeline.curation import (
+        decontaminate,
+        decontaminated_corpus,
+    )
+
+    def shingles(text, k=3):
+        w = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        if len(w) < k:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    snippets = [
+        " ".join(re.sub(r"\s+", " ", docs_pd[did].strip().lower()).split(" ")[:10])
+        for did in sorted(docs_pd)[:2]
+    ]
+    bench = spark.createDataFrame([(s,) for s in snippets], "text string")
+
+    got = {
+        r["doc_id"]: r["bench_hits"]
+        for r in decontaminate(docs, bench, k=3, min_hits=2).collect()
+    }
+
+    bench_sh = set().union(*(shingles(s) for s in snippets))
+    want = {}
+    for did, text in docs_pd.items():
+        n = len(shingles(text) & bench_sh)
+        if n >= 2:
+            want[int(did)] = n
+    assert got == want and len(want) >= 2
+
+    clean = decontaminated_corpus(docs, bench, k=3, min_hits=2)
+    assert set(r["doc_id"] for r in clean.select("doc_id").collect()) == (
+        set(int(d) for d in docs_pd) - set(want)
+    )
+
+    # unrelated benchmark text shares no shingles -> nothing flagged
+    noise = spark.createDataFrame(
+        [("zzq wxv yyk zzq wxv yyk qqj",)], "text string"
+    )
+    assert decontaminate(docs, noise, k=3, min_hits=1).count() == 0
+
+
+def test_stratified_sample_deterministic_and_scan_side(spark, docs):
+    """Same rates -> bit-identical row set across runs and partitionings
+    (the md5 uniform is keyed on doc_id alone), and the plan is a pure
+    scan-side filter: zero exchanges."""
+    from graphblas_algorithms_spark.pipeline.curation import stratified_sample
+
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    rates = {s: (0.8 if i % 2 else 0.3) for i, s in enumerate(sorted(srcs))}
+
+    a = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(7), rates).collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+
+    plan = (
+        stratified_sample(docs, rates)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+    # per-source keep fraction lands near the configured rate
+    from collections import Counter
+
+    by_src = Counter(
+        r["source"] for r in stratified_sample(docs, rates).collect()
+    )
+    tot = Counter(r["source"] for r in docs.select("source").collect())
+    for s in srcs:
+        assert abs(by_src.get(s, 0) / tot[s] - rates[s]) < 0.35
+
+
+def test_token_budget_sample_respects_budget(spark, docs):
+    """rate = min(1, budget/total): a huge budget keeps every row; a
+    partial budget samples ~budget tokens per source, deterministically."""
+    from graphblas_algorithms_spark.pipeline.curation import token_budget_sample
+
+    n_docs = docs.count()
+    assert token_budget_sample(docs, budget_tokens=10**9).count() == n_docs
+
+    got = token_budget_sample(docs, budget_tokens=300)
+    again = token_budget_sample(docs.repartition(5), budget_tokens=300)
+    ga = sorted(r["doc_id"] for r in got.collect())
+    assert ga == sorted(r["doc_id"] for r in again.collect())
+    assert 0 < len(ga) < n_docs
+
+    # expected sampled tokens per source ~ budget (Bernoulli mean);
+    # loose 3x band — tiny corpus, high variance
+    per_src = {
+        r["source"]: r["t"]
+        for r in got.groupBy("source").agg(F.sum("ws_tokens").alias("t")).collect()
+    }
+    for s, t in per_src.items():
+        assert t < 3 * 300, (s, t)
