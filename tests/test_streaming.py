@@ -221,3 +221,66 @@ def test_stream_source_path_rules(tmp_path):
 
     with _pytest.raises(ValueError, match="glob"):
         _stream_source_path(str(weird))
+
+
+def test_incremental_corpus_dedup_unbounded_horizon(spark, tmp_path):
+    """Two ingest waves: exact dups are suppressed within a batch (min
+    doc_id wins), across batches, and across RESTARTS — wave 2 runs in a
+    fresh query but the on-disk fingerprint store still suppresses a
+    duplicate of wave-1 text (the unbounded horizon dedup_stream's
+    watermark cannot provide).  Kept set == sequential batch oracle."""
+    from graphblas_algorithms_spark.streaming.corpus import (
+        DOC_SCHEMA,
+        incremental_corpus_dedup,
+        read_corpus,
+        read_store,
+    )
+
+    src = tmp_path / "src"
+    out, store, ckpt = (
+        str(tmp_path / "out"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+    )
+    src.mkdir()
+
+    def doc(i, text):
+        return (i, text, "en", f"src{i % 3}", len(text))
+
+    wave1 = [doc(1, "alpha beta gamma"), doc(2, "delta epsilon"),
+             doc(7, "Alpha  beta   GAMMA")]  # 7 normalizes to 1's text
+    wave2 = [doc(3, "zeta eta theta"), doc(4, "alpha beta gamma"),  # dup of 1
+             doc(6, "zeta eta theta zzz"), doc(5, "zeta eta theta zzz")]  # 5 wins
+
+    import glob as _glob
+    import shutil as _shutil
+
+    def drop(rows, name):
+        # the file stream source lists flat files: write via Spark then
+        # move the part files into the watched dir under a unique name
+        tmp = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(str(tmp))
+        for i, p in enumerate(_glob.glob(f"{tmp}/part-*.parquet")):
+            _shutil.copy(p, src / f"{name}_{i}.parquet")
+
+    drop(wave1, "w1")
+    q = incremental_corpus_dedup(spark, str(src), out, store, ckpt)
+    q.awaitTermination(120)
+
+    drop(wave2, "w2")
+    q = incremental_corpus_dedup(spark, str(src), out, store, ckpt)
+    q.awaitTermination(120)
+
+    kept = sorted(r["doc_id"] for r in read_corpus(spark, out).collect())
+    assert kept == [1, 2, 3, 5]
+
+    st = read_store(spark, store).collect()
+    assert len(st) == 4 and len({r["fingerprint"] for r in st}) == 4
+
+    # restart with the SAME checkpoint and no new files: a no-op — the
+    # source offset log already covers every file, nothing is rewritten
+    q = incremental_corpus_dedup(spark, str(src), out, store, ckpt)
+    q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in read_corpus(spark, out).collect()
+    ) == [1, 2, 3, 5]
