@@ -202,6 +202,8 @@ def _sf_queries(spark) -> dict:
         "graph_bfs",
         "graph_sssp",
         "pipe_minhash_neardup",
+        # corpus-level transitive dedup: LSH pairs -> CC clusters
+        "pipe_dedup_clusters",
         # ANN headline = the bucketed IVF path (the 100 TB shape); the
         # brute-force crossJoin pipe_ann_topk stays as the oracled exact
         # verifier but is NOT the benched default
