@@ -643,6 +643,17 @@ def _q_ann_ivf_pandas(spark, sf_dir):
     return ivf_topk_pandas(_read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=8)
 
 
+def _q_ann_ivf_pq(spark, sf_dir):
+    """IVF + product quantization with exact re-rank (approximate — no
+    SQL oracle; rows-only check; pytest gates recall >= 0.85 on clustered
+    data and proves reported cosines are exact)."""
+    from graphblas_algorithms_spark.pipeline.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=8, m_sub=8, k_codes=16
+    )
+
+
 def _q_events_windowed(spark, sf_dir):
     from graphblas_algorithms_spark.streaming.events import windowed_counts_batch
 
@@ -860,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_ann_topk": _q_ann_topk,
         "pipe_ann_ivf": _q_ann_ivf,
         "pipe_ann_ivf_pandas": _q_ann_ivf_pandas,
+        "pipe_ann_ivf_pq": _q_ann_ivf_pq,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "events_windowed_closed": _q_events_windowed_closed,

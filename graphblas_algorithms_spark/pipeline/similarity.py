@@ -331,3 +331,214 @@ def cosine_topk_pandas(
     return vecs.mapInPandas(
         score, schema="query_id long, neighbor_id long, rank long, cosine double"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization + asymmetric-distance scoring
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    emb: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 3,
+    train_max: int = 100_000,
+) -> DataFrame:
+    """(sub_id, code_id, code_vec) — per-subspace k-means codebooks.
+
+    The d-dim normalized vectors are split into ``m_sub`` contiguous
+    subspaces; each subspace learns ``k_codes`` centers by Lloyd
+    iterations over a DETERMINISTIC md5-uniform sample of at most
+    ``train_max`` vectors (codebook training on a bounded sample is the
+    standard PQ recipe — the codebook is a tiny model, the corpus is
+    not).  Each subspace trains independently inside one
+    ``applyInPandas`` group: per-task memory is O(train_max * d/m_sub),
+    bounded regardless of corpus size.  Init = the k_codes
+    lowest-vector-id sample rows per subspace; no RNG anywhere, so
+    resumes and re-runs rebuild the identical codebook.
+    """
+    import numpy as np
+
+    vecs = _norm_vec(emb)
+    d = len(vecs.select("v").first()["v"])
+    if d % m_sub != 0:
+        raise ValueError(f"dim {d} not divisible by m_sub={m_sub}")
+    d_sub = d // m_sub
+
+    n = vecs.count()
+    rate = min(1.0, train_max / max(n, 1))
+    h = F.md5(F.concat(F.lit("pqtrain:"), F.col("id").cast("string")))
+    u = F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
+        1152921504606846976.0
+    )
+    sample = vecs.filter(u < rate)
+
+    subs = sample.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.slice("v", s * d_sub + 1, d_sub) for s in range(m_sub)])
+        ).alias("sub_id", "sv"),
+    )
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("id")
+        X = np.vstack(pdf["sv"].to_numpy())  # (t, d_sub)
+        kk = min(k_codes, len(X))
+        C = X[:kk].copy()
+        for _ in range(iters):
+            # argmin ||x-c||^2 = argmax x.c - 0.5||c||^2
+            scores = X @ C.T - 0.5 * (C * C).sum(axis=1)
+            a = np.argmax(scores, axis=1)
+            for j in range(kk):
+                mask = a == j
+                if mask.any():
+                    C[j] = X[mask].mean(axis=0)
+                # empty cluster keeps its previous center (deterministic)
+        sid = int(pdf["sub_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "sub_id": sid,
+                "code_id": range(kk),
+                "code_vec": [C[j].tolist() for j in range(kk)],
+            }
+        )
+
+    return subs.groupBy("sub_id").applyInPandas(
+        train, schema="sub_id int, code_id int, code_vec array<double>"
+    )
+
+
+def _codebook_np(codebooks: DataFrame):
+    """Collect the tiny (m_sub*k_codes)-row codebook to a dense numpy
+    (m_sub, k_codes, d_sub) tensor for closure-shipping to executors."""
+    import numpy as np
+
+    rows = codebooks.collect()
+    m_sub = 1 + max(r["sub_id"] for r in rows)
+    k_codes = 1 + max(r["code_id"] for r in rows)
+    d_sub = len(rows[0]["code_vec"])
+    cb = np.zeros((m_sub, k_codes, d_sub))
+    for r in rows:
+        cb[r["sub_id"], r["code_id"]] = r["code_vec"]
+    return cb
+
+
+def pq_encode(vecs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(id, codes: array<int>) — each vector compressed to m_sub code
+    ids (argmin L2 per subspace).  One Arrow-batched numpy pass; the
+    codebook rides in the UDF closure (KBs).  At d=768 float64 -> 8
+    uint8 codes this is a ~768x memory cut on the candidate-scoring
+    side, which is what lets a 100 TB corpus's index live in cluster
+    RAM.  ``vecs`` must be (id, v) as produced by ``_norm_vec``.
+    """
+    import numpy as np
+
+    cb = _codebook_np(codebooks)
+    m_sub, k_codes, d_sub = cb.shape
+    flat = cb.reshape(m_sub * k_codes, d_sub)
+    half_norm = 0.5 * (flat * flat).sum(axis=1).reshape(m_sub, k_codes)
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.vstack(pdf["v"].to_numpy())  # (b, d)
+            Xs = X.reshape(len(X), m_sub, d_sub)  # (b, s, ds)
+            # scores[b, s, k] = x_bs . c_sk - 0.5||c_sk||^2
+            scores = np.einsum("bsd,skd->bsk", Xs, cb) - half_norm
+            codes = np.argmax(scores, axis=2).astype("int32")  # (b, s)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "codes": [c.tolist() for c in codes]}
+            )
+
+    return vecs.mapInPandas(encode, schema="id long, codes array<int>")
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    k: int = 10,
+    m: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank: int = 4,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — IVF + product quantization.
+
+    The scale ANN path when even the per-cell float vectors are too big
+    to scan: cell members are stored as m_sub-byte PQ codes; each probed
+    cell scores candidates with an asymmetric-distance LUT (one
+    (m_sub x k_codes) table per query, score = sum of table lookups — no
+    float vectors touched), keeps the top ``k*rerank`` per cell, and the
+    global top ``k*rerank`` approximate candidates are re-ranked with
+    exact cosines (one join back to the float vectors, O(q*k*rerank)
+    rows).  Final scores are therefore EXACT cosines — PQ only decides
+    which candidates reach the re-rank, trading recall for a ~(8B*d/m_sub)
+    per-vector memory cut.  Deterministic end-to-end (seeded centroids,
+    seeded codebooks, id tie-breaks).
+    """
+    import numpy as np
+
+    assigned, probes = _ivf_parts(emb, m, n_probe)
+    codebooks = pq_train(emb, m_sub=m_sub, k_codes=k_codes)
+    cb = _codebook_np(codebooks)
+    ms, kc, d_sub = cb.shape
+
+    codes = pq_encode(assigned.select("id", "v"), codebooks)
+    members = assigned.select(
+        F.col("centroid_id").alias("cell"), F.col("id").alias("neighbor_id")
+    ).join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+
+    n_cand = k * rerank
+
+    def score_cell(key, qpdf: pd.DataFrame, mpdf: pd.DataFrame):
+        if qpdf.empty or mpdf.empty:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "approx"])
+        Q = np.vstack(qpdf["vq"].to_numpy())  # (q, d)
+        Qs = Q.reshape(len(Q), ms, d_sub)
+        lut = np.einsum("qsd,skd->qsk", Qs, cb)  # (q, s, k_codes)
+        C = np.vstack(mpdf["codes"].to_numpy())  # (c, s) int
+        nids = mpdf["neighbor_id"].to_numpy()
+        rows = []
+        for i, qid in enumerate(qpdf["query_id"].to_numpy()):
+            # ADC: approx cosine = sum_s lut[i, s, C[:, s]]
+            approx = lut[i, np.arange(ms), C].sum(axis=1)  # (c,)
+            keep = nids != qid
+            kn, ks = nids[keep], approx[keep]
+            order = np.lexsort((kn, -np.round(ks, 6)))[:n_cand]
+            for j in order:
+                rows.append((int(qid), int(kn[j]), float(ks[j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "approx"])
+
+    partial = (
+        probes.groupBy("centroid_id")
+        .cogroup(members.groupBy("cell"))
+        .applyInPandas(
+            score_cell, schema="query_id long, neighbor_id long, approx double"
+        )
+    )
+    w_a = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    cand = (
+        partial.withColumn("_rk", F.row_number().over(w_a))
+        .filter(F.col("_rk") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank of the surviving candidates (tiny: q * k * rerank rows)
+    vecs = _norm_vec(emb)
+    scored = (
+        cand.join(vecs.select(F.col("id").alias("query_id"), F.col("v").alias("vq")), "query_id")
+        .join(vecs.select(F.col("id").alias("neighbor_id"), F.col("v").alias("vc")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("vq"), F.col("vc")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )

@@ -649,3 +649,86 @@ def test_token_budget_sample_respects_budget(spark, docs):
     }
     for s, t in per_src.items():
         assert t < 3 * 300, (s, t)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+def _clustered_emb(spark, n_clusters=20, per=30, d=32, sigma=0.05):
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        for p in centers[c] + sigma * rng.normal(size=(per, d)):
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_encode_roundtrip_properties(spark, emb):
+    """Codebooks are deterministic and complete (m_sub x k_codes rows);
+    codes are valid ids; encoding twice (and under a different input
+    partitioning) yields identical codes."""
+    from graphblas_algorithms_spark.pipeline.similarity import (
+        _norm_vec,
+        pq_encode,
+        pq_train,
+    )
+
+    cb = pq_train(emb, m_sub=8, k_codes=16)
+    rows = cb.collect()
+    assert len(rows) == 8 * 16
+    assert {(r["sub_id"], r["code_id"]) for r in rows} == {
+        (s, c) for s in range(8) for c in range(16)
+    }
+    cb2 = {(r["sub_id"], r["code_id"]): r["code_vec"] for r in pq_train(
+        emb.repartition(5), m_sub=8, k_codes=16).collect()}
+    for r in rows:
+        assert cb2[(r["sub_id"], r["code_id"])] == r["code_vec"]
+
+    codes = {r["id"]: r["codes"] for r in pq_encode(_norm_vec(emb), cb).collect()}
+    assert len(codes) == emb.count()
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes.values())
+    codes2 = {
+        r["id"]: r["codes"]
+        for r in pq_encode(_norm_vec(emb.repartition(7)), cb).collect()
+    }
+    assert codes == codes2
+
+
+def test_ivf_pq_recall_clustered_geq_085(spark):
+    """On clustered data (the regime real corpora live in) IVF-PQ with
+    exact re-rank must hold recall@10 >= 0.85 at m=16 / n_probe=3 /
+    m_sub=8 / k_codes=16 — PQ only gates which candidates reach the
+    exact re-rank, so on tight clusters it tracks plain IVF closely."""
+    from graphblas_algorithms_spark.pipeline.similarity import ivf_pq_topk
+
+    cemb = _clustered_emb(spark)
+    exact = {}
+    for r in cosine_topk(cemb, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ivf_pq_topk(cemb, k=10, m=16, n_probe=3, m_sub=8, k_codes=16).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.85
+
+
+def test_ivf_pq_scores_are_exact_cosines(spark, emb):
+    """The re-rank makes every reported cosine EXACT: each (query,
+    neighbor) score must equal the brute-force cosine for that pair."""
+    from graphblas_algorithms_spark.pipeline.similarity import ivf_pq_topk
+
+    got = ivf_pq_topk(emb, k=5, m=8, n_probe=3).collect()
+    truth = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, k=emb.count()).collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        assert truth[(r["query_id"], r["neighbor_id"])] == r["cosine"]
