@@ -118,3 +118,35 @@ def build_link_graph(source: DataFrame, num_partitions: int | None = None):
         .distinct()
     )
     return edges, nodes
+
+
+def snapshot_latest(source: DataFrame) -> DataFrame:
+    """(repo, path, commit, lang, content) — one row per (repo, path):
+    the file version whose commit sorts LAST.
+
+    Real repo corpora carry every historical version of a file; building
+    the link graph over all of them produces phantom edges from
+    long-deleted imports.  This is the dedup-to-HEAD step that runs
+    before ``extract_import_pairs``: one ``max_by`` partial aggregation
+    keyed on (repo, path) — map-side combined, a single shuffle of the
+    (repo, path) keyspace, content strings move only for the winning
+    rows' groups.  Commit order is the lexicographic order of the commit
+    id (a deterministic stand-in for commit timestamps, which the
+    input_hint's 5-column table does not carry; swap the ``ord`` column
+    for a timestamp when the corpus has one — the plan shape is
+    identical).
+    """
+    win = F.max_by(
+        F.struct("commit", "lang", "content"), F.col("commit")
+    ).alias("_w")
+    return (
+        source.groupBy("repo", "path")
+        .agg(win)
+        .select(
+            "repo",
+            "path",
+            F.col("_w.commit").alias("commit"),
+            F.col("_w.lang").alias("lang"),
+            F.col("_w.content").alias("content"),
+        )
+    )

@@ -112,3 +112,38 @@ def test_bucketed_edge_sink_join_is_exchange_free(spark, tmp_path):
     assert "Bucketed: true" in final, final
     assert final.count("Exchange hashpartitioning") == 1, final
     spark.sql("DROP TABLE IF EXISTS gas_test_edges_bucketed")
+
+
+def test_snapshot_latest_dedups_to_head(spark):
+    """With historical versions of the same (repo, path) present, only
+    the lexicographically-last commit's row survives — so superseded
+    imports contribute no edges — and an already-single-version table
+    passes through unchanged."""
+    from graphblas_algorithms_spark.sources.edges import snapshot_latest
+
+    src = synthesize_source_table(spark, n_repos=4, files_per_repo=5).persist()
+    # single-version table: identity (same rows back)
+    same = snapshot_latest(src)
+    assert same.count() == src.count()
+    assert (
+        same.exceptAll(src.select("repo", "path", "commit", "lang", "content")).count()
+        == 0
+    )
+
+    # plant two older versions of one file with different content
+    victim = src.orderBy("repo", "path").limit(1).collect()[0]
+    hist = spark.createDataFrame(
+        [
+            (victim["repo"], victim["path"], "0" * 40, victim["lang"], "import old.one\n"),
+            (victim["repo"], victim["path"], "1" * 40, victim["lang"], "import old.two\n"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    merged = src.select("repo", "path", "commit", "lang", "content").unionByName(hist)
+    head = snapshot_latest(merged)
+    assert head.count() == src.count()  # still one row per (repo, path)
+    got = head.filter(
+        (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"])
+    ).collect()[0]
+    # synthesized commits are hex sha prefixes > "11...1" lexicographically
+    assert got["commit"] == victim["commit"] and got["content"] == victim["content"]
