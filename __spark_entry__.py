@@ -222,6 +222,14 @@ def _q_components(spark, sf_dir):
     return connected_components(_part_graph(spark, sf_dir))
 
 
+def _q_components_star(spark, sf_dir):
+    """Same labeling contract as graph_components (same oracle SQL), via
+    the diameter-independent star-contraction path (O(log n) rounds)."""
+    from graphblas_algorithms_spark.operators.components import connected_components
+
+    return connected_components(_part_graph(spark, sf_dir), method="star")
+
+
 def _q_wcc(spark, sf_dir):
     from graphblas_algorithms_spark.operators.components import connected_components
 
@@ -820,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_pagerank": _q_pagerank,
         "graph_components": _q_components,
+        "graph_components_star": _q_components_star,
         "graph_wcc": _q_wcc,
         "graph_scc": _q_scc,
         "graph_labelprop": _q_labelprop,
@@ -2020,6 +2029,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "graph_pagerank": _sql_pagerank(),
         "graph_components": _SQL_COMPONENTS,
+        "graph_components_star": _SQL_COMPONENTS,
         "graph_wcc": _SQL_WCC,
         "graph_scc": _SQL_SCC,
         "graph_labelprop": _sql_labelprop(),

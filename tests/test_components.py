@@ -172,3 +172,52 @@ def test_to_undirected_weighted_view(spark):
     # default stays the pattern view
     U0 = G.to_undirected()
     assert "weight" not in U0.edges.columns
+
+
+def test_star_contraction_matches_minlabel_er(spark):
+    """connected_components(method='star') is label-for-label identical
+    to min-label propagation (component = min node id) on a random
+    graph with isolates."""
+    nxg = nx.gnp_random_graph(150, 0.012, seed=23)
+    nxg.add_nodes_from(range(150, 160))
+    G = from_networkx(spark, nxg)
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(G, method="star").collect()
+    }
+    assert star == _cc_oracle(nxg)
+
+
+def test_star_contraction_path_log_rounds(spark):
+    """Diameter independence: a 500-node path (diameter 499, min-label
+    would need ~499 supersteps) collapses in <= log2-ish rounds."""
+    from graphblas_algorithms_spark.operators.components import (
+        connected_components_star,
+    )
+
+    nxg = nx.path_graph(500)
+    G = from_networkx(spark, nxg)
+    stats = {}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(G, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(500)}
+    assert stats["rounds"] <= 15, stats
+
+
+def test_star_contraction_weakly_connected_digraph(spark):
+    nxg = nx.DiGraph([(5, 1), (2, 1), (3, 4), (9, 3)])
+    G = from_networkx(spark, nxg)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(G, method="star").collect()
+    }
+    assert got == _cc_oracle(nxg)
+
+
+def test_components_unknown_method_raises(spark):
+    nxg = nx.path_graph(3)
+    G = from_networkx(spark, nxg)
+    with pytest.raises(ValueError, match="minlabel"):
+        connected_components(G, method="bogus")
