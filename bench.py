@@ -197,6 +197,9 @@ def _sf_queries(spark) -> dict:
     picks = [
         "graph_pagerank",
         "graph_components",
+        # same labeling via diameter-independent star contraction (the
+        # unknown-diameter 100 TB default); side-by-side with min-label
+        "graph_components_star",
         "graph_labelprop",
         "graph_triangles_total",
         "graph_bfs",

@@ -124,6 +124,13 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    # shuffle-byte accounting per phase (explain-verified): the min agg
+    # is map-side combined, so its exchange moves only per-task minima
+    # (~|V| rows, hubs pre-reduced); the join moves sym once (~2m rows,
+    # ENSURE_REQUIREMENTS, so AQE skew-split stays eligible); the output
+    # distinct moves the emitted set.  A repartition("u")-first variant
+    # measures worse: Catalyst does not reuse the exchange across the
+    # agg and join consumers, so sym shuffles twice at full width.
     mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
     j = sym.join(mins, "u")
     if large:
