@@ -200,18 +200,23 @@ def connected_components_star(
     while rounds < max_rounds:
         changed = False
         for large in (True, False):
-            nxt = _star_round(edges, large).transform(lineage_cut)
+            # lazy cut: the _sig agg is the ONE job that both computes
+            # the new edge set into its checkpoint blocks and reads the
+            # convergence signature (O12 single-action superstep); a
+            # durable harness checkpoint replaces the cut when configured
+            nxt = _star_round(edges, large)
+            if harness.dir is not None:
+                nxt = harness.materialize(
+                    nxt,
+                    it,
+                    {"kernel": "components_star",
+                     "phase": "large" if large else "small"},
+                )
+            else:
+                nxt = lineage_cut(nxt, eager=False)
             nsig = _sig(nxt)
             _release_state(edges)
-            edges = harness.materialize(
-                nxt,
-                it,
-                {
-                    "kernel": "components_star",
-                    "phase": "large" if large else "small",
-                    "edges": nsig[0],
-                },
-            )
+            edges = nxt
             it += 1
             if nsig != sig:
                 changed = True

@@ -89,6 +89,33 @@ def test_components_checkpoint_resume(spark, ckpt):
     assert resumed == full
 
 
+def test_components_star_checkpoint_resume(spark, ckpt):
+    """Star contraction's iterated state is the EDGE set; a resumed run
+    from a mid-alternation checkpoint must yield identical labels."""
+    nxg = nx.gnp_random_graph(80, 0.03, seed=9)
+    nxg.add_nodes_from(range(80, 86))
+    G = from_networkx(spark, nxg)
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            G, checkpoint_dir=ckpt, method="star"
+        ).collect()
+    }
+    iters = sorted(
+        int(n.split("=")[1]) for n in os.listdir(ckpt) if n.startswith("iter=")
+    )
+    assert iters, "star run wrote no checkpoints"
+    if len(iters) > 1:
+        shutil.rmtree(os.path.join(ckpt, f"iter={iters[-1]}"))
+    resumed = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            G, checkpoint_dir=ckpt, method="star", resume=True
+        ).collect()
+    }
+    assert resumed == full
+
+
 def test_iceberg_mode_gated(spark):
     """checkpoint_table= fails fast with a clear message when no Iceberg
     runtime is on the classpath (this container ships none), and the

@@ -67,6 +67,27 @@ def test_prop_components(spark, edges):
 
 @given(edges=edge_lists)
 @settings(**SETTINGS)
+def test_prop_components_star(spark, edges):
+    """Star contraction agrees with networkx (and hence with min-label)
+    on arbitrary random edge lists, isolates included."""
+    from graphblas_algorithms_spark.operators.components import connected_components
+
+    nxg = _ugraph(edges)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            from_networkx(spark, nxg), method="star"
+        ).collect()
+    }
+    want = {}
+    for comp in nx.connected_components(nxg):
+        m = min(comp)
+        want.update({u: m for u in comp})
+    assert got == want
+
+
+@given(edges=edge_lists)
+@settings(**SETTINGS)
 def test_prop_scc(spark, edges):
     from graphblas_algorithms_spark.operators.components import (
         strongly_connected_components,
