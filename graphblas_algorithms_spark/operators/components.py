@@ -224,6 +224,14 @@ def connected_components_star(
         rounds += 1
         if not changed:
             break
+    else:
+        # never exit the alternation on the round cap with a possibly
+        # non-star edge set: labels derived from it would be silently
+        # wrong (log2-ish convergence means 200 rounds ~ graphs beyond
+        # 2^100 nodes — hitting this is a bug or adversarial input)
+        raise RuntimeError(
+            f"star contraction did not converge within {max_rounds} rounds"
+        )
     if stats is not None:
         stats["rounds"] = rounds
         stats["supersteps"] = it - start_iter

@@ -221,3 +221,14 @@ def test_components_unknown_method_raises(spark):
     G = from_networkx(spark, nxg)
     with pytest.raises(ValueError, match="minlabel"):
         connected_components(G, method="bogus")
+
+
+def test_star_contraction_round_cap_raises(spark):
+    """Hitting max_rounds must raise, never return unconverged labels."""
+    from graphblas_algorithms_spark.operators.components import (
+        connected_components_star,
+    )
+
+    G = from_networkx(spark, nx.path_graph(64))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(G, max_rounds=1)
