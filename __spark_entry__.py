@@ -230,6 +230,37 @@ def _q_components_star(spark, sf_dir):
     return connected_components(_part_graph(spark, sf_dir), method="star")
 
 
+def _q_components_incremental(spark, sf_dir):
+    """PRODUCTION streaming shape: the part graph's edges arrive as 3
+    parquet files processed one per micro-batch
+    (streaming/components.py); each batch is contracted through the
+    current label store and only the residual component-merge graph is
+    star-contracted.  The final store must equal one batch CC over the
+    full edge set — the same recursive-CTE oracle as graph_components."""
+    import tempfile
+
+    from graphblas_algorithms_spark.streaming.components import (
+        incremental_components,
+        read_labels,
+    )
+
+    base = tempfile.mkdtemp(prefix="cc_inc_")
+    feed, store, ckpt = f"{base}/feed", f"{base}/store", f"{base}/ckpt"
+    pairs = _part_pairs(spark, sf_dir)
+    for i in range(3):
+        pairs.filter((F.col("src") + F.col("dst")) % 3 == i).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/chunk={i}")
+    q = incremental_components(spark, feed, store, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+    labels = read_labels(spark, store)
+    return (
+        _part_nodes(spark, sf_dir)
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
 def _q_wcc(spark, sf_dir):
     from graphblas_algorithms_spark.operators.components import connected_components
 
@@ -829,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_pagerank,
         "graph_components": _q_components,
         "graph_components_star": _q_components_star,
+        "graph_components_incremental": _q_components_incremental,
         "graph_wcc": _q_wcc,
         "graph_scc": _q_scc,
         "graph_labelprop": _q_labelprop,
@@ -2030,6 +2062,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _sql_pagerank(),
         "graph_components": _SQL_COMPONENTS,
         "graph_components_star": _SQL_COMPONENTS,
+        "graph_components_incremental": _SQL_COMPONENTS,
         "graph_wcc": _SQL_WCC,
         "graph_scc": _SQL_SCC,
         "graph_labelprop": _sql_labelprop(),
