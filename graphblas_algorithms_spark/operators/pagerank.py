@@ -78,7 +78,7 @@ def pagerank(
     personalization: dict | None = None,
     max_iter: int = 100,
     tol: float | None = 1e-6,
-    nstart: dict | None = None,
+    nstart: dict | DataFrame | None = None,
     dangling: dict | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
@@ -128,6 +128,19 @@ def pagerank(
 
     if nstart is None:
         x0 = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("value"))
+    elif isinstance(nstart, DataFrame):
+        # distributed warm start (e.g. streaming/pagerank.py: previous
+        # epoch's scores) — same semantics as the dict form: L1-normalize,
+        # nodes missing from the start vector enter at 0 (ref
+        # pagerank_alg.py nstart missing keys)
+        vcol = "value" if "value" in nstart.columns else "rank"
+        row = nstart.agg(F.sum(vcol).alias("t")).collect()[0]
+        total = float(row["t"]) if row["t"] else 1.0
+        x0 = nodes.join(
+            nstart.select("id", (F.col(vcol) / F.lit(total)).alias("value")),
+            "id",
+            "left",
+        ).select("id", F.coalesce("value", F.lit(0.0)).alias("value"))
     else:
         total = float(sum(nstart.values()))
         x0 = spark.createDataFrame(
