@@ -78,6 +78,7 @@ def pagerank(
     personalization: dict | None = None,
     max_iter: int = 100,
     tol: float | None = 1e-6,
+    tol_abs: float | None = None,
     nstart: dict | DataFrame | None = None,
     dangling: dict | None = None,
     checkpoint_dir: str | None = None,
@@ -94,6 +95,15 @@ def pagerank(
     ``fixed_iters`` runs exactly that many supersteps with no convergence
     action (used by the DuckDB-oracle parity queries and benches where
     the iteration count must be deterministic).
+
+    ``tol`` follows the reference's n-scaled criterion ``L1(x_k - x_{k-1})
+    < n*tol`` (_helpers.py:21-29) for parity.  That criterion degenerates
+    at web scale: the score vector has unit mass, so once n >= ~1e6 the
+    threshold n*tol exceeds any possible step difference and the loop
+    "converges" after one superstep.  ``tol_abs`` instead gates on the
+    ABSOLUTE L1 step difference (e.g. 1e-4 of total mass) independent of
+    n — use it for large graphs; distance to the unique fixpoint is then
+    bounded by alpha/(1-alpha) * tol_abs.
     """
     spark = G.spark
     nodes = G.nodes
@@ -233,7 +243,8 @@ def pagerank(
         err = state.agg(F.sum("_diff").alias("err")).collect()[0]["err"]
         if iteration_hook:
             iteration_hook(it, err)
-        if err is not None and err < n * tol:
+        threshold = tol_abs if tol_abs is not None else n * tol
+        if err is not None and err < threshold:
             result = state.select("id", F.col("value").alias("rank"))
             adj_coef.unpersist()
             return result

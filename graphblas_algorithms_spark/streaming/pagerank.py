@@ -9,7 +9,14 @@ to propagate the perturbation, instead of the tens it takes to mix from
 the uniform vector.  Each superstep still scans all edges (that is the
 algorithm), so the savings multiply the per-superstep O(nnz) cost by
 saved iterations — measured at the 111M-edge scale in
-BENCH/BASELINE.md (~3x fewer supersteps for a 1% delta).
+BENCH/BASELINE.md (scripts/inc_pr_scale.py).
+
+Tolerance at scale: the reference's n-scaled criterion (err < n*tol)
+degenerates above ~1e6 nodes — the unit-mass score vector can never
+move n*1e-6 in L1 — so the maintenance loop gates on the ABSOLUTE L1
+step difference ``tol_abs`` (default 1e-4 of total mass; fixpoint
+distance <= alpha/(1-alpha) * tol_abs).  Pass ``tol_abs=None`` to
+recover exact reference semantics on small graphs.
 
 State layout mirrors streaming/components.py: zero executor state; the
 accumulated edge log lands under ``{store}/edges/epoch=N`` and the full
@@ -82,6 +89,7 @@ def pagerank_epoch(
     epoch: int,
     alpha: float = 0.85,
     tol: float = 1e-6,
+    tol_abs: float | None = 1e-4,
     max_iter: int = 100,
 ) -> DataFrame:
     """Recompute scores over ALL edges accumulated through ``epoch``,
@@ -109,6 +117,7 @@ def pagerank_epoch(
         G,
         alpha=alpha,
         tol=tol,
+        tol_abs=tol_abs,
         max_iter=max_iter,
         nstart=prev,
         iteration_hook=hook,
@@ -135,6 +144,7 @@ def incremental_pagerank(
     checkpoint_dir: str,
     alpha: float = 0.85,
     tol: float = 1e-6,
+    tol_abs: float | None = 1e-4,
     max_iter: int = 100,
     max_files_per_trigger: int | None = None,
 ):
@@ -150,7 +160,8 @@ def incremental_pagerank(
             os.path.join(store_dir, "edges", f"epoch={epoch}")
         )
         pagerank_epoch(
-            sess, store_dir, epoch, alpha=alpha, tol=tol, max_iter=max_iter
+            sess, store_dir, epoch, alpha=alpha, tol=tol, tol_abs=tol_abs,
+            max_iter=max_iter,
         )
 
     return (

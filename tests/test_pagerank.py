@@ -114,3 +114,24 @@ def test_salted_path_matches(spark):
 def test_self_loops(spark):
     nxg = nx.Graph([(0, 0), (0, 1), (1, 2), (2, 2)])
     _check(spark, nxg, fixed_iters=12)
+
+
+def test_tol_abs_overrides_n_scaled(spark):
+    """tol_abs gates on absolute L1 step diff: the n-scaled criterion
+    (err < n*tol) degenerates as n grows — tol_abs must not."""
+    nxg = nx.gnp_random_graph(400, 0.02, seed=7, directed=True)
+    G = from_networkx(spark, nxg)
+    counts = {}
+    for name, kw in {
+        "loose_nscaled": {"tol": 1e-3},          # n*tol = 0.4: stops ~instantly
+        "tight_abs": {"tol": 1e-3, "tol_abs": 1e-8},  # absolute gate wins
+    }.items():
+        seen = []
+        pagerank(G, iteration_hook=lambda it, err: seen.append(it), **kw)
+        counts[name] = len(seen)
+    assert counts["loose_nscaled"] <= 3
+    assert counts["tight_abs"] > counts["loose_nscaled"] + 5, counts
+    # and the tight-abs result still matches the oracle
+    got = vector_to_dict(pagerank(G, tol_abs=1e-10), val_col="rank")
+    want = pagerank_oracle(nxg, tol=1e-12)
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-8

@@ -54,8 +54,11 @@ def test_incremental_pagerank_stream(spark, tmp_path):
             "overwrite"
         ).parquet(f"{feed}/chunk={i}")
 
+    # tol_abs: the wrapper's scale-correct default (1e-4 of total mass)
+    # is looser than n*tol at toy n; pin the absolute gate tight so the
+    # stream-vs-batch comparison below stays meaningful
     q = incremental_pagerank(
-        spark, feed, store, ckpt, tol=1e-9, max_files_per_trigger=1
+        spark, feed, store, ckpt, tol=1e-9, tol_abs=1e-9, max_files_per_trigger=1
     )
     q.awaitTermination()
 
