@@ -577,6 +577,18 @@ def _q_source_mix(spark, sf_dir):
     return source_mix(_read(spark, sf_dir, "documents"))
 
 
+def _q_common_ngrams(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.text import common_ngrams
+
+    return common_ngrams(_read(spark, sf_dir, "documents"), n=3, min_docs=2, top=100)
+
+
+def _q_tfidf_topterms(spark, sf_dir):
+    from graphblas_algorithms_spark.pipeline.text import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), k=5)
+
+
 def _q_decontaminate(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -899,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_quality": _q_quality,
         "pipe_repetition": _q_repetition,
         "pipe_source_mix": _q_source_mix,
+        "pipe_common_ngrams": _q_common_ngrams,
+        "pipe_tfidf_topterms": _q_tfidf_topterms,
         "pipe_decontaminate": _q_decontaminate,
         "pipe_token_budget_sample": _q_token_budget_sample,
         "pipe_langid": _q_langid,
@@ -1596,6 +1610,51 @@ SELECT source, n_docs, ws_tokens,
 FROM a
 """
 
+_SQL_COMMON_NGRAMS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 3 THEN list_transform(
+                  generate_series(1, len(w) - 2),
+                  i -> array_to_string(w[i:i+2], ' '))
+                ELSE [] END) AS ngram
+  FROM t
+)
+SELECT ngram,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences
+FROM g
+GROUP BY ngram
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 100
+"""
+
+_SQL_TFIDF_TOPTERMS = f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_SQL_NORM}, ' ')) AS term
+  FROM documents
+),
+p AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM t WHERE term <> '' GROUP BY doc_id, term
+),
+d AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+s AS (
+  SELECT doc_id, p.term AS term, tf, df,
+         round(tf * ln(n::DOUBLE / df), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(tf * ln(n::DOUBLE / df), 6) DESC, p.term ASC
+         ) AS rk
+  FROM p JOIN d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf FROM s WHERE rk <= 5
+"""
+
 _SQL_FINGERPRINTS = f"SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents"
 
 _SQL_EXACT_DUPS = f"""
@@ -2101,6 +2160,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_quality": _SQL_QUALITY,
         "pipe_repetition": _SQL_REPETITION,
         "pipe_source_mix": _SQL_SOURCE_MIX,
+        "pipe_common_ngrams": _SQL_COMMON_NGRAMS,
+        "pipe_tfidf_topterms": _SQL_TFIDF_TOPTERMS,
         "pipe_decontaminate": _SQL_DECONTAMINATE,
         "pipe_token_budget_sample": _SQL_TOKEN_BUDGET_SAMPLE,
         "pipe_langid": _sql_langid(),

@@ -204,3 +204,82 @@ def clean_corpus(
         .filter((F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs))
         .select("doc_id", "pred_lang", "n_tokens", "quality")
     )
+
+
+def common_ngrams(
+    docs: DataFrame, n: int = 3, min_docs: int = 2, top: int = 100
+) -> DataFrame:
+    """(ngram, n_docs, n_occurrences) — corpus-level frequent word
+    n-grams: the boilerplate-mining primitive (license headers, site
+    chrome, template text) that feeds span-removal and contamination
+    probes.  Returns the ``top`` most frequent n-grams appearing in at
+    least ``min_docs`` distinct documents, totally ordered
+    (occurrences desc, ngram asc) so the selected set is deterministic.
+
+    100 TB shape: the n-gram array is a scan-side Catalyst projection;
+    the explode feeds ONE groupBy(ngram) whose count() partial-aggregates
+    map-side before the shuffle (count_distinct(doc_id) is the only
+    expand); the top-N is a TakeOrdered over the aggregated (already
+    small) ngram table, never the corpus.
+    """
+    w = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    # guard: sequence(1, size-n+1) DESCENDS when size < n (Spark infers
+    # step -1), yielding invalid slice starts — short docs contribute none
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(top)
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf) — per-document top-k terms by
+    tf-idf (idf = ln(N/df)), the keyword-extraction primitive behind
+    topic tagging and quality-aware sampling.  Deterministic: rank by
+    (tfidf desc, term asc) within each doc.
+
+    100 TB shape: explode -> ONE groupBy(doc_id, term) with map-side
+    partial counts; df comes from a second groupBy over the already
+    term-deduped pairs (far smaller than the corpus); N is a broadcast
+    1-row aggregate; the per-doc top-k is a window over doc_id-hashed
+    partitions — the same partitioning the pair table already has.
+    """
+    from pyspark.sql import Window
+
+    w = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    pairs = (
+        docs.select("doc_id", F.explode(w).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("_n"))
+    scored = (
+        pairs.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    )
+    return scored.withColumn("_rk", rk).filter(F.col("_rk") <= k).drop("_rk")

@@ -732,3 +732,69 @@ def test_ivf_pq_scores_are_exact_cosines(spark, emb):
     assert len(got) > 0
     for r in got:
         assert truth[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_common_ngrams_matches_python(spark, docs, docs_pd):
+    from collections import Counter
+
+    from graphblas_algorithms_spark.pipeline.text import common_ngrams
+
+    occ, in_docs = Counter(), {}
+    for did, text in docs_pd.items():
+        w = _norm(text).split(" ")
+        for i in range(len(w) - 2):
+            g = " ".join(w[i : i + 3])
+            occ[g] += 1
+            in_docs.setdefault(g, set()).add(did)
+    want = sorted(
+        ((g, len(in_docs[g]), c) for g, c in occ.items() if len(in_docs[g]) >= 2),
+        key=lambda t: (-t[2], t[0]),
+    )[:50]
+    got = [
+        (r["ngram"], r["n_docs"], r["n_occurrences"])
+        for r in common_ngrams(docs, n=3, min_docs=2, top=50).collect()
+    ]
+    assert got == want
+
+
+def test_common_ngrams_short_docs_contribute_nothing(spark):
+    from graphblas_algorithms_spark.pipeline.text import common_ngrams
+
+    d = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "x y z w"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["ngram"], r["n_docs"], r["n_occurrences"])
+        for r in common_ngrams(d, n=3, min_docs=2, top=10).collect()
+    }
+    # the 2-word docs must not error or emit; "x y z" appears in docs 2,3
+    assert got == {("x y z", 2, 2)}
+
+
+def test_tfidf_topterms_matches_python(spark, docs, docs_pd):
+    import math
+    from collections import Counter
+
+    from graphblas_algorithms_spark.pipeline.text import tfidf_top_terms
+
+    tfs = {did: Counter(_norm(t).split(" ")) for did, t in docs_pd.items()}
+    df = Counter()
+    for c in tfs.values():
+        for term in c:
+            df[term] += 1
+    n = len(tfs)
+    want = {}
+    for did, c in tfs.items():
+        scored = sorted(
+            ((round(tf * math.log(n / df[t]), 6), t, tf) for t, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:5]
+        want[did] = [(t, tf, df[t], s) for s, t, tf in scored]
+    rows = tfidf_top_terms(docs, k=5).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (-r["tfidf"], r["term"])):
+        got.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["df"], r["tfidf"])
+        )
+    assert got == want
