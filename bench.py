@@ -213,6 +213,9 @@ def _sf_queries(spark) -> dict:
         "pipe_ann_ivf",
         "pipe_embedding_lsh",
         "pipe_simhash",
+        # corpus stats: boilerplate n-gram mining + per-doc tf-idf top-k
+        "pipe_common_ngrams",
+        "pipe_tfidf_topterms",
         "events_sessions",
         "olap_pricing",
     ]
