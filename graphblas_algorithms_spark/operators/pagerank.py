@@ -89,12 +89,22 @@ def pagerank(
     use_csr_udf: bool = False,
     skew_salt: int | None = None,
     iteration_hook=None,
+    check_every: int = 1,
 ) -> DataFrame:
     """Returns (id: long, rank: double), dense over G.nodes.
 
     ``fixed_iters`` runs exactly that many supersteps with no convergence
     action (used by the DuckDB-oracle parity queries and benches where
     the iteration count must be deterministic).
+
+    ``check_every=k`` evaluates the convergence criterion only every k-th
+    superstep.  Because the lineage cut is lazy (superstep.py), the k-1
+    unchecked supersteps ride inside the next convergence job: k
+    supersteps cost ONE driver action instead of k, trading at most k-1
+    extra (cheap, post-convergence) iterations for a k-fold cut in
+    job-scheduling floor.  The criterion itself is unchanged — the L1
+    step difference of the LATEST superstep vs the same threshold — so
+    the returned scores are at least as converged as with k=1.
 
     ``tol`` follows the reference's n-scaled criterion ``L1(x_k - x_{k-1})
     < n*tol`` (_helpers.py:21-29) for parity.  That criterion degenerates
@@ -239,7 +249,13 @@ def pagerank(
             if iteration_hook:
                 iteration_hook(it, None)
             continue
-        # single blocking action per superstep: plain column sum
+        if (it + 1) % max(1, check_every) != 0 and it != iters - 1:
+            # unchecked superstep: the lazy lineage cut defers this
+            # step's compute into the next convergence job (no action)
+            if iteration_hook:
+                iteration_hook(it, None)
+            continue
+        # single blocking action per k supersteps: plain column sum
         err = state.agg(F.sum("_diff").alias("err")).collect()[0]["err"]
         if iteration_hook:
             iteration_hook(it, err)

@@ -167,3 +167,29 @@ def test_lineage_cut_canary_not_silently_degraded(spark):
     _release_state(cut)
     n_after = len([i for i in sc._jsc.sc().getRDDStorageInfo()])
     assert n_after < n_before or n_before == 0
+
+
+def test_pagerank_resume_identical_with_check_every(spark, ckpt):
+    """tol-mode resume with check_every: the cadence is keyed on the
+    absolute iteration index, so a killed-and-resumed run replays the
+    same check schedule and lands on the identical final state."""
+    nxg = nx.gnp_random_graph(100, 0.05, seed=42)
+    G = from_networkx(spark, nxg)
+    full = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            G, tol=1e-9, check_every=2, checkpoint_dir=ckpt
+        ).collect()
+    }
+    done = sorted(int(n.split("=")[1]) for n in os.listdir(ckpt))
+    cut = done[len(done) // 2]
+    for name in list(os.listdir(ckpt)):
+        if int(name.split("=")[1]) > cut:
+            shutil.rmtree(os.path.join(ckpt, name))
+    resumed = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            G, tol=1e-9, check_every=2, checkpoint_dir=ckpt, resume=True
+        ).collect()
+    }
+    assert resumed == full  # bit-identical, not just allclose

@@ -135,3 +135,31 @@ def test_tol_abs_overrides_n_scaled(spark):
     got = vector_to_dict(pagerank(G, tol_abs=1e-10), val_col="rank")
     want = pagerank_oracle(nxg, tol=1e-12)
     assert max(abs(got[k] - want[k]) for k in want) < 1e-8
+
+
+def test_check_every_batches_convergence_actions(spark):
+    """check_every=3 runs the same criterion every 3rd superstep: scores
+    match the k=1 run within the fixpoint bound, only every 3rd hook call
+    carries an err value, and convergence still stops the loop."""
+    nxg = nx.gnp_random_graph(300, 0.03, seed=11, directed=True)
+    G = from_networkx(spark, nxg)
+
+    base = vector_to_dict(pagerank(G, tol=1e-9), val_col="rank")
+
+    seen = []
+    got = vector_to_dict(
+        pagerank(G, tol=1e-9, check_every=3,
+                 iteration_hook=lambda it, err: seen.append((it, err))),
+        val_col="rank",
+    )
+    # k=3 result is at least as converged: both within alpha/(1-alpha)*n*tol
+    # of the fixpoint, so their mutual L1 distance is bounded by twice that
+    bound = 2 * 0.85 / 0.15 * 300 * 1e-9
+    assert sum(abs(got[k] - base[k]) for k in base) < bound
+    # only checked supersteps (every 3rd) carry an err measurement
+    checked = [it for it, err in seen if err is not None]
+    unchecked = [it for it, err in seen if err is None]
+    assert checked and all((it + 1) % 3 == 0 or it == seen[-1][0] for it in checked)
+    assert unchecked, "k-1 of every k supersteps must skip the action"
+    # loop actually stopped on the criterion (not max_iter exhaustion)
+    assert len(seen) < 100
