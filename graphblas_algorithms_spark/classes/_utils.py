@@ -8,9 +8,20 @@ int ids; keys reappear only at the output boundary
 
 Spark-first: a global ``row_number()`` window would serialize through a
 single task, so dense ids are assigned with the scalable two-phase trick —
-range-partition by key, count rows per partition, broadcast the tiny
-per-partition offset table, then ``row_number`` *within* each partition.
-Deterministic (pure function of the sorted key set) and fully parallel.
+bucket keys by FROZEN split points, count rows per bucket, broadcast the
+tiny per-bucket offset table, then ``row_number`` *within* each bucket.
+
+Recompute safety (the 100 TB requirement): every value the id mapping
+depends on — split points AND offsets — is frozen into the plan as
+literals, so the mapping is a pure deterministic function of the key set
+and re-executes identically after block loss.  The earlier formulation
+(``repartitionByRange`` + ``spark_partition_id()`` + driver-frozen
+offsets) was only correct for its FIRST materialization: a cache
+eviction, executor loss, or ``clearCache()`` re-ran the range sampler
+under different runtime stats, re-bucketed keys against the stale offset
+table, and silently produced colliding/missing ids (observed: two
+identical PageRank runs with a ``clearCache()`` between them returned
+different scores).
 """
 
 from __future__ import annotations
@@ -27,35 +38,55 @@ def assign_dense_ids(
     Returns ``(id: long, <key_col>)``. Scales: the only driver-side data is
     one row-count per partition.
     """
-    distinct = keys.select(key_col).distinct()
-    if num_partitions is None:
-        num_partitions = distinct.sparkSession.sparkContext.defaultParallelism
-    parted = (
-        distinct.repartitionByRange(num_partitions, key_col)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    parted = parted.persist()
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    distinct = keys.select(key_col).distinct().persist()
     spark = keys.sparkSession
-    offsets_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
-    )
-    w = Window.partitionBy("_pid").orderBy(key_col)
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    # Phase 1: deterministic split points.  A pseudo-uniform fixed-size
+    # sample = the smallest xxhash64 values (per-partition top-k merge,
+    # never a full sort), frozen as LITERALS so re-execution cannot
+    # re-sample.  ~64 sampled keys per bucket keeps bucket skew low.
+    sample = [
+        r[key_col]
+        for r in distinct.orderBy(F.xxhash64(key_col), F.col(key_col))
+        .limit(max(1, num_partitions) * 64)
+        .collect()
+    ]
+    sample.sort()
+    step = max(1, len(sample) // max(1, num_partitions))
+    bounds = sorted(set(sample[step::step]))[: num_partitions - 1]
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        # bucket = #bounds <= key: O(n_buckets) vectorized JVM array ops
+        # per row, no join.  (At many thousands of buckets switch to an
+        # interval join / binary-search expression — same frozen bounds.)
+        bucket = F.size(F.filter(barr, lambda b: b <= F.col(key_col)))
+    else:
+        bucket = F.lit(0)
+    bucketed = distinct.withColumn("_bkt", bucket)
+
+    # Phase 2: per-bucket counts -> frozen offset literals.  Counts are a
+    # pure function of (key set, literal bounds), so the offset table is
+    # reproducible — unlike per-shuffle-partition row counts.
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in bucketed.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for bkt in range(len(bounds) + 1):
+        offsets.append((bkt, acc))
+        acc += counts.get(bkt, 0)
+    offsets_df = spark.createDataFrame(offsets, "_bkt int, _offset long")
+    w = Window.partitionBy("_bkt").orderBy(key_col)
     out = (
-        parted.withColumn("_rn", F.row_number().over(w) - F.lit(1))
-        .join(F.broadcast(offsets_df), "_pid")
+        bucketed.withColumn("_rn", F.row_number().over(w) - F.lit(1))
+        .join(F.broadcast(offsets_df), "_bkt")
         .select((F.col("_offset") + F.col("_rn")).cast("long").alias("id"), key_col)
     )
     out = out.persist()
     out.count()
-    parted.unpersist()
+    distinct.unpersist()
     return out
 
 

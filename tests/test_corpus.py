@@ -71,6 +71,26 @@ def test_link_graph_ids_dense_and_deterministic(spark):
     assert mx["a"] < n and mx["b"] < n
 
 
+def test_dense_ids_survive_cache_loss(spark):
+    """The id mapping must be a pure function of the key set: after every
+    cached block is dropped (the local stand-in for executor loss at
+    cluster scale), re-collecting the SAME nodes DataFrame must yield the
+    identical key->id mapping.  Regression: the repartitionByRange +
+    spark_partition_id formulation re-sampled ranges on recompute against
+    a driver-frozen offset table and silently reassigned ids."""
+    from graphblas_algorithms_spark.classes._utils import assign_dense_ids
+
+    keys = spark.createDataFrame([(f"mod.{i % 97:03d}.{i:05d}",) for i in range(3000)],
+                                 "key string")
+    ids_df = assign_dense_ids(keys, "key", 16)
+    before = {r["key"]: r["id"] for r in ids_df.collect()}
+    assert sorted(before.values()) == list(range(3000))
+    assert [k for k, _ in sorted(before.items(), key=lambda kv: kv[1])] == sorted(before)
+    spark.catalog.clearCache()
+    after = {r["key"]: r["id"] for r in ids_df.collect()}
+    assert before == after
+
+
 def test_hub_skew_present(spark):
     """FIXTURES.md F1: a hub vertex should hold >=5% of all edges."""
     src = synthesize_source_table(spark, n_repos=40, files_per_repo=25)
