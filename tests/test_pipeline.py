@@ -43,12 +43,20 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+    # Unpersist on module teardown: the Spark session is session-scoped, so a
+    # leaked cache entry on this exact scan plan would be substituted into
+    # OTHER modules' plans (test_plans asserts column pruning on the same
+    # parquet — an InMemoryRelation child scan reads all columns).
+    df = spark.read.parquet(f"{SF}/documents.parquet").persist()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

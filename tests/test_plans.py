@@ -33,6 +33,16 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _pristine_cache(spark):
+    """Plan assertions need cache-free plans: a persisted entry matching any
+    scanned subtree (leaked by an earlier module against the session-scoped
+    session) substitutes an InMemoryRelation whose child FileScan reads ALL
+    columns, falsifying the pruning checks without any engine regression."""
+    spark.catalog.clearCache()
+    yield
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet")
