@@ -113,10 +113,10 @@ def _part_digraph(spark, sf_dir) -> DiGraph:
     return DiGraph(fwd.unionByName(bwd), _part_nodes(spark, sf_dir), dedup=True)
 
 
-def _cust_supp_graph(spark, sf_dir) -> DiGraph:
+def _cust_supp_edges(spark, sf_dir):
     o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
+    return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").cast("long").alias("src"),
@@ -124,6 +124,10 @@ def _cust_supp_graph(spark, sf_dir) -> DiGraph:
         )
         .distinct()
     )
+
+
+def _cust_supp_graph(spark, sf_dir) -> DiGraph:
+    e = _cust_supp_edges(spark, sf_dir)
     nodes = (
         _read(spark, sf_dir, "customer")
         .select(F.col("c_custkey").cast("long").alias("id"))
@@ -201,6 +205,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PR_ITERS = 20
+INC_PR_ITERS = (12, 8)  # fixed supersteps per epoch (bulk, warm restart)
 LPA_ITERS = 3
 KATZ_ITERS = 12
 SSSP_ITERS = 8
@@ -259,6 +264,32 @@ def _q_components_incremental(spark, sf_dir):
         .join(labels, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
+
+
+def _q_pagerank_incremental(spark, sf_dir):
+    """Incremental PageRank maintenance (streaming/pagerank.py), made
+    value-hash-deterministic by pinning the superstep count per epoch:
+    epoch 0 converges the 2/3 bulk split of the cust-supp edges from
+    uniform (INC_PR_ITERS[0] supersteps), epoch 1 warm-restarts over the
+    FULL edge set from the epoch-0 snapshot (INC_PR_ITERS[1]).  Exercises
+    pagerank_epoch directly — the same function the streaming sink calls
+    per micro-batch (epoch ORDER matters for PageRank, so the driver query
+    pins it; stream-order delivery is pytest-gated in
+    test_streaming_pagerank.py).  Oracle: the identical two-phase protocol
+    unrolled in SQL (_sql_pagerank_incremental)."""
+    import tempfile
+
+    from graphblas_algorithms_spark.streaming.pagerank import pagerank_epoch
+
+    k0, k1 = INC_PR_ITERS
+    store = tempfile.mkdtemp(prefix="pr_inc_")
+    e = _cust_supp_edges(spark, sf_dir)
+    split = (F.col("src") + F.col("dst")) % 3
+    e.filter(split != 0).write.mode("overwrite").parquet(f"{store}/edges/epoch=0")
+    pagerank_epoch(spark, store, 0, fixed_iters=k0)
+    e.filter(split == 0).write.mode("overwrite").parquet(f"{store}/edges/epoch=1")
+    final = pagerank_epoch(spark, store, 1, fixed_iters=k1)
+    return final.select("id", F.round("rank", 6).alias("rank"))
 
 
 def _q_wcc(spark, sf_dir):
@@ -870,6 +901,7 @@ def _q_frame_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_pagerank": _q_pagerank,
+        "graph_pagerank_incremental": _q_pagerank_incremental,
         "graph_components": _q_components,
         "graph_components_star": _q_components_star,
         "graph_components_incremental": _q_components_incremental,
@@ -944,48 +976,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def _sql_pr_phase(
+    edges: str, nodes: str, tag: str, iters: int, x0_body: str, alpha: float = 0.85
+) -> str:
+    """CTE fragment (leading comma included) unrolling ``iters`` PageRank
+    supersteps over <edges>(src,dst) / <nodes>(id): emits ``outdeg_{tag}``,
+    ``nn_{tag}``, ``{tag}0`` (= ``x0_body``) and ``{tag}1..{tag}N``, each
+    iterate as (id, r).  Composable — the incremental oracle chains two
+    phases (bulk from uniform, then warm restart over the grown graph)."""
+    parts = [
+        f""",
+outdeg_{tag} AS MATERIALIZED (SELECT src, count(*) AS c FROM {edges} GROUP BY src),
+nn_{tag} AS MATERIALIZED (SELECT count(*)::DOUBLE AS cnt FROM {nodes}),
+{tag}0 AS MATERIALIZED ({x0_body})""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+{tag}{k} AS MATERIALIZED (
+  SELECT no.id AS id,
+         (1-{alpha})/nn.cnt
+         + {alpha} * coalesce(c.s, 0)
+         + {alpha} * dm.mass / nn.cnt AS r
+  FROM {nodes} no
+  CROSS JOIN nn_{tag} nn
+  CROSS JOIN (SELECT coalesce(sum(p.r), 0) AS mass
+              FROM {tag}{k-1} p LEFT JOIN outdeg_{tag} od ON p.id = od.src
+              WHERE od.src IS NULL) dm
+  LEFT JOIN (SELECT e.dst AS id, sum(p.r / od.c) AS s
+             FROM {tag}{k-1} p
+             JOIN {edges} e ON p.id = e.src
+             JOIN outdeg_{tag} od ON od.src = e.src
+             GROUP BY e.dst) c ON c.id = no.id
+)"""
+        )
+    return "".join(parts)
+
+
 def _sql_pagerank_unrolled(
     prelude: str, edges: str, nodes: str, out_cols: str, iters: int | None = None
 ) -> str:
     """Unrolled fixed-iteration PageRank over <edges>(src,dst) /
     <nodes>(id) CTEs defined by ``prelude`` — shared by the id-typed and
     the string-keyed (nxapi shell) oracle variants."""
-    alpha = 0.85
     iters = iters or PR_ITERS
-    parts = [
-        "WITH " + prelude.strip().rstrip(",").strip(),
-        f""",
-outdeg AS MATERIALIZED (SELECT src, count(*) AS c FROM {edges} GROUP BY src),
-nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS cnt FROM {nodes}),
-x0 AS MATERIALIZED (SELECT id, 1.0/nn.cnt AS r FROM {nodes}, nn)""",
-    ]
-    for k in range(1, iters + 1):
-        parts.append(
-            f""",
-x{k} AS MATERIALIZED (
-  SELECT no.id AS id,
-         (1-{alpha})/nn.cnt
-         + {alpha} * coalesce(c.s, 0)
-         + {alpha} * dm.mass / nn.cnt AS r
-  FROM {nodes} no
-  CROSS JOIN nn
-  CROSS JOIN (SELECT coalesce(sum(p.r), 0) AS mass
-              FROM x{k-1} p LEFT JOIN outdeg od ON p.id = od.src
-              WHERE od.src IS NULL) dm
-  LEFT JOIN (SELECT e.dst AS id, sum(p.r / od.c) AS s
-             FROM x{k-1} p
-             JOIN {edges} e ON p.id = e.src
-             JOIN outdeg od ON od.src = e.src
-             GROUP BY e.dst) c ON c.id = no.id
-)"""
-        )
-    parts.append(f"\nSELECT {out_cols} FROM x{iters}")
-    return "".join(parts)
+    x0 = f"SELECT id, 1.0/nn.cnt AS r FROM {nodes}, nn_x nn"
+    return (
+        "WITH "
+        + prelude.strip().rstrip(",").strip()
+        + _sql_pr_phase(edges, nodes, "x", iters, x0)
+        + f"\nSELECT {out_cols} FROM x{iters}"
+    )
 
 
 def _sql_pagerank() -> str:
     return _sql_pagerank_unrolled(
         _SQL_CUST_SUPP, "cs_edges", "cs_nodes", "id, round(r, 6) AS rank"
+    )
+
+
+def _sql_pagerank_incremental() -> str:
+    """Two-epoch replay of streaming/pagerank.py's maintenance protocol:
+    converge (fixed supersteps) on the 2/3 bulk split from uniform, then
+    warm-restart over the FULL edge set from the bulk scores
+    (L1-normalized; nodes new in the delta enter at 0 — exactly
+    pagerank()'s nstart semantics).  Node set per phase = endpoints of
+    the accumulated edges, mirroring pagerank_epoch."""
+    k0, k1 = INC_PR_ITERS
+    prelude = """
+cs_edges AS (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e0 AS (SELECT * FROM cs_edges WHERE (src + dst) % 3 <> 0),
+n0 AS (SELECT src AS id FROM e0 UNION SELECT dst AS id FROM e0),
+nall AS (SELECT src AS id FROM cs_edges UNION SELECT dst AS id FROM cs_edges)
+"""
+    warm_x0 = f"""
+  SELECT na.id AS id, coalesce(p.r / t.total, 0.0) AS r
+  FROM nall na
+  LEFT JOIN y{k0} p ON p.id = na.id
+  CROSS JOIN (SELECT sum(r) AS total FROM y{k0}) t
+"""
+    return (
+        "WITH "
+        + prelude.strip()
+        + _sql_pr_phase("e0", "n0", "y", k0, "SELECT id, 1.0/nn.cnt AS r FROM n0, nn_y nn")
+        + _sql_pr_phase("cs_edges", "nall", "x", k1, warm_x0)
+        + f"\nSELECT id, round(r, 6) AS rank FROM x{k1}"
     )
 
 
@@ -2119,6 +2197,7 @@ SELECT asset_id, unnest(range(0, nf, 5))::BIGINT AS frame_idx FROM v
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_pagerank": _sql_pagerank(),
+        "graph_pagerank_incremental": _sql_pagerank_incremental(),
         "graph_components": _SQL_COMPONENTS,
         "graph_components_star": _SQL_COMPONENTS,
         "graph_components_incremental": _SQL_COMPONENTS,

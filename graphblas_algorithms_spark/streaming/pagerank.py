@@ -91,9 +91,15 @@ def pagerank_epoch(
     tol: float = 1e-6,
     tol_abs: float | None = 1e-4,
     max_iter: int = 100,
+    fixed_iters: int | None = None,
 ) -> DataFrame:
     """Recompute scores over ALL edges accumulated through ``epoch``,
-    warm-started from the previous snapshot.  Pure given the stores."""
+    warm-started from the previous snapshot.  Pure given the stores.
+
+    ``fixed_iters`` pins the superstep count per epoch (no convergence
+    action) — the deterministic protocol the driver's value-hash oracle
+    (`graph_pagerank_incremental`) replays in unrolled SQL; production
+    maintenance uses the ``tol_abs`` gate instead."""
     from ..classes.graph import DiGraph
     from ..operators.pagerank import pagerank
 
@@ -120,6 +126,7 @@ def pagerank_epoch(
         tol_abs=tol_abs,
         max_iter=max_iter,
         nstart=prev,
+        fixed_iters=fixed_iters,
         iteration_hook=hook,
     )
     out_dir = os.path.join(store_dir, "scores", f"epoch={epoch}")
@@ -147,6 +154,7 @@ def incremental_pagerank(
     tol_abs: float | None = 1e-4,
     max_iter: int = 100,
     max_files_per_trigger: int | None = None,
+    fixed_iters: int | None = None,
 ):
     """Start the maintenance stream; returns the StreamingQuery."""
     reader = spark.readStream.schema(_EDGE_SCHEMA)
@@ -161,7 +169,7 @@ def incremental_pagerank(
         )
         pagerank_epoch(
             sess, store_dir, epoch, alpha=alpha, tol=tol, tol_abs=tol_abs,
-            max_iter=max_iter,
+            max_iter=max_iter, fixed_iters=fixed_iters,
         )
 
     return (
