@@ -266,6 +266,40 @@ def _q_components_incremental(spark, sf_dir):
     )
 
 
+def _q_pagerank_weighted(spark, sf_dir):
+    """Weighted directed PageRank: contributions proportional to edge
+    weight (out-degree = sum of weights).  Edges = even-sum part pairs
+    with deterministic weight 1+(src+dst)%5; dense over part_nodes so
+    isolated parts exercise the dangling + teleport terms."""
+    from graphblas_algorithms_spark.operators.pagerank import pagerank
+
+    e = (
+        _part_pairs(spark, sf_dir)
+        .filter((F.col("src") + F.col("dst")) % 2 == 0)
+        .select(
+            "src",
+            "dst",
+            (1 + (F.col("src") + F.col("dst")) % 5).cast("double").alias("weight"),
+        )
+    )
+    G = DiGraph(e, _part_nodes(spark, sf_dir), dedup=False)
+    r = pagerank(G, alpha=0.85, fixed_iters=PR_ITERS)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank with the teleport vector supplied as a
+    DataFrame (the scale-correct form — an O(n) vector can't live in a
+    driver dict at 10^12 nodes): p ∝ 1 + id%7 over the cust-supp nodes,
+    L1-normalized by the kernel; dangling mass follows p."""
+    from graphblas_algorithms_spark.operators.pagerank import pagerank
+
+    G = _cust_supp_graph(spark, sf_dir)
+    p = G.nodes.select("id", (1 + F.col("id") % 7).cast("double").alias("value"))
+    r = pagerank(G, alpha=0.85, personalization=p, fixed_iters=PR_ITERS)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
 def _q_pagerank_incremental(spark, sf_dir):
     """Incremental PageRank maintenance (streaming/pagerank.py), made
     value-hash-deterministic by pinning the superstep count per epoch:
@@ -901,6 +935,8 @@ def _q_frame_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_pagerank": _q_pagerank,
+        "graph_pagerank_weighted": _q_pagerank_weighted,
+        "graph_pagerank_personalized": _q_pagerank_personalized,
         "graph_pagerank_incremental": _q_pagerank_incremental,
         "graph_components": _q_components,
         "graph_components_star": _q_components_star,
@@ -977,16 +1013,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _sql_pr_phase(
-    edges: str, nodes: str, tag: str, iters: int, x0_body: str, alpha: float = 0.85
+    edges: str,
+    nodes: str,
+    tag: str,
+    iters: int,
+    x0_body: str,
+    alpha: float = 0.85,
+    weighted: bool = False,
+    pers: str | None = None,
 ) -> str:
     """CTE fragment (leading comma included) unrolling ``iters`` PageRank
-    supersteps over <edges>(src,dst) / <nodes>(id): emits ``outdeg_{tag}``,
-    ``nn_{tag}``, ``{tag}0`` (= ``x0_body``) and ``{tag}1..{tag}N``, each
-    iterate as (id, r).  Composable — the incremental oracle chains two
-    phases (bulk from uniform, then warm restart over the grown graph)."""
+    supersteps over <edges>(src,dst[,w]) / <nodes>(id): emits
+    ``outdeg_{tag}``, ``nn_{tag}``, ``{tag}0`` (= ``x0_body``) and
+    ``{tag}1..{tag}N``, each iterate as (id, r).  Composable — the
+    incremental oracle chains two phases (bulk from uniform, then warm
+    restart over the grown graph).  ``weighted`` reads edge weight ``w``
+    (out-degree = sum of weights, contributions weight-proportional);
+    ``pers`` names a (id, p) CTE of L1-normalized teleport weights that
+    replaces the uniform 1/n in BOTH the teleport and the
+    dangling-redistribution terms (dangling=None kernel semantics)."""
+    od = "sum(w)" if weighted else "count(*)"
+    contrib = "p.r * e.w / od.c" if weighted else "p.r / od.c"
+    if pers is None:
+        tele = f"(1-{alpha})/nn.cnt"
+        dang = f"{alpha} * dm.mass / nn.cnt"
+        pers_join = ""
+    else:
+        tele = f"(1-{alpha}) * coalesce(pp.p, 0)"
+        dang = f"{alpha} * dm.mass * coalesce(pp.p, 0)"
+        pers_join = f"\n  LEFT JOIN {pers} pp ON pp.id = no.id"
     parts = [
         f""",
-outdeg_{tag} AS MATERIALIZED (SELECT src, count(*) AS c FROM {edges} GROUP BY src),
+outdeg_{tag} AS MATERIALIZED (SELECT src, {od} AS c FROM {edges} GROUP BY src),
 nn_{tag} AS MATERIALIZED (SELECT count(*)::DOUBLE AS cnt FROM {nodes}),
 {tag}0 AS MATERIALIZED ({x0_body})""",
     ]
@@ -995,15 +1053,15 @@ nn_{tag} AS MATERIALIZED (SELECT count(*)::DOUBLE AS cnt FROM {nodes}),
             f""",
 {tag}{k} AS MATERIALIZED (
   SELECT no.id AS id,
-         (1-{alpha})/nn.cnt
+         {tele}
          + {alpha} * coalesce(c.s, 0)
-         + {alpha} * dm.mass / nn.cnt AS r
+         + {dang} AS r
   FROM {nodes} no
   CROSS JOIN nn_{tag} nn
   CROSS JOIN (SELECT coalesce(sum(p.r), 0) AS mass
               FROM {tag}{k-1} p LEFT JOIN outdeg_{tag} od ON p.id = od.src
-              WHERE od.src IS NULL) dm
-  LEFT JOIN (SELECT e.dst AS id, sum(p.r / od.c) AS s
+              WHERE od.src IS NULL) dm{pers_join}
+  LEFT JOIN (SELECT e.dst AS id, sum({contrib}) AS s
              FROM {tag}{k-1} p
              JOIN {edges} e ON p.id = e.src
              JOIN outdeg_{tag} od ON od.src = e.src
@@ -1032,6 +1090,49 @@ def _sql_pagerank_unrolled(
 def _sql_pagerank() -> str:
     return _sql_pagerank_unrolled(
         _SQL_CUST_SUPP, "cs_edges", "cs_nodes", "id, round(r, 6) AS rank"
+    )
+
+
+def _sql_pagerank_weighted() -> str:
+    """Weight-proportional contributions: out-"degree" = sum of edge
+    weights, each neighbor receives r * w/sum_w (pagerank weighted
+    branch; reference pagerank_alg.py S = A.reduce_rowwise() over
+    weights)."""
+    prelude = (
+        _SQL_PART.strip().rstrip(",").strip()
+        + """,
+we AS (
+  SELECT src, dst, (1 + (src + dst) % 5)::DOUBLE AS w
+  FROM part_pairs WHERE (src + dst) % 2 = 0
+)
+"""
+    )
+    x0 = "SELECT id, 1.0/nn.cnt AS r FROM part_nodes, nn_x nn"
+    return (
+        "WITH "
+        + prelude.strip()
+        + _sql_pr_phase("we", "part_nodes", "x", PR_ITERS, x0, weighted=True)
+        + f"\nSELECT id, round(r, 6) AS rank FROM x{PR_ITERS}"
+    )
+
+
+def _sql_pagerank_personalized() -> str:
+    """Non-uniform teleport: p ∝ 1 + id%7, L1-normalized; dangling mass
+    redistributes by the same p (kernel dangling=None semantics,
+    reference pagerank_alg.py p / dangling_weights)."""
+    prelude = (
+        _SQL_CUST_SUPP.strip().rstrip(",").strip()
+        + """,
+p0 AS (SELECT id, (1 + id % 7)::DOUBLE AS praw FROM cs_nodes),
+pers AS (SELECT id, praw / (SELECT sum(praw) FROM p0) AS p FROM p0)
+"""
+    )
+    x0 = "SELECT id, 1.0/nn.cnt AS r FROM cs_nodes, nn_x nn"
+    return (
+        "WITH "
+        + prelude.strip()
+        + _sql_pr_phase("cs_edges", "cs_nodes", "x", PR_ITERS, x0, pers="pers")
+        + f"\nSELECT id, round(r, 6) AS rank FROM x{PR_ITERS}"
     )
 
 
@@ -2197,6 +2298,8 @@ SELECT asset_id, unnest(range(0, nf, 5))::BIGINT AS frame_idx FROM v
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_pagerank": _sql_pagerank(),
+        "graph_pagerank_weighted": _sql_pagerank_weighted(),
+        "graph_pagerank_personalized": _sql_pagerank_personalized(),
         "graph_pagerank_incremental": _sql_pagerank_incremental(),
         "graph_components": _SQL_COMPONENTS,
         "graph_components_star": _SQL_COMPONENTS,

@@ -53,14 +53,30 @@ from ..functions.semiring import salted_vxm_sum, vxm
 from ..plans.superstep import Superstep
 
 
-def _normalized_vector(nodes: DataFrame, mapping: dict | None, default_dense: bool):
-    """(id, value) with values summing to 1; dense 1/n when mapping None."""
+def _normalized_vector(
+    nodes: DataFrame, mapping: dict | DataFrame | None, default_dense: bool
+):
+    """(id, value) with values summing to 1; dense 1/n when mapping None.
+
+    The DataFrame form (id, value) is the scale-correct way to pass
+    personalization / dangling weights: at web scale those vectors are
+    O(n) and cannot live in a driver-side dict.  Same semantics as the
+    dict form — L1-normalized, nodes absent from the vector get 0."""
     spark = nodes.sparkSession
     if mapping is None:
         if not default_dense:
             return None
         n = nodes.count()
         return nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("value"))
+    if isinstance(mapping, DataFrame):
+        vcol = "value" if "value" in mapping.columns else mapping.columns[-1]
+        row = mapping.agg(F.sum(vcol).alias("t")).collect()[0]
+        total = float(row["t"]) if row["t"] is not None else 0.0
+        if total <= 0:
+            raise ZeroDivisionError("vector sums to 0")
+        return mapping.select(
+            "id", (F.col(vcol) / F.lit(total)).alias("value")
+        )
     total = float(sum(mapping.values()))
     if total <= 0:
         raise ZeroDivisionError("vector sums to 0")
@@ -75,12 +91,12 @@ _STATE_COLS = ("id", "value", "_tele", "_dw", "_dang")
 def pagerank(
     G,
     alpha: float = 0.85,
-    personalization: dict | None = None,
+    personalization: dict | DataFrame | None = None,
     max_iter: int = 100,
     tol: float | None = 1e-6,
     tol_abs: float | None = None,
     nstart: dict | DataFrame | None = None,
-    dangling: dict | None = None,
+    dangling: dict | DataFrame | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     checkpoint_table: str | None = None,

@@ -91,6 +91,33 @@ def test_dangling_weights(spark):
     _check(spark, nxg, dangling=dang, fixed_iters=12)
 
 
+def test_dataframe_vector_forms_match_dicts(spark):
+    """personalization/dangling as DataFrames (the scale-correct O(n)
+    form — a 10^12-node teleport vector can't live in a driver dict)
+    must agree exactly with the dict forms."""
+    nxg = nx.gnp_random_graph(50, 0.08, seed=19, directed=True)
+    pers = {i: (i % 3) + 1.0 for i in nxg.nodes}
+    dang = {i: float(i % 4) + 0.5 for i in nxg.nodes}
+    G = from_networkx(spark, nxg)
+
+    def as_df(d):
+        return spark.createDataFrame(
+            [(int(k), float(v)) for k, v in d.items()], "id long, value double"
+        )
+
+    pers_df = as_df(pers)
+    dang_df = as_df(dang)
+    for kw_dict, kw_df in (
+        ({"personalization": pers}, {"personalization": pers_df}),
+        ({"dangling": dang}, {"dangling": dang_df}),
+    ):
+        a = vector_to_dict(pagerank(G, fixed_iters=8, **kw_dict), val_col="rank")
+        b = vector_to_dict(pagerank(G, fixed_iters=8, **kw_df), val_col="rank")
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == pytest.approx(b[k], abs=1e-12), f"node {k}"
+
+
 def test_csr_udf_path_matches(spark):
     # CSR-block pandas-UDF gather-scatter path == pure-SQL path
     nxg = nx.gnp_random_graph(80, 0.1, seed=3)
