@@ -30,6 +30,38 @@ _PATTERNS = {
 }
 
 
+_SOURCE_COLS = ("repo", "path", "commit", "lang", "content")
+
+
+def read_source_table(spark, ref: str) -> DataFrame:
+    """Load the source-code table (input_hint schema: repo, path, commit,
+    lang, content) from either a filesystem path (parquet directory) or
+    a catalog table identifier — e.g. an Iceberg table
+    ``catalog.db.repos`` (any Spark V2 catalog resolves the same way;
+    the north_rule's 10^12-file corpus lives in Iceberg, where partition
+    pruning on repo/lang and snapshot isolation come from the catalog,
+    not this reader).  Validates the required columns so a wrong table
+    fails here with a clear message instead of deep inside extraction.
+
+    Heuristic: a ``ref`` containing a path separator (or pointing at an
+    existing local file) reads as parquet; anything else resolves
+    through ``spark.table`` (catalog tables, temp views).
+    """
+    import os
+
+    if "/" in ref or os.path.exists(ref):
+        df = spark.read.parquet(ref)
+    else:
+        df = spark.table(ref)
+    missing = [c for c in _SOURCE_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"source table {ref!r} is missing column(s) {missing}; "
+            f"expected at least {_SOURCE_COLS} (input_hint schema)"
+        )
+    return df
+
+
 def extract_import_pairs(source: DataFrame) -> DataFrame:
     """(src_module: string, dst_module: string) — one row per import edge.
 

@@ -167,3 +167,29 @@ def test_snapshot_latest_dedups_to_head(spark):
     ).collect()[0]
     # synthesized commits are hex sha prefixes > "11...1" lexicographically
     assert got["commit"] == victim["commit"] and got["content"] == victim["content"]
+
+
+def test_read_source_table_path_and_catalog_forms(spark, tmp_path):
+    """read_source_table resolves both a parquet path and a catalog/view
+    identifier (the Iceberg-table form: any V2 catalog resolves through
+    spark.table the same way) and rejects wrong-schema inputs early."""
+    import pytest
+
+    from graphblas_algorithms_spark.sources.edges import read_source_table
+
+    src = synthesize_source_table(spark, n_repos=3, files_per_repo=4)
+    p = str(tmp_path / "src_table")
+    src.write.parquet(p)
+
+    by_path = read_source_table(spark, p)
+    assert by_path.count() == 12
+
+    src.createOrReplaceTempView("repos_view")
+    by_table = read_source_table(spark, "repos_view")
+    assert by_table.count() == 12
+    # both forms feed the same extraction
+    assert extract_import_pairs(by_path).count() == extract_import_pairs(by_table).count()
+
+    spark.range(3).createOrReplaceTempView("not_a_corpus")
+    with pytest.raises(ValueError, match="missing column"):
+        read_source_table(spark, "not_a_corpus")
