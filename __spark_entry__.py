@@ -517,6 +517,22 @@ def _q_ego(spark, sf_dir):
     return K.edges.select("src", "dst")
 
 
+def _q_neighborhood_function(spark, sf_dir):
+    """ANF distance-distribution sketch (operators/anf.py): estimated
+    #pairs within h hops per h, over the part graph.  Approximate by
+    nature (FM bitmasks, ~1/sqrt(k) rel. error) — no SQL oracle;
+    accuracy is pytest-gated differentially vs exact networkx closures
+    (tests/test_anf.py), like the IVF-ANN entries.  Deterministic:
+    hash-seeded init + OR propagation, so rows are stable run to run."""
+    from graphblas_algorithms_spark.operators.anf import neighborhood_function
+
+    nf = neighborhood_function(_part_graph(spark, sf_dir), k=32, seed=42)
+    return spark.createDataFrame(
+        [(int(p["h"]), float(round(p["reachable_pairs"], 3))) for p in nf],
+        "h int, reachable_pairs double",
+    )
+
+
 def _q_square_clustering(spark, sf_dir):
     from graphblas_algorithms_spark.operators.cluster_extra import square_clustering
 
@@ -962,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_parent": _q_bfs_parent,
         "graph_bfs_multi": _q_bfs_multi,
         "graph_ego": _q_ego,
+        "graph_neighborhood_function": _q_neighborhood_function,
         "graph_square_clustering": _q_square_clustering,
         "graph_clustering_directed": _q_clustering_directed,
         "graph_generalized_degree": _q_generalized_degree,
