@@ -152,6 +152,10 @@ def pagerank(
             "src", "dst", (F.lit(alpha) / F.col("_od")).alias("weight")
         )
     num_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # NOTE: pre-sorting this cache by src (so SMJ skips its edge-side
+    # sort) was measured NEUTRAL at 111M edges/local[16] — 8.16 vs 8.36
+    # s/superstep, within noise; the shuffle dominates — so the cache
+    # stays sort-free.
     adj_coef = adj_coef.repartition(num_part, "src").persist()
 
     # --- per-node constants, carried INSIDE the state ---------------------
