@@ -571,6 +571,25 @@ def _q_ktruss(spark, sf_dir):
     return K.edges.select("src", "dst")
 
 
+def _q_kcore(spark, sf_dir):
+    """k-core peel fixpoint (operators/kcore.py).  Deterministic, so the
+    oracle unrolls KCORE_ROUNDS degree-filter rounds — over-unrolling is
+    a no-op past the fixpoint, same reasoning as graph_ktruss."""
+    from graphblas_algorithms_spark.operators.kcore import k_core
+
+    K = k_core(_part_graph(spark, sf_dir), KCORE_K)
+    return K.edges.select("src", "dst")
+
+
+def _q_core_number(spark, sf_dir):
+    """Coreness of every part node via the iterated neighborhood h-index
+    (converges to the exact core number); oracle unrolls the same
+    iteration in SQL with a ranked window per round."""
+    from graphblas_algorithms_spark.operators.kcore import core_number
+
+    return core_number(_part_graph(spark, sf_dir)).select("id", "core")
+
+
 def _q_isolates(spark, sf_dir):
     from graphblas_algorithms_spark.operators.structure import isolates
 
@@ -984,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_generalized_degree": _q_generalized_degree,
         "graph_edge_support": _q_edge_support,
         "graph_ktruss": _q_ktruss,
+        "graph_kcore": _q_kcore,
+        "graph_core_number": _q_core_number,
         "graph_isolates": _q_isolates,
         "graph_smetric": _q_smetric,
         "graph_reciprocity": _q_reciprocity,
@@ -1453,6 +1474,67 @@ e{r} AS MATERIALIZED (
 )"""
         )
     parts.append(f"\nSELECT src, dst FROM e{KTRUSS_ROUNDS}")
+    return "".join(parts)
+
+
+KCORE_K = 8
+KCORE_ROUNDS = 10  # >= the sf0.01 peel fixpoint depth; extra rounds no-op
+CORE_NUMBER_ROUNDS = 32  # sf0.01 h-index fixpoint measured at <=20 rounds; margin
+
+
+def _sql_kcore() -> str:
+    """Unrolled k-core: per round, keep edges whose BOTH endpoints have
+    degree >= k in the surviving edge set."""
+    parts = ["WITH " + _SQL_PART.strip()]
+    parts.append(",\nke0 AS MATERIALIZED (SELECT src, dst FROM part_pairs)")
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+kd{r} AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT id, count(*) AS c FROM (
+      SELECT src AS id FROM ke{r-1} UNION ALL SELECT dst FROM ke{r-1}
+    ) GROUP BY id
+  ) WHERE c >= {KCORE_K}
+),
+ke{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM ke{r-1} e
+  JOIN kd{r} a ON e.src = a.id
+  JOIN kd{r} b ON e.dst = b.id
+)"""
+        )
+    parts.append(f"\nSELECT src, dst FROM ke{KCORE_ROUNDS}")
+    return "".join(parts)
+
+
+def _sql_core_number() -> str:
+    """Unrolled iterated h-index from the degree vector: c(v) <- largest
+    r such that >= r neighbors have value >= r (ranked window)."""
+    parts = ["WITH " + _SQL_PART.strip()]
+    parts.append(
+        """,
+cn0 AS MATERIALIZED (
+  SELECT n.id, coalesce(d.c, 0)::BIGINT AS core
+  FROM part_nodes n LEFT JOIN (
+    SELECT src AS id, count(*) AS c FROM sym GROUP BY src
+  ) d ON d.id = n.id
+)"""
+    )
+    for r in range(1, CORE_NUMBER_ROUNDS + 1):
+        parts.append(
+            f""",
+cn{r} AS MATERIALIZED (
+  SELECT n.id, coalesce(h._h, 0)::BIGINT AS core
+  FROM part_nodes n LEFT JOIN (
+    SELECT id, max(_r) AS _h FROM (
+      SELECT e.src AS id, p.core AS _c,
+             row_number() OVER (PARTITION BY e.src ORDER BY p.core DESC) AS _r
+      FROM sym e JOIN cn{r-1} p ON p.id = e.dst
+    ) WHERE _c >= _r GROUP BY id
+  ) h ON h.id = n.id
+)"""
+        )
+    parts.append(f"\nSELECT id, core FROM cn{CORE_NUMBER_ROUNDS}")
     return "".join(parts)
 
 
@@ -2347,6 +2429,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_generalized_degree": _SQL_GENERALIZED_DEGREE,
         "graph_edge_support": _SQL_EDGE_SUPPORT,
         "graph_ktruss": _sql_ktruss(),
+        "graph_kcore": _sql_kcore(),
+        "graph_core_number": _sql_core_number(),
         "graph_isolates": _SQL_ISOLATES,
         "graph_smetric": _SQL_SMETRIC,
         "graph_reciprocity": _SQL_RECIPROCITY,
