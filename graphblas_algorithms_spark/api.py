@@ -218,6 +218,37 @@ class KeyedGraph:
             .select("src_key", "dst_key")
         )
 
+    def k_core(self, k: int) -> DataFrame:
+        """Surviving edges of the k-core, keyed (src_key, dst_key)."""
+        from .operators.kcore import k_core as _f
+
+        K = _f(self.G, k)
+        dim = self._dim
+        return (
+            K.edges.join(dim.withColumnRenamed("id", "src"), "src")
+            .withColumnRenamed("key", "src_key")
+            .join(dim.withColumnRenamed("id", "dst"), "dst")
+            .withColumnRenamed("key", "dst_key")
+            .select("src_key", "dst_key")
+        )
+
+    def core_number(self, **kw) -> DataFrame:
+        """(key, core) — every node's coreness."""
+        from .operators.kcore import core_number as _f
+
+        return self._keyed(_f(self.G, **kw))
+
+    def neighborhood_function(self, **kw) -> list:
+        """ANF distance-distribution estimate (aggregate — no key join)."""
+        from .operators.anf import neighborhood_function as _f
+
+        return _f(self.G, **kw)
+
+    def effective_diameter(self, **kw) -> float:
+        from .operators.anf import effective_diameter as _f
+
+        return _f(self.G, **kw)
+
     # -- traversal / shortest paths ----------------------------------------
     def bfs_levels(self, source_key, **kw) -> DataFrame:
         from .operators.traversal import bfs_levels as _f

@@ -218,3 +218,25 @@ def test_keyed_multi_source_bfs(kg_and_nx):
     assert got_d == {key[u] for u in nx.descendants(nxg, 0)}
     got_a = {r["key"] for r in kg.ancestors(key[0]).collect()}
     assert got_a == {key[u] for u in nx.ancestors(nxg, 0)}
+
+
+def test_keyed_kcore_and_anf(spark):
+    nxg = nx.gnp_random_graph(40, 0.15, seed=17)
+    key = {i: f"m{i:02d}" for i in nxg.nodes}
+    rows = [(key[u], key[v]) for u, v in nxg.edges]
+    raw = spark.createDataFrame(rows, "a string, b string")
+    kg = KeyedGraph(raw, "a", "b", directed=False)
+
+    want = {tuple(sorted((key[u], key[v]))) for u, v in nx.k_core(nxg, 3).edges()}
+    got = {
+        tuple(sorted((r["src_key"], r["dst_key"]))) for r in kg.k_core(3).collect()
+    }
+    assert got == want
+
+    got_core = kg.to_dict(kg.core_number(), "core")
+    want_core = nx.core_number(nxg)
+    assert got_core == {key[u]: int(c) for u, c in want_core.items()}
+
+    nf = kg.neighborhood_function(k=32)
+    assert nf[0]["reachable_pairs"] == float(kg.G.n)
+    assert kg.effective_diameter(k=32) > 0.0
