@@ -590,6 +590,26 @@ def _q_core_number(spark, sf_dir):
     return core_number(_part_graph(spark, sf_dir)).select("id", "core")
 
 
+def _q_linkpred(spark, sf_dir):
+    """Link prediction over the co-purchase graph: every non-edge pair at
+    distance 2 with >= 15 common neighbors, scored with the full
+    CN-family (jaccard / adamic-adar / resource-allocation /
+    preferential-attachment).  Oracle replicates the wedge aggregation
+    verbatim in SQL."""
+    from graphblas_algorithms_spark.operators.linkpred import link_prediction_scores
+
+    s = link_prediction_scores(_part_graph(spark, sf_dir), min_common=15)
+    return s.select(
+        "u",
+        "w",
+        "cn",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        "pref_attachment",
+    )
+
+
 def _q_isolates(spark, sf_dir):
     from graphblas_algorithms_spark.operators.structure import isolates
 
@@ -1005,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": _q_ktruss,
         "graph_kcore": _q_kcore,
         "graph_core_number": _q_core_number,
+        "graph_linkpred": _q_linkpred,
         "graph_isolates": _q_isolates,
         "graph_smetric": _q_smetric,
         "graph_reciprocity": _q_reciprocity,
@@ -1309,6 +1330,32 @@ FROM part_nodes n LEFT JOIN cnt ON n.id = cnt.id
 
 _SQL_DEG_MINUS = """
 deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM sym GROUP BY src)
+"""
+
+# link prediction: distance-2 non-edge pairs with >= 15 common neighbors,
+# CN-family scores (mirrors operators/linkpred.py:link_prediction_scores)
+_SQL_LINKPRED = f"""WITH {_SQL_PART.strip()},
+{_SQL_DEG_MINUS.strip()},
+cen AS (
+  SELECT s.src AS v, s.dst AS n, deg.d AS dv FROM sym s JOIN deg ON deg.id = s.src
+),
+wed AS (
+  SELECT l.n AS u, r.n AS w, count(*)::BIGINT AS cn,
+         sum(1.0 / ln(l.dv)) AS aa, sum(1.0 / l.dv) AS ra
+  FROM cen l JOIN cen r ON l.v = r.v AND l.n < r.n
+  GROUP BY 1, 2
+),
+cand AS (SELECT * FROM wed WHERE cn >= 15),
+ne AS (
+  SELECT cand.* FROM cand
+  ANTI JOIN part_pairs p ON cand.u = p.src AND cand.w = p.dst
+)
+SELECT ne.u, ne.w, ne.cn,
+       round(ne.cn / (du.d + dw.d - ne.cn), 6) AS jaccard,
+       round(ne.aa, 6) AS adamic_adar,
+       round(ne.ra, 6) AS resource_allocation,
+       (du.d * dw.d)::BIGINT AS pref_attachment
+FROM ne JOIN deg du ON du.id = ne.u JOIN deg dw ON dw.id = ne.w
 """
 
 # weighted triangles: per-triangle tw = cbrt(w1*w2*w3)/max_w, summed per
@@ -2431,6 +2478,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ktruss": _sql_ktruss(),
         "graph_kcore": _sql_kcore(),
         "graph_core_number": _sql_core_number(),
+        "graph_linkpred": _SQL_LINKPRED,
         "graph_isolates": _SQL_ISOLATES,
         "graph_smetric": _SQL_SMETRIC,
         "graph_reciprocity": _SQL_RECIPROCITY,
