@@ -610,6 +610,19 @@ def _q_linkpred(spark, sf_dir):
     )
 
 
+def _q_harmonic(spark, sf_dir):
+    """Sampled harmonic centrality: sum of 1/d(s, v) over the 48
+    lowest-id pivot sources — the pivot form is the estimator that
+    scales (one (k x n) matrix-frontier BFS); the oracle replays the
+    same pivot BFS as a recursive CTE."""
+    from graphblas_algorithms_spark.operators.centrality import harmonic_centrality
+
+    G = _part_graph(spark, sf_dir)
+    srcs = [r["id"] for r in G.nodes.orderBy("id").limit(48).collect()]
+    h = harmonic_centrality(G, sources=srcs)
+    return h.select("id", F.round("harmonic", 6).alias("harmonic"))
+
+
 def _q_isolates(spark, sf_dir):
     from graphblas_algorithms_spark.operators.structure import isolates
 
@@ -1026,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _q_kcore,
         "graph_core_number": _q_core_number,
         "graph_linkpred": _q_linkpred,
+        "graph_harmonic": _q_harmonic,
         "graph_isolates": _q_isolates,
         "graph_smetric": _q_smetric,
         "graph_reciprocity": _q_reciprocity,
@@ -1712,6 +1726,24 @@ reach(source, id, lvl) AS (
   WHERE r.lvl < 12
 )
 SELECT source, id, min(lvl)::BIGINT AS level FROM reach GROUP BY source, id
+"""
+
+# sampled harmonic centrality: 48 lowest-id pivots, sum(1/dist) per node
+# (mirrors operators/centrality.py:harmonic_centrality(sources=...))
+_SQL_HARMONIC = f"""
+WITH RECURSIVE {_SQL_PART.strip()},
+srcs AS (SELECT id AS s FROM part_nodes ORDER BY id LIMIT 48),
+reach(source, id, lvl) AS (
+  SELECT s, s, 0::BIGINT FROM srcs
+  UNION
+  SELECT r.source, e.dst, r.lvl + 1
+  FROM reach r JOIN sym e ON e.src = r.id
+  WHERE r.lvl < 12
+),
+dist AS (SELECT source, id, min(lvl) AS d FROM reach GROUP BY source, id),
+h AS (SELECT id, sum(1.0 / d) AS h FROM dist WHERE source <> id GROUP BY id)
+SELECT n.id, round(coalesce(h.h, 0.0), 6) AS harmonic
+FROM part_nodes n LEFT JOIN h ON n.id = h.id
 """
 
 _SQL_EGO = f"""
@@ -2479,6 +2511,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _sql_kcore(),
         "graph_core_number": _sql_core_number(),
         "graph_linkpred": _SQL_LINKPRED,
+        "graph_harmonic": _SQL_HARMONIC,
         "graph_isolates": _SQL_ISOLATES,
         "graph_smetric": _SQL_SMETRIC,
         "graph_reciprocity": _SQL_RECIPROCITY,

@@ -275,3 +275,70 @@ def hits(
         a = a.select("id", F.col("value").alias("authority"))
     adj.unpersist()
     return h, a
+
+
+def harmonic_centrality(
+    G,
+    sources: list[int] | None = None,
+    dense: bool = True,
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """(id, harmonic: double) = sum over s in ``sources`` of 1/d(s, id).
+
+    NetworkX ``harmonic_centrality`` semantics (not in the reference —
+    the distance side of the centrality family its BFS kernels imply).
+    ``sources=None`` is the exact all-sources form — O(n) batched BFS,
+    small-graph only; an explicit pivot set is the scale path (the
+    standard sampled-harmonic estimator: k pivots = one (k x n) matrix
+    frontier, the same O9 queries-as-matrix shape as ``bfs_levels_multi``,
+    cost independent of n beyond the BFS itself).  Unreachable pairs
+    contribute 0; for directed graphs distances follow edge direction
+    INTO the node (nx convention: d(s, v))."""
+    from .shortest_paths import all_pairs_shortest_path_length
+
+    dists = all_pairs_shortest_path_length(G, sources=sources, chunk_size=chunk_size)
+    h = (
+        dists.filter(F.col("source") != F.col("id"))
+        .groupBy("id")
+        .agg(F.sum(1.0 / F.col("length")).alias("harmonic"))
+    )
+    if not dense:
+        return h
+    return G.nodes.join(h, "id", "left").select(
+        "id", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic")
+    )
+
+
+def closeness_centrality(
+    G, wf_improved: bool = True, chunk_size: int | None = None
+) -> DataFrame:
+    """(id, closeness: double) — nx ``closeness_centrality``:
+    (r-1)/totdist, Wasserman-Faust-scaled by (r-1)/(n-1) where r is the
+    node's reachable-set size (self included).  Exact form needs all-pairs
+    distances (chunked batched BFS) — at web scale use
+    ``harmonic_centrality`` with pivots instead (closeness does not
+    decompose over a source sample; harmonic does).  Directed graphs use
+    incoming distances (nx convention)."""
+    from .shortest_paths import all_pairs_shortest_path_length
+
+    n = G.n
+    dists = all_pairs_shortest_path_length(
+        G, chunk_size=chunk_size, transpose=G.is_directed_flag
+    )
+    # distances are source->id; closeness of u aggregates d(., u): with the
+    # transpose above, (source=u) rows ARE the incoming distances to u
+    agg = (
+        dists.filter(F.col("source") != F.col("id"))
+        .groupBy("source")
+        .agg(F.sum("length").alias("tot"), F.count("*").alias("r"))
+    )
+    wf = (F.col("r") / (n - 1)) if (wf_improved and n > 1) else F.lit(1.0)
+    c = agg.select(
+        F.col("source").alias("id"),
+        F.when(F.col("tot") > 0, (F.col("r") / F.col("tot")) * wf)
+        .otherwise(0.0)
+        .alias("closeness"),
+    )
+    return G.nodes.join(c, "id", "left").select(
+        "id", F.coalesce("closeness", F.lit(0.0)).alias("closeness")
+    )

@@ -70,16 +70,22 @@ def _source_chunks(G, sources: list[int] | None, chunk_size: int | None):
 
 
 def all_pairs_shortest_path_length(
-    G, sources: list[int] | None = None, chunk_size: int | None = None
+    G,
+    sources: list[int] | None = None,
+    chunk_size: int | None = None,
+    transpose: bool = False,
 ) -> DataFrame:
     """(source, id, length) — batched multi-source BFS
     (``unweighted.py:22-29``), source list chunked per
     ``nxapi/shortest_paths/unweighted.py:30-45`` so each batch's frontier
-    state stays bounded; chunk results are materialized then unioned."""
+    state stays bounded; chunk results are materialized then unioned.
+    ``transpose`` walks reversed edges (incoming distances)."""
     chunks = _source_chunks(G, sources, chunk_size)
     parts = []
     for chunk in chunks:
-        part = bfs_levels_multi(G, chunk).withColumnRenamed("level", "length")
+        part = bfs_levels_multi(G, chunk, transpose=transpose).withColumnRenamed(
+            "level", "length"
+        )
         if len(chunks) > 1:
             part = part.transform(lineage_cut)
         parts.append(part)
