@@ -623,6 +623,19 @@ def _q_harmonic(spark, sf_dir):
     return h.select("id", F.round("harmonic", 6).alias("harmonic"))
 
 
+def _q_betweenness(spark, sf_dir):
+    """Pivot-sampled Brandes betweenness (16 lowest-id sources,
+    unnormalized subset semantics = nx.betweenness_centrality_subset);
+    the oracle unrolls the forward sigma BFS and backward dependency
+    accumulation level-by-level in SQL."""
+    from graphblas_algorithms_spark.operators.betweenness import betweenness_centrality
+
+    G = _part_graph(spark, sf_dir)
+    srcs = [r["id"] for r in G.nodes.orderBy("id").limit(16).collect()]
+    b = betweenness_centrality(G, sources=srcs, normalized=False)
+    return b.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
 def _q_isolates(spark, sf_dir):
     from graphblas_algorithms_spark.operators.structure import isolates
 
@@ -1040,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_core_number": _q_core_number,
         "graph_linkpred": _q_linkpred,
         "graph_harmonic": _q_harmonic,
+        "graph_betweenness": _q_betweenness,
         "graph_isolates": _q_isolates,
         "graph_smetric": _q_smetric,
         "graph_reciprocity": _q_reciprocity,
@@ -1727,6 +1741,73 @@ reach(source, id, lvl) AS (
 )
 SELECT source, id, min(lvl)::BIGINT AS level FROM reach GROUP BY source, id
 """
+
+def _sql_betweenness(n_src: int = 16, max_lvl: int = 12) -> str:
+    """Brandes unrolled in SQL: forward sigma-BFS levels f0..f{max_lvl}
+    (anti-join visited like the Spark kernel), then backward dependency
+    levels d{max_lvl}..d1; bc = 0.5 * sum of deltas (undirected halving,
+    matching betweenness_centrality(..., normalized=False))."""
+    # every CTE is MATERIALIZED: the level chain references sym/f{l}/v{l}
+    # repeatedly and DuckDB's default inlining would re-expand (and
+    # re-open the parquet) once per reference — ~25 levels deep that
+    # exhausts the open-file limit
+    parts = [
+        """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+),""",
+        f"srcs AS MATERIALIZED (SELECT id AS s FROM part_nodes ORDER BY id LIMIT {n_src}),",
+        "f0 AS MATERIALIZED (SELECT s AS source, s AS id, 1.0::DOUBLE AS sig FROM srcs),",
+        "v0 AS MATERIALIZED (SELECT source, id FROM f0),",
+    ]
+    for l in range(1, max_lvl + 1):
+        parts.append(
+            f"""g{l} AS MATERIALIZED (
+  SELECT f.source, e.dst AS id, sum(f.sig) AS sig
+  FROM f{l - 1} f JOIN sym e ON e.src = f.id GROUP BY 1, 2
+),
+f{l} AS MATERIALIZED (
+  SELECT g.* FROM g{l} g ANTI JOIN v{l - 1} v ON v.source = g.source AND v.id = g.id
+),
+v{l} AS MATERIALIZED (SELECT * FROM v{l - 1} UNION ALL SELECT source, id FROM f{l}),"""
+        )
+    parts.append(
+        f"d{max_lvl} AS MATERIALIZED (SELECT source, id, sig, 0.0::DOUBLE AS delta FROM f{max_lvl}),"
+    )
+    for l in range(max_lvl - 1, 0, -1):
+        parts.append(
+            f"""c{l} AS MATERIALIZED (
+  SELECT f.source, f.id, sum(f.sig / w.sig * (1 + w.delta)) AS delta
+  FROM f{l} f
+  JOIN sym e ON e.src = f.id
+  JOIN d{l + 1} w ON w.source = f.source AND w.id = e.dst
+  GROUP BY 1, 2
+),
+d{l} AS MATERIALIZED (
+  SELECT f.source, f.id, f.sig, coalesce(c.delta, 0.0) AS delta
+  FROM f{l} f LEFT JOIN c{l} c ON c.source = f.source AND c.id = f.id
+),"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT source, id, delta FROM d{l}" for l in range(1, max_lvl + 1)
+    )
+    parts.append(f"alldelta AS ({union}),")
+    parts.append(
+        "bc AS (SELECT id, 0.5 * sum(delta) AS b FROM alldelta GROUP BY id)"
+    )
+    parts.append(
+        """SELECT n.id, round(coalesce(bc.b, 0.0), 6) AS betweenness
+FROM part_nodes n LEFT JOIN bc ON n.id = bc.id"""
+    )
+    return "\n".join(parts)
+
 
 # sampled harmonic centrality: 48 lowest-id pivots, sum(1/dist) per node
 # (mirrors operators/centrality.py:harmonic_centrality(sources=...))
@@ -2512,6 +2593,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_core_number": _sql_core_number(),
         "graph_linkpred": _SQL_LINKPRED,
         "graph_harmonic": _SQL_HARMONIC,
+        "graph_betweenness": _sql_betweenness(),
         "graph_isolates": _SQL_ISOLATES,
         "graph_smetric": _SQL_SMETRIC,
         "graph_reciprocity": _SQL_RECIPROCITY,
