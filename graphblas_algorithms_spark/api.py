@@ -249,6 +249,60 @@ class KeyedGraph:
 
         return _f(self.G, **kw)
 
+    def harmonic_centrality(self, source_keys=None, **kw) -> DataFrame:
+        """(key, harmonic) — pass ``source_keys`` for the sampled-pivot form."""
+        from .operators.centrality import harmonic_centrality as _f
+
+        srcs = None
+        if source_keys is not None:
+            srcs = [r["id"] for r in self._ids_of(source_keys).collect()]
+        return self._keyed(_f(self.G, sources=srcs, **kw))
+
+    def closeness_centrality(self, **kw) -> DataFrame:
+        from .operators.centrality import closeness_centrality as _f
+
+        return self._keyed(_f(self.G, **kw))
+
+    def betweenness_centrality(self, source_keys=None, **kw) -> DataFrame:
+        """(key, betweenness) — pass ``source_keys`` pivots for the sampled
+        Brandes estimator."""
+        from .operators.betweenness import betweenness_centrality as _f
+
+        srcs = None
+        if source_keys is not None:
+            srcs = [r["id"] for r in self._ids_of(source_keys).collect()]
+        return self._keyed(_f(self.G, sources=srcs, **kw))
+
+    def link_prediction(self, pairs=None, **kw) -> DataFrame:
+        """(u_key, w_key, cn, jaccard, adamic_adar, resource_allocation,
+        pref_attachment) — candidate generation when ``pairs`` is None,
+        else scores for the given (u_key, w_key) tuples."""
+        from .operators.linkpred import _score_pairs, link_prediction_scores
+
+        if pairs is None:
+            scored = link_prediction_scores(self.G, **kw)
+        else:
+            dim = self._dim
+            pdf = self.G.spark.createDataFrame(
+                list(pairs), "u_key string, w_key string"
+            )
+            pdf = (
+                pdf.join(dim.withColumnRenamed("key", "u_key"), "u_key")
+                .withColumnRenamed("id", "u")
+                .join(dim.withColumnRenamed("key", "w_key"), "w_key")
+                .withColumnRenamed("id", "w")
+                .select("u", "w")
+            )
+            scored = _score_pairs(self.G, pdf, **kw)
+        dim = self._dim
+        return (
+            scored.join(dim.withColumnRenamed("id", "u"), "u")
+            .withColumnRenamed("key", "u_key")
+            .join(dim.withColumnRenamed("id", "w"), "w")
+            .withColumnRenamed("key", "w_key")
+            .drop("u", "w")
+        )
+
     # -- traversal / shortest paths ----------------------------------------
     def bfs_levels(self, source_key, **kw) -> DataFrame:
         from .operators.traversal import bfs_levels as _f

@@ -240,3 +240,52 @@ def test_keyed_kcore_and_anf(spark):
     nf = kg.neighborhood_function(k=32)
     assert nf[0]["reachable_pairs"] == float(kg.G.n)
     assert kg.effective_diameter(k=32) > 0.0
+
+
+def test_keyed_closeness_and_harmonic(kg_and_nx):
+    kg, nxg, key = kg_and_nx
+    got_c = kg.to_dict(kg.closeness_centrality(), "closeness")
+    want_c = nx.closeness_centrality(nxg)
+    for u, v in want_c.items():
+        assert got_c[key[u]] == pytest.approx(v, abs=1e-9)
+    pivots = [key[i] for i in (0, 3, 9)]
+    got_h = kg.to_dict(kg.harmonic_centrality(source_keys=pivots), "harmonic")
+    want_h = nx.harmonic_centrality(nxg, sources=[0, 3, 9])
+    for u, v in want_h.items():
+        assert got_h[key[u]] == pytest.approx(v, abs=1e-9)
+
+
+def test_keyed_betweenness(kg_and_nx):
+    kg, nxg, key = kg_and_nx
+    got = kg.to_dict(kg.betweenness_centrality(), "betweenness")
+    want = nx.betweenness_centrality(nxg)
+    for u, v in want.items():
+        assert got[key[u]] == pytest.approx(v, abs=1e-9)
+
+
+def test_keyed_link_prediction(spark):
+    nxg = nx.gnp_random_graph(25, 0.15, seed=12)
+    key = {i: f"pkg/{i:02d}" for i in nxg.nodes}
+    rows = [(key[u], key[v]) for u, v in nxg.edges]
+    raw = spark.createDataFrame(rows, "a string, b string")
+    kg = KeyedGraph(raw, "a", "b", directed=False)
+    got = {
+        tuple(sorted((r["u_key"], r["w_key"]))): r["jaccard"]
+        for r in kg.link_prediction().collect()
+    }
+    pairs = [
+        (u, w)
+        for u in nxg
+        for w in nxg
+        if u < w and not nxg.has_edge(u, w)
+    ]
+    want = {
+        tuple(sorted((key[u], key[w]))): p
+        for u, w, p in nx.jaccard_coefficient(nxg, pairs)
+        if p > 0
+    }
+    assert got == {k: pytest.approx(v, abs=1e-12) for k, v in want.items()}
+    # explicit key pairs
+    some = [(key[0], key[1]), (key[2], key[3])]
+    scored = kg.link_prediction(pairs=some).collect()
+    assert len(scored) == 2
