@@ -863,6 +863,16 @@ def _q_events_sessions(spark, sf_dir):
     return sessionize_batch(_read(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def _q_events_funnel(spark, sf_dir):
+    """Per-user ordered funnel (first view < first click < first
+    purchase) with JSON ``props`` extraction — the semi-structured
+    column no other query exercises; one user_id groupBy, JSON parsed
+    scan-side."""
+    from graphblas_algorithms_spark.pipeline.funnel import funnel_conversion
+
+    return funnel_conversion(_read(spark, sf_dir, "events"))
+
+
 def _q_events_windowed_closed(spark, sf_dir):
     """PRODUCTION streaming shape: append-mode + watermark + file sink
     (bounded state — window state is dropped once the watermark closes
@@ -1084,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_ann_ivf_pq": _q_ann_ivf_pq,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
+        "events_funnel": _q_events_funnel,
         "events_windowed_closed": _q_events_windowed_closed,
         "events_sessions_closed": _q_events_sessions_closed,
         "olap_pricing": _q_olap_pricing,
@@ -2436,6 +2447,26 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# per-user ordered funnel + JSON props extraction (mirrors
+# pipeline/funnel.py:funnel_conversion): NULL stage-min semantics make
+# the strict-order comparison fall to 0 when any stage is absent
+_SQL_EVENTS_FUNNEL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       coalesce(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                FILTER (event_type = 'click'), 0) AS click_k_sum,
+       round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0.0), 6)
+         AS purchase_value,
+       CASE WHEN min(ts) FILTER (event_type = 'view')
+                 < min(ts) FILTER (event_type = 'click')
+             AND min(ts) FILTER (event_type = 'click')
+                 < min(ts) FILTER (event_type = 'purchase')
+            THEN 1 ELSE 0 END AS funnel
+FROM events GROUP BY user_id
+"""
+
 _SQL_EVENTS_SESSIONS = """
 WITH marked AS (
   SELECT user_id, ts, value,
@@ -2622,6 +2653,7 @@ def oracle_sql() -> dict[str, str]:
         # pipe_ann_ivf: approximate — rows-only check
         "events_windowed": _SQL_EVENTS_WINDOWED,
         "events_sessions": _SQL_EVENTS_SESSIONS,
+        "events_funnel": _SQL_EVENTS_FUNNEL,
         "events_windowed_closed": _SQL_EVENTS_WINDOWED_CLOSED,
         "events_sessions_closed": _SQL_EVENTS_SESSIONS_CLOSED,
         "olap_pricing": _SQL_OLAP_PRICING,

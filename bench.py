@@ -204,6 +204,9 @@ def _sf_queries(spark) -> dict:
         "graph_triangles_total",
         "graph_bfs",
         "graph_sssp",
+        # pivot-sampled centralities (16-source Brandes / 48-pivot harmonic)
+        "graph_betweenness",
+        "graph_harmonic",
         "pipe_minhash_neardup",
         # corpus-level transitive dedup: LSH pairs -> CC clusters
         "pipe_dedup_clusters",

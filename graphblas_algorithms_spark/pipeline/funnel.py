@@ -1,0 +1,61 @@
+"""Funnel / conversion analytics over the events table.
+
+Batch sibling of the streaming event shapes (``streaming/events.py``):
+per-user staged-conversion rollup with semi-structured ``props``
+extraction — the one table column no other query exercised.  100 TB
+shape: JSON parsing (``get_json_object``) happens in the scan-side
+projection and everything reduces through ONE user_id groupBy with full
+partial aggregation — no joins, no window, no second shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    json_sum_stage: str = "click",
+    json_field: str = "k",
+    value_sum_stage: str = "purchase",
+) -> DataFrame:
+    """Per-user funnel rollup.
+
+    Output: (user_id, n_<stage>... , <json_sum_stage>_<json_field>_sum,
+    <value_sum_stage>_value, funnel) where ``funnel`` is 1 iff the user's
+    FIRST event of each stage occurs in strict stage order (first view <
+    first click < first purchase) — the ordered-funnel definition, not
+    mere stage presence."""
+    aggs = []
+    for s in stages:
+        is_s = F.col("event_type") == s
+        aggs.append(F.count(F.when(is_s, 1)).alias(f"n_{s}"))
+        aggs.append(F.min(F.when(is_s, F.col("ts"))).alias(f"_t_{s}"))
+    k = F.get_json_object("props", f"$.{json_field}").cast("long")
+    aggs.append(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == json_sum_stage, k)), F.lit(0)
+        ).alias(f"{json_sum_stage}_{json_field}_sum")
+    )
+    aggs.append(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == value_sum_stage, F.col("value"))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias(f"{value_sum_stage}_value")
+    )
+    out = events.groupBy("user_id").agg(*aggs)
+    ordered = None
+    for a, b in zip(stages, stages[1:]):
+        step = F.col(f"_t_{a}") < F.col(f"_t_{b}")
+        ordered = step if ordered is None else (ordered & step)
+    out = out.withColumn(
+        "funnel", F.when(ordered, 1).otherwise(0) if ordered is not None else F.lit(1)
+    )
+    return out.drop(*[f"_t_{s}" for s in stages])

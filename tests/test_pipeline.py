@@ -806,3 +806,32 @@ def test_tfidf_topterms_matches_python(spark, docs, docs_pd):
             (r["term"], r["tf"], r["df"], r["tfidf"])
         )
     assert got == want
+
+
+def test_funnel_conversion(spark):
+    from datetime import datetime as dt
+
+    from graphblas_algorithms_spark.pipeline.funnel import funnel_conversion
+
+    rows = [
+        # user 1: ordered view < click < purchase -> funnel 1
+        (1, dt(2026, 1, 1, 10, 0), "view", 0.0, '{"k": 3}'),
+        (1, dt(2026, 1, 1, 10, 5), "click", 0.0, '{"k": 7}'),
+        (1, dt(2026, 1, 1, 10, 9), "purchase", 25.5, '{"k": 1}'),
+        # user 2: purchase BEFORE the first click -> funnel 0
+        (2, dt(2026, 1, 1, 9, 0), "view", 0.0, '{"k": 2}'),
+        (2, dt(2026, 1, 1, 9, 1), "purchase", 10.0, '{"k": 4}'),
+        (2, dt(2026, 1, 1, 9, 2), "click", 0.0, '{"k": 5}'),
+        # user 3: never purchases -> funnel 0, zero purchase_value
+        (3, dt(2026, 1, 1, 8, 0), "view", 0.0, '{"k": 9}'),
+        (3, dt(2026, 1, 1, 8, 1), "click", 0.0, '{"k": 11}'),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    got = {r["user_id"]: r for r in funnel_conversion(ev).collect()}
+    assert got[1]["funnel"] == 1 and got[2]["funnel"] == 0 and got[3]["funnel"] == 0
+    assert got[1]["purchase_value"] == 25.5 and got[3]["purchase_value"] == 0.0
+    assert got[1]["click_k_sum"] == 7 and got[2]["click_k_sum"] == 5
+    assert got[3]["click_k_sum"] == 11 and got[3]["n_purchase"] == 0
+    assert got[2]["n_view"] == 1 and got[2]["n_click"] == 1 and got[2]["n_purchase"] == 1
