@@ -636,6 +636,17 @@ def _q_betweenness(spark, sf_dir):
     return b.select("id", F.round("betweenness", 6).alias("betweenness"))
 
 
+def _q_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (DeepWalk input): 16 lowest-id
+    starts x 2 walks x 8 hops, next step = md5-argmin over neighbors —
+    the engine-portable hash makes the oracle replay the same corpus."""
+    from graphblas_algorithms_spark.operators.walks import random_walks
+
+    G = _part_graph(spark, sf_dir)
+    starts = [r["id"] for r in G.nodes.orderBy("id").limit(16).collect()]
+    return random_walks(G, walk_length=8, num_walks=2, starts=starts)
+
+
 def _q_isolates(spark, sf_dir):
     from graphblas_algorithms_spark.operators.structure import isolates
 
@@ -1064,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_linkpred": _q_linkpred,
         "graph_harmonic": _q_harmonic,
         "graph_betweenness": _q_betweenness,
+        "graph_walks": _q_walks,
         "graph_isolates": _q_isolates,
         "graph_smetric": _q_smetric,
         "graph_reciprocity": _q_reciprocity,
@@ -1817,6 +1829,44 @@ d{l} AS MATERIALIZED (
         """SELECT n.id, round(coalesce(bc.b, 0.0), 6) AS betweenness
 FROM part_nodes n LEFT JOIN bc ON n.id = bc.id"""
     )
+    return "\n".join(parts)
+
+
+def _sql_walks(n_starts: int = 16, num_walks: int = 2, walk_length: int = 8, seed: int = 42) -> str:
+    """Step-unrolled replay of random_walks' md5-argmin rule: each chain
+    holds one row per (start, walk), advanced by arg_min over neighbors
+    of the same engine-portable md5 draw string."""
+    parts = [
+        """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+),""",
+        f"starts AS (SELECT id AS start FROM part_nodes ORDER BY id LIMIT {n_starts}),",
+        "wk AS (SELECT unnest(range({n})) AS walk),".format(n=num_walks),
+        "c0 AS MATERIALIZED (SELECT start, walk, start AS node FROM starts CROSS JOIN wk),",
+    ]
+    for k in range(1, walk_length + 1):
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT c.start, c.walk,
+         arg_min(e.dst, md5(concat_ws('|', {seed}, c.walk, {k}, c.node, e.dst))) AS node
+  FROM c{k - 1} c JOIN sym e ON e.src = c.node
+  GROUP BY 1, 2
+),"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT start, walk, {k}::BIGINT AS step, node FROM c{k}"
+        for k in range(0, walk_length + 1)
+    )
+    parts.append(f"allsteps AS ({union})")
+    parts.append("SELECT start, walk, step, node FROM allsteps")
     return "\n".join(parts)
 
 
@@ -2625,6 +2675,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_linkpred": _SQL_LINKPRED,
         "graph_harmonic": _SQL_HARMONIC,
         "graph_betweenness": _sql_betweenness(),
+        "graph_walks": _sql_walks(),
         "graph_isolates": _SQL_ISOLATES,
         "graph_smetric": _SQL_SMETRIC,
         "graph_reciprocity": _SQL_RECIPROCITY,

@@ -1,0 +1,95 @@
+"""Deterministic random-walk corpus generation (DeepWalk/node2vec input).
+
+Not in the reference (it has no sampling surface) — added as the
+graph-side feeder of the embedding-training pipeline: random-walk
+corpora are the standard way a 10^12-file link graph becomes
+embedding-model training data.
+
+Determinism is load-bearing (the engine's resume/replay contract):
+the "random" next step at each hop is
+``argmin over out-neighbors of md5(seed|walk|step|cur|nbr)`` — md5 is
+the engine-portable hash the dedup family already standardizes on
+(``pipeline/dedup.py``), so the SAME walks replay across Spark
+restarts, DuckDB oracles, and any other engine; no RNG state, no
+collect.  Each hash draw is uniform over the neighbor set, i.e. this
+is an unweighted first-order walk (DeepWalk semantics).
+
+Scale shape: all (start x walk) chains advance together as ONE frontier
+DataFrame — one edge join + one argmin agg per hop (the O9
+queries-as-matrix superstep again).  Cost: walk_length shuffles of
+|starts| x num_walks rows joined against the adjacency — independent of
+n beyond the join itself.  Dead ends (sink nodes) end their walk early.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.superstep import lineage_cut
+
+
+def random_walks(
+    G,
+    walk_length: int,
+    num_walks: int = 1,
+    starts: DataFrame | list[int] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(start: long, walk: long, step: long, node: long) — one row per
+    visited position, step 0 = the start node, up to ``walk_length``
+    hops (fewer if the walk hits a sink).  ``starts`` defaults to every
+    node; pass a list or an (id) DataFrame to restrict."""
+    if starts is None:
+        sdf = G.nodes.select("id")
+    elif isinstance(starts, DataFrame):
+        sdf = starts.select("id")
+    else:
+        sdf = G.spark.createDataFrame([(int(s),) for s in starts], "id long")
+    adj = (
+        G.edges.select("src", "dst")
+        if G.is_directed_flag
+        else G.get_property("sym_edges")
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    adj = adj.persist()
+    walks = G.spark.range(num_walks).select(F.col("id").alias("walk"))
+    cur = sdf.select(F.col("id").alias("start")).crossJoin(walks).select(
+        "start", "walk", F.col("start").alias("node")
+    )
+    out = cur.select("start", "walk", F.lit(0).alias("step"), "node").persist()
+    for step in range(1, walk_length + 1):
+        draw = F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(int(seed)),
+                F.col("walk"),
+                F.lit(step),
+                F.col("node"),
+                F.col("dst"),
+            )
+        )
+        nxt = (
+            cur.join(adj, cur["node"] == adj["src"])
+            .groupBy("start", "walk", "node")
+            .agg(F.min_by("dst", draw).alias("_next"))
+            .select("start", "walk", F.col("_next").alias("node"))
+        )
+        cur = nxt.transform(lineage_cut)
+        out = out.unionByName(
+            cur.select("start", "walk", F.lit(step).alias("step"), "node")
+        ).transform(lineage_cut)
+    adj.unpersist()
+    return out
+
+
+def walk_sentences(walks: DataFrame) -> DataFrame:
+    """(start, walk, sentence: array<long>) — step-ordered node sequences,
+    the shape an embedding trainer consumes."""
+    return walks.groupBy("start", "walk").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("step", "node"))),
+            lambda s: s["node"],
+        ).alias("sentence")
+    )

@@ -1,0 +1,96 @@
+"""Random-walk corpus generation: differential vs a pure-Python replay of
+the same md5-argmin rule (determinism IS the spec)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import networkx as nx
+
+from graphblas_algorithms_spark import from_networkx
+from graphblas_algorithms_spark.operators.walks import random_walks, walk_sentences
+
+
+def _py_walks(nxg, walk_length, num_walks, starts, seed=42, directed=False):
+    rows = set()
+    for s in starts:
+        for w in range(num_walks):
+            cur = s
+            rows.add((s, w, 0, s))
+            for step in range(1, walk_length + 1):
+                nbrs = list(nxg.successors(cur)) if directed else [
+                    v for v in nxg[cur] if v != cur
+                ]
+                if not nbrs:
+                    break
+                cur = min(
+                    nbrs,
+                    key=lambda d: hashlib.md5(
+                        f"{seed}|{w}|{step}|{cur}|{d}".encode()
+                    ).hexdigest(),
+                )
+                rows.add((s, w, step, cur))
+    return rows
+
+
+def test_walks_match_python_replay_undirected(spark):
+    nxg = nx.gnp_random_graph(40, 0.1, seed=19)
+    G = from_networkx(spark, nxg)
+    starts = [0, 1, 2, 3, 4, 5]
+    got = {
+        (r["start"], r["walk"], r["step"], r["node"])
+        for r in random_walks(G, walk_length=6, num_walks=3, starts=starts).collect()
+    }
+    want = _py_walks(nxg, 6, 3, starts)
+    assert got == want
+
+
+def test_walks_directed_dead_end(spark):
+    nxg = nx.DiGraph([(0, 1), (1, 2), (2, 3)])  # 3 is a sink
+    nxg.add_node(9)  # isolated start: walk is just step 0
+    G = from_networkx(spark, nxg)
+    got = {
+        (r["start"], r["walk"], r["step"], r["node"])
+        for r in random_walks(G, walk_length=5, num_walks=1, starts=[0, 9]).collect()
+    }
+    want = _py_walks(nxg, 5, 1, [0, 9], directed=True)
+    assert got == want
+    # the chain walk visits 0->1->2->3 then stops at the sink
+    assert (0, 0, 3, 3) in got and not any(s == 4 for (_, _, s, _) in got)
+
+
+def test_walk_sentences_ordered(spark):
+    nxg = nx.cycle_graph(6)
+    G = from_networkx(spark, nxg)
+    w = random_walks(G, walk_length=4, num_walks=2, starts=[0, 3])
+    sent = {
+        (r["start"], r["walk"]): r["sentence"]
+        for r in walk_sentences(w).collect()
+    }
+    assert len(sent) == 4
+    for (s, _), seq in sent.items():
+        assert seq[0] == s and len(seq) == 5
+        # consecutive nodes are graph neighbors
+        for a, b in zip(seq, seq[1:]):
+            assert nxg.has_edge(a, b)
+
+
+def test_walks_deterministic_across_sessions(spark):
+    nxg = nx.gnp_random_graph(25, 0.15, seed=3)
+    G = from_networkx(spark, nxg)
+    a = {
+        tuple(r)
+        for r in random_walks(G, walk_length=5, num_walks=2, starts=[1, 2]).collect()
+    }
+    b = {
+        tuple(r)
+        for r in random_walks(G, walk_length=5, num_walks=2, starts=[1, 2]).collect()
+    }
+    assert a == b
+    c = {
+        tuple(r)
+        for r in random_walks(
+            G, walk_length=5, num_walks=2, starts=[1, 2], seed=7
+        ).collect()
+    }
+    assert c != a  # different seed, different corpus
