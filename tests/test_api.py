@@ -289,3 +289,20 @@ def test_keyed_link_prediction(spark):
     some = [(key[0], key[1]), (key[2], key[3])]
     scored = kg.link_prediction(pairs=some).collect()
     assert len(scored) == 2
+
+
+def test_keyed_random_walks(spark):
+    nxg = nx.cycle_graph(8)
+    key = {i: f"n{i}" for i in nxg.nodes}
+    raw = spark.createDataFrame(
+        [(key[u], key[v]) for u, v in nxg.edges], "a string, b string"
+    )
+    kg = KeyedGraph(raw, "a", "b", directed=False)
+    rows = kg.random_walks(walk_length=3, start_keys=["n0", "n4"], num_walks=2).collect()
+    assert {r["start_key"] for r in rows} == {"n0", "n4"}
+    assert len(rows) == 2 * 2 * 4  # starts x walks x (steps 0..3)
+    by_chain = {}
+    for r in rows:
+        by_chain.setdefault((r["start_key"], r["walk"]), {})[r["step"]] = r["key"]
+    for (s, _), seq in by_chain.items():
+        assert seq[0] == s
