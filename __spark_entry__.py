@@ -647,6 +647,17 @@ def _q_walks(spark, sf_dir):
     return random_walks(G, walk_length=8, num_walks=2, starts=starts)
 
 
+def _q_walks_weighted(spark, sf_dir):
+    """Weighted walk corpus: Efraimidis-Spirakis arg_max(ln(u)/w) hops
+    over the deterministic weighted part graph — the oracle replays the
+    identical hash-uniform + log-key arithmetic."""
+    from graphblas_algorithms_spark.operators.walks import random_walks
+
+    G = _part_graph_weighted(spark, sf_dir)
+    starts = [r["id"] for r in G.nodes.orderBy("id").limit(16).collect()]
+    return random_walks(G, walk_length=8, num_walks=2, starts=starts, weighted=True)
+
+
 def _q_isolates(spark, sf_dir):
     from graphblas_algorithms_spark.operators.structure import isolates
 
@@ -1076,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic": _q_harmonic,
         "graph_betweenness": _q_betweenness,
         "graph_walks": _q_walks,
+        "graph_walks_weighted": _q_walks_weighted,
         "graph_isolates": _q_isolates,
         "graph_smetric": _q_smetric,
         "graph_reciprocity": _q_reciprocity,
@@ -1832,31 +1844,48 @@ FROM part_nodes n LEFT JOIN bc ON n.id = bc.id"""
     return "\n".join(parts)
 
 
-def _sql_walks(n_starts: int = 16, num_walks: int = 2, walk_length: int = 8, seed: int = 42) -> str:
+def _sql_walks(
+    n_starts: int = 16,
+    num_walks: int = 2,
+    walk_length: int = 8,
+    seed: int = 42,
+    weighted: bool = False,
+) -> str:
     """Step-unrolled replay of random_walks' md5-argmin rule: each chain
     holds one row per (start, walk), advanced by arg_min over neighbors
-    of the same engine-portable md5 draw string."""
+    of the same engine-portable md5 draw string.  ``weighted`` replays
+    the Efraimidis-Spirakis arg_max(ln(u)/w) rule over the same
+    deterministic (1 + (src+dst) % 5) weights the weighted graph
+    queries use."""
+    wcol = ", (1 + (src + dst) % 5)::DOUBLE AS w" if weighted else ""
     parts = [
-        """WITH part_pairs AS MATERIALIZED (
+        f"""WITH part_pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
 part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
 sym AS MATERIALIZED (
-  SELECT src, dst FROM part_pairs
-  UNION ALL
-  SELECT dst AS src, src AS dst FROM part_pairs
+  SELECT src, dst{wcol} FROM (
+    SELECT src, dst FROM part_pairs
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM part_pairs
+  )
 ),""",
         f"starts AS (SELECT id AS start FROM part_nodes ORDER BY id LIMIT {n_starts}),",
         "wk AS (SELECT unnest(range({n})) AS walk),".format(n=num_walks),
         "c0 AS MATERIALIZED (SELECT start, walk, start AS node FROM starts CROSS JOIN wk),",
     ]
     for k in range(1, walk_length + 1):
+        draw = f"md5(concat_ws('|', {seed}, c.walk, {k}, c.node, e.dst))"
+        if weighted:
+            u = f"((('0x' || substr({draw}, 1, 15))::UBIGINT)::DOUBLE / 1152921504606846976.0)"
+            pick = f"arg_max(e.dst, ln({u}) / e.w)"
+        else:
+            pick = f"arg_min(e.dst, {draw})"
         parts.append(
             f"""c{k} AS MATERIALIZED (
-  SELECT c.start, c.walk,
-         arg_min(e.dst, md5(concat_ws('|', {seed}, c.walk, {k}, c.node, e.dst))) AS node
+  SELECT c.start, c.walk, {pick} AS node
   FROM c{k - 1} c JOIN sym e ON e.src = c.node
   GROUP BY 1, 2
 ),"""
@@ -2676,6 +2705,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_harmonic": _SQL_HARMONIC,
         "graph_betweenness": _sql_betweenness(),
         "graph_walks": _sql_walks(),
+        "graph_walks_weighted": _sql_walks(weighted=True),
         "graph_isolates": _SQL_ISOLATES,
         "graph_smetric": _SQL_SMETRIC,
         "graph_reciprocity": _SQL_RECIPROCITY,

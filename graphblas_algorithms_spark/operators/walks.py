@@ -29,28 +29,42 @@ from pyspark.sql import functions as F
 from ..plans.superstep import lineage_cut
 
 
+# 16^15: an md5 15-hex-digit prefix is uniform on [0, 16^15); exact in a
+# double and in BIGINT range, so Spark conv() and DuckDB ::UBIGINT agree
+# bit-for-bit (same constant as pipeline/curation.py)
+_HEX15 = 1152921504606846976.0
+
+
 def random_walks(
     G,
     walk_length: int,
     num_walks: int = 1,
     starts: DataFrame | list[int] | None = None,
     seed: int = 42,
+    weighted: bool = False,
 ) -> DataFrame:
     """(start: long, walk: long, step: long, node: long) — one row per
     visited position, step 0 = the start node, up to ``walk_length``
     hops (fewer if the walk hits a sink).  ``starts`` defaults to every
-    node; pass a list or an (id) DataFrame to restrict."""
+    node; pass a list or an (id) DataFrame to restrict.
+
+    ``weighted=True`` draws each hop proportionally to edge weight via
+    Efraimidis-Spirakis keys: pick argmax over neighbors of
+    ``ln(u)/w`` where ``u`` is the same md5 hash-uniform — still fully
+    deterministic and engine-replayable."""
     if starts is None:
         sdf = G.nodes.select("id")
     elif isinstance(starts, DataFrame):
         sdf = starts.select("id")
     else:
         sdf = G.spark.createDataFrame([(int(s),) for s in starts], "id long")
+    use_w = weighted and "weight" in G.edges.columns
+    wcols = ["weight"] if use_w else []
     adj = (
-        G.edges.select("src", "dst")
+        G.edges.select("src", "dst", *wcols)
         if G.is_directed_flag
         else G.get_property("sym_edges")
-        .select("src", "dst")
+        .select("src", "dst", *wcols)
         .filter(F.col("src") != F.col("dst"))
     )
     adj = adj.persist()
@@ -70,10 +84,15 @@ def random_walks(
                 F.col("dst"),
             )
         )
+        if use_w:
+            u = F.conv(F.substring(draw, 1, 15), 16, 10).cast("double") / F.lit(_HEX15)
+            pick = F.max_by("dst", F.log(u) / F.col("weight"))
+        else:
+            pick = F.min_by("dst", draw)
         nxt = (
             cur.join(adj, cur["node"] == adj["src"])
             .groupBy("start", "walk", "node")
-            .agg(F.min_by("dst", draw).alias("_next"))
+            .agg(pick.alias("_next"))
             .select("start", "walk", F.col("_next").alias("node"))
         )
         cur = nxt.transform(lineage_cut)

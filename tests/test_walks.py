@@ -94,3 +94,54 @@ def test_walks_deterministic_across_sessions(spark):
         ).collect()
     }
     assert c != a  # different seed, different corpus
+
+
+def test_weighted_walks_match_python_replay(spark):
+    import math
+
+    from graphblas_algorithms_spark.classes.graph import Graph
+
+    nxg = nx.gnp_random_graph(30, 0.15, seed=8)
+    for u, v in nxg.edges:
+        nxg[u][v]["weight"] = 1.0 + ((u * 7 + v) % 5)
+    G = from_networkx(spark, nxg)
+    assert "weight" in G.edges.columns
+    got = {
+        tuple(r)
+        for r in random_walks(
+            G, walk_length=5, num_walks=2, starts=[0, 1, 2], weighted=True
+        ).collect()
+    }
+
+    HEX15 = 1152921504606846976.0
+
+    def key(w, step, cur, d):
+        h = hashlib.md5(f"42|{w}|{step}|{cur}|{d}".encode()).hexdigest()
+        u = int(h[:15], 16) / HEX15
+        return math.log(u) / nxg[cur][d]["weight"]
+
+    want = set()
+    for s in (0, 1, 2):
+        for w in range(2):
+            cur = s
+            want.add((s, w, 0, s))
+            for step in range(1, 6):
+                nbrs = [v for v in nxg[cur] if v != cur]
+                if not nbrs:
+                    break
+                cur = max(nbrs, key=lambda d: key(w, step, cur, d))
+                want.add((s, w, step, cur))
+    assert got == want
+
+
+def test_weighted_walks_bias_toward_heavy_edges(spark):
+    # star: center 0 with one heavy spoke; weighted walks from 0 should
+    # pick the heavy neighbor far more often than 1/degree
+    nxg = nx.Graph()
+    for i in range(1, 21):
+        nxg.add_edge(0, i, weight=100.0 if i == 1 else 1.0)
+    G = from_networkx(spark, nxg)
+    w = random_walks(G, walk_length=1, num_walks=64, starts=[0], weighted=True)
+    firsts = [r["node"] for r in w.filter("step = 1").collect()]
+    frac_heavy = sum(1 for n in firsts if n == 1) / len(firsts)
+    assert frac_heavy > 0.5  # expectation ~100/119; uniform would be 0.05
