@@ -658,6 +658,17 @@ def _q_walks_weighted(spark, sf_dir):
     return random_walks(G, walk_length=8, num_walks=2, starts=starts, weighted=True)
 
 
+def _q_node2vec(spark, sf_dir):
+    """Second-order node2vec walk corpus (p=2, q=0.5 — DFS-leaning):
+    16 lowest-id starts x 2 walks x 6 hops; the oracle replays the
+    alpha-biased ES draw including the prev-adjacency LEFT-join test."""
+    from graphblas_algorithms_spark.operators.walks import node2vec_walks
+
+    G = _part_graph(spark, sf_dir)
+    starts = [r["id"] for r in G.nodes.orderBy("id").limit(16).collect()]
+    return node2vec_walks(G, walk_length=6, p=2.0, q=0.5, num_walks=2, starts=starts)
+
+
 def _q_isolates(spark, sf_dir):
     from graphblas_algorithms_spark.operators.structure import isolates
 
@@ -1088,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": _q_betweenness,
         "graph_walks": _q_walks,
         "graph_walks_weighted": _q_walks_weighted,
+        "graph_node2vec": _q_node2vec,
         "graph_isolates": _q_isolates,
         "graph_smetric": _q_smetric,
         "graph_reciprocity": _q_reciprocity,
@@ -1888,6 +1900,70 @@ sym AS MATERIALIZED (
   SELECT c.start, c.walk, {pick} AS node
   FROM c{k - 1} c JOIN sym e ON e.src = c.node
   GROUP BY 1, 2
+),"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT start, walk, {k}::BIGINT AS step, node FROM c{k}"
+        for k in range(0, walk_length + 1)
+    )
+    parts.append(f"allsteps AS ({union})")
+    parts.append("SELECT start, walk, step, node FROM allsteps")
+    return "\n".join(parts)
+
+
+def _sql_node2vec(
+    n_starts: int = 16,
+    num_walks: int = 2,
+    walk_length: int = 6,
+    p: float = 2.0,
+    q: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """Step-unrolled node2vec replay: chains carry (prev, node); each
+    hop's alpha is decided by an equality test against prev plus a LEFT
+    join against the neighbor-pair set, then arg_max of ln(u)/alpha —
+    the exact arithmetic of operators/walks.py:node2vec_walks."""
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    u = (
+        "((('0x' || substr(md5(concat_ws('|', {seed}, c.walk, {k}, c.node, e.dst)), 1, 15))"
+        "::UBIGINT)::DOUBLE / 1152921504606846976.0)"
+    )
+    parts = [
+        """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+),""",
+        f"starts AS (SELECT id AS start FROM part_nodes ORDER BY id LIMIT {n_starts}),",
+        "wk AS (SELECT unnest(range({n})) AS walk),".format(n=num_walks),
+        "c0 AS MATERIALIZED (SELECT start, walk, NULL::BIGINT AS prev, start AS node FROM starts CROSS JOIN wk),",
+        # step 1 is first-order: arg_max of ln(u)/1
+        f"""c1 AS MATERIALIZED (
+  SELECT c.start, c.walk, c.node AS prev,
+         arg_max(e.dst, ln({u.format(seed=seed, k=1)})) AS node
+  FROM c0 c JOIN sym e ON e.src = c.node
+  GROUP BY c.start, c.walk, c.node
+),""",
+    ]
+    for k in range(2, walk_length + 1):
+        uk = u.format(seed=seed, k=k)
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT c.start, c.walk, c.node AS prev,
+         arg_max(e.dst,
+                 ln({uk}) / (CASE WHEN e.dst = c.prev THEN {inv_p!r}
+                                  WHEN n.src IS NOT NULL THEN 1.0
+                                  ELSE {inv_q!r} END)) AS node
+  FROM c{k - 1} c
+  JOIN sym e ON e.src = c.node
+  LEFT JOIN sym n ON n.src = c.prev AND n.dst = e.dst
+  GROUP BY c.start, c.walk, c.node
 ),"""
         )
     union = "\nUNION ALL ".join(
@@ -2706,6 +2782,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_betweenness": _sql_betweenness(),
         "graph_walks": _sql_walks(),
         "graph_walks_weighted": _sql_walks(weighted=True),
+        "graph_node2vec": _sql_node2vec(),
         "graph_isolates": _SQL_ISOLATES,
         "graph_smetric": _SQL_SMETRIC,
         "graph_reciprocity": _SQL_RECIPROCITY,

@@ -112,3 +112,91 @@ def walk_sentences(walks: DataFrame) -> DataFrame:
             lambda s: s["node"],
         ).alias("sentence")
     )
+
+
+def node2vec_walks(
+    G,
+    walk_length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    num_walks: int = 1,
+    starts: DataFrame | list[int] | None = None,
+    seed: int = 42,
+    weighted: bool = False,
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016):
+    from edge (prev -> cur), candidate dst is drawn proportional to
+    w * alpha where alpha = 1/p if dst == prev (return), 1 if dst is a
+    neighbor of prev (BFS-like), 1/q otherwise (DFS-like).  Step 1 is
+    first-order.  Same deterministic Efraimidis-Spirakis draw as
+    :func:`random_walks` (argmax of ln(u)/(w*alpha)) so corpora replay
+    across engines.
+
+    Per hop: one edge join + one LEFT join against the neighbor-pair
+    set (the prev-adjacency test) + one argmax agg — still a bounded
+    number of shuffles per superstep with all chains batched.
+    """
+    if starts is None:
+        sdf = G.nodes.select("id")
+    elif isinstance(starts, DataFrame):
+        sdf = starts.select("id")
+    else:
+        sdf = G.spark.createDataFrame([(int(s),) for s in starts], "id long")
+    use_w = weighted and "weight" in G.edges.columns
+    wcols = ["weight"] if use_w else []
+    adj = (
+        G.edges.select("src", "dst", *wcols)
+        if G.is_directed_flag
+        else G.get_property("sym_edges")
+        .select("src", "dst", *wcols)
+        .filter(F.col("src") != F.col("dst"))
+    ).persist()
+    nbr = adj.select(
+        F.col("src").alias("_np"), F.col("dst").alias("_nd"), F.lit(1).alias("_is_nbr")
+    )
+    walks = G.spark.range(num_walks).select(F.col("id").alias("walk"))
+    cur = sdf.select(F.col("id").alias("start")).crossJoin(walks).select(
+        "start", "walk", F.lit(None).cast("long").alias("prev"), F.col("start").alias("node")
+    )
+    out = cur.select("start", "walk", F.lit(0).alias("step"), "node")
+    wexpr = F.col("weight") if use_w else F.lit(1.0)
+    for step in range(1, walk_length + 1):
+        cand = cur.join(adj, cur["node"] == adj["src"])
+        draw = F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(int(seed)),
+                F.col("walk"),
+                F.lit(step),
+                F.col("node"),
+                F.col("dst"),
+            )
+        )
+        u = F.conv(F.substring(draw, 1, 15), 16, 10).cast("double") / F.lit(_HEX15)
+        if step == 1:
+            key = F.log(u) / wexpr
+        else:
+            cand = cand.join(
+                nbr,
+                (cand["prev"] == F.col("_np")) & (cand["dst"] == F.col("_nd")),
+                "left",
+            )
+            alpha = (
+                F.when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("_is_nbr") == 1, F.lit(1.0))
+                .otherwise(F.lit(1.0 / q))
+            )
+            key = F.log(u) / (wexpr * alpha)
+        nxt = (
+            cand.groupBy("start", "walk", "node")
+            .agg(F.max_by("dst", key).alias("_next"))
+            .select(
+                "start", "walk", F.col("node").alias("prev"), F.col("_next").alias("node")
+            )
+        )
+        cur = nxt.transform(lineage_cut)
+        out = out.unionByName(
+            cur.select("start", "walk", F.lit(step).alias("step"), "node")
+        ).transform(lineage_cut)
+    adj.unpersist()
+    return out

@@ -145,3 +145,75 @@ def test_weighted_walks_bias_toward_heavy_edges(spark):
     firsts = [r["node"] for r in w.filter("step = 1").collect()]
     frac_heavy = sum(1 for n in firsts if n == 1) / len(firsts)
     assert frac_heavy > 0.5  # expectation ~100/119; uniform would be 0.05
+
+
+def _n2v_py(nxg, walk_length, num_walks, starts, p, q, seed=42, weighted=False):
+    import math
+
+    HEX15 = 1152921504606846976.0
+
+    def u(w, step, cur, d):
+        h = hashlib.md5(f"{seed}|{w}|{step}|{cur}|{d}".encode()).hexdigest()
+        return int(h[:15], 16) / HEX15
+
+    def wt(a, b):
+        return nxg[a][b]["weight"] if weighted else 1.0
+
+    rows = set()
+    for s in starts:
+        for w in range(num_walks):
+            prev, cur = None, s
+            rows.add((s, w, 0, s))
+            for step in range(1, walk_length + 1):
+                nbrs = [v for v in nxg[cur] if v != cur]
+                if not nbrs:
+                    break
+                if prev is None:
+                    nxt = max(nbrs, key=lambda d: math.log(u(w, step, cur, d)) / wt(cur, d))
+                else:
+
+                    def key(d):
+                        if d == prev:
+                            alpha = 1.0 / p
+                        elif nxg.has_edge(prev, d):
+                            alpha = 1.0
+                        else:
+                            alpha = 1.0 / q
+                        return math.log(u(w, step, cur, d)) / (wt(cur, d) * alpha)
+
+                    nxt = max(nbrs, key=key)
+                rows.add((s, w, step, nxt))
+                prev, cur = cur, nxt
+    return rows
+
+
+def test_node2vec_matches_python_replay(spark):
+    from graphblas_algorithms_spark.operators.walks import node2vec_walks
+
+    nxg = nx.gnp_random_graph(35, 0.12, seed=29)
+    G = from_networkx(spark, nxg)
+    got = {
+        tuple(r)
+        for r in node2vec_walks(
+            G, walk_length=6, p=2.0, q=0.5, num_walks=2, starts=[0, 1, 2, 3]
+        ).collect()
+    }
+    want = _n2v_py(nxg, 6, 2, [0, 1, 2, 3], p=2.0, q=0.5)
+    assert got == want
+
+
+def test_node2vec_weighted_matches_python_replay(spark):
+    from graphblas_algorithms_spark.operators.walks import node2vec_walks
+
+    nxg = nx.gnp_random_graph(30, 0.15, seed=6)
+    for a, b in nxg.edges:
+        nxg[a][b]["weight"] = 1.0 + ((a + 3 * b) % 4)
+    G = from_networkx(spark, nxg)
+    got = {
+        tuple(r)
+        for r in node2vec_walks(
+            G, walk_length=5, p=0.5, q=4.0, num_walks=1, starts=[0, 5], weighted=True
+        ).collect()
+    }
+    want = _n2v_py(nxg, 5, 1, [0, 5], p=0.5, q=4.0, weighted=True)
+    assert got == want
