@@ -317,6 +317,20 @@ class KeyedGraph:
             .select("start_key", "walk", "step", "key")
         )
 
+    def node2vec_walks(self, walk_length: int, start_keys=None, **kw) -> DataFrame:
+        """(start_key, walk, step, key) — p/q-biased walk corpus."""
+        from .operators.walks import node2vec_walks as _f
+
+        starts = self._ids_of(start_keys) if start_keys is not None else None
+        w = _f(self.G, walk_length, starts=starts, **kw)
+        dim = self._dim
+        return (
+            w.join(dim.withColumnRenamed("id", "start"), "start")
+            .withColumnRenamed("key", "start_key")
+            .join(dim.withColumnRenamed("id", "node"), "node")
+            .select("start_key", "walk", "step", "key")
+        )
+
     # -- traversal / shortest paths ----------------------------------------
     def bfs_levels(self, source_key, **kw) -> DataFrame:
         from .operators.traversal import bfs_levels as _f
