@@ -669,6 +669,15 @@ def _q_node2vec(spark, sf_dir):
     return node2vec_walks(G, walk_length=6, p=2.0, q=0.5, num_walks=2, starts=starts)
 
 
+def _q_mis(spark, sf_dir):
+    """Luby maximal independent set with md5 priorities — deterministic
+    in (graph, seed); oracle unrolls the same rounds (over-unrolled past
+    the fixpoint; empty rounds are no-ops)."""
+    from graphblas_algorithms_spark.operators.mis import maximal_independent_set
+
+    return maximal_independent_set(_part_graph(spark, sf_dir))
+
+
 def _q_isolates(spark, sf_dir):
     from graphblas_algorithms_spark.operators.structure import isolates
 
@@ -1100,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": _q_walks,
         "graph_walks_weighted": _q_walks_weighted,
         "graph_node2vec": _q_node2vec,
+        "graph_mis": _q_mis,
         "graph_isolates": _q_isolates,
         "graph_smetric": _q_smetric,
         "graph_reciprocity": _q_reciprocity,
@@ -1908,6 +1918,51 @@ sym AS MATERIALIZED (
     )
     parts.append(f"allsteps AS ({union})")
     parts.append("SELECT start, walk, step, node FROM allsteps")
+    return "\n".join(parts)
+
+
+def _sql_mis(rounds: int = 16, seed: int = 42) -> str:
+    """Luby MIS unrolled: per round, a node wins when its md5 priority is
+    the strict min of its undecided closed neighborhood; winners and
+    their neighbors leave.  Rounds past the fixpoint are empty no-ops
+    (same over-unroll convention as the kcore oracle)."""
+    parts = [
+        """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+),""",
+        f"u0 AS MATERIALIZED (SELECT id, md5(concat_ws('|', {seed}, id)) AS pri FROM part_nodes),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""nm{r} AS MATERIALIZED (
+  SELECT e.src AS id, min(u2.pri) AS minp
+  FROM sym e JOIN u{r} u1 ON u1.id = e.src JOIN u{r} u2 ON u2.id = e.dst
+  GROUP BY e.src
+),
+c{r} AS MATERIALIZED (
+  SELECT u.id FROM u{r} u LEFT JOIN nm{r} n ON n.id = u.id
+  WHERE n.minp IS NULL OR u.pri < n.minp
+),
+u{r + 1} AS MATERIALIZED (
+  SELECT u.id, u.pri FROM u{r} u
+  ANTI JOIN (
+    SELECT id FROM c{r}
+    UNION
+    SELECT e.dst AS id FROM sym e SEMI JOIN c{r} c ON c.id = e.src
+  ) d ON d.id = u.id
+),"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT id FROM c{r}" for r in range(rounds))
+    parts.append(f"mis AS ({union})")
+    parts.append("SELECT id FROM mis")
     return "\n".join(parts)
 
 
@@ -2783,6 +2838,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks": _sql_walks(),
         "graph_walks_weighted": _sql_walks(weighted=True),
         "graph_node2vec": _sql_node2vec(),
+        "graph_mis": _sql_mis(),
         "graph_isolates": _SQL_ISOLATES,
         "graph_smetric": _SQL_SMETRIC,
         "graph_reciprocity": _SQL_RECIPROCITY,
