@@ -89,11 +89,23 @@ def random_walks(
             pick = F.max_by("dst", F.log(u) / F.col("weight"))
         else:
             pick = F.min_by("dst", draw)
-        nxt = (
-            cur.join(adj, cur["node"] == adj["src"])
-            .groupBy("start", "walk", "node")
+        # the draw depends on (walk, step, node, dst) — NOT on start — so
+        # every chain of the same walk id sitting on the same node takes
+        # the same hop.  Advancing per DISTINCT (walk, node) and joining
+        # back bounds the hub fan-out at num_walks x deg(hub) instead of
+        # chains_on_hub x deg(hub): the skew killer when thousands of
+        # chains converge onto a power-law hub (measured: a 100k-chain
+        # step at 111M edges straggled indefinitely on one task without
+        # this; seconds with it).
+        hop = (
+            cur.select("walk", "node")
+            .distinct()
+            .join(adj, F.col("node") == adj["src"])
+            .groupBy("walk", "node")
             .agg(pick.alias("_next"))
-            .select("start", "walk", F.col("_next").alias("node"))
+        )
+        nxt = cur.join(hop, ["walk", "node"]).select(
+            "start", "walk", F.col("_next").alias("node")
         )
         cur = nxt.transform(lineage_cut)
         out = out.unionByName(
@@ -161,7 +173,11 @@ def node2vec_walks(
     out = cur.select("start", "walk", F.lit(0).alias("step"), "node")
     wexpr = F.col("weight") if use_w else F.lit(1.0)
     for step in range(1, walk_length + 1):
-        cand = cur.join(adj, cur["node"] == adj["src"])
+        # hop computed per DISTINCT (walk, prev, node) and joined back —
+        # the same hub-skew bound as random_walks (the second-order draw
+        # depends on (walk, step, prev, node, dst), never on start)
+        states = cur.select("walk", "prev", "node").distinct()
+        cand = states.join(adj, states["node"] == adj["src"])
         draw = F.md5(
             F.concat_ws(
                 "|",
@@ -187,12 +203,18 @@ def node2vec_walks(
                 .otherwise(F.lit(1.0 / q))
             )
             key = F.log(u) / (wexpr * alpha)
-        nxt = (
-            cand.groupBy("start", "walk", "node")
+        hop = (
+            cand.groupBy("walk", "prev", "node")
             .agg(F.max_by("dst", key).alias("_next"))
-            .select(
-                "start", "walk", F.col("node").alias("prev"), F.col("_next").alias("node")
-            )
+            .withColumnsRenamed({"walk": "_hw", "prev": "_hp", "node": "_hn"})
+        )
+        nxt = cur.join(
+            hop,
+            (cur["walk"] == F.col("_hw"))
+            & cur["prev"].eqNullSafe(F.col("_hp"))
+            & (cur["node"] == F.col("_hn")),
+        ).select(
+            "start", "walk", F.col("node").alias("prev"), F.col("_next").alias("node")
         )
         cur = nxt.transform(lineage_cut)
         out = out.unionByName(
