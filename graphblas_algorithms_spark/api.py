@@ -249,13 +249,31 @@ class KeyedGraph:
 
         return _f(self.G, **kw)
 
+    def _pivot_ids(self, keys) -> list[int]:
+        """Resolve pivot keys to ids, RAISING on unknown keys — a typo'd
+        pivot must not silently shrink the sample (``_ids_of``'s inner
+        join drops misses, which is right for set ops but not here)."""
+        keys = list(keys)
+        ids = [r["id"] for r in self._ids_of(keys).collect()]
+        if len(ids) != len(set(keys)):
+            found = {
+                r["key"]
+                for r in self._dim.join(
+                    self._dim.sparkSession.createDataFrame(
+                        [(k,) for k in keys], "key string"
+                    ),
+                    "key",
+                    "left_semi",
+                ).collect()
+            }
+            raise KeyError(sorted(set(keys) - found))
+        return ids
+
     def harmonic_centrality(self, source_keys=None, **kw) -> DataFrame:
         """(key, harmonic) — pass ``source_keys`` for the sampled-pivot form."""
         from .operators.centrality import harmonic_centrality as _f
 
-        srcs = None
-        if source_keys is not None:
-            srcs = [r["id"] for r in self._ids_of(source_keys).collect()]
+        srcs = self._pivot_ids(source_keys) if source_keys is not None else None
         return self._keyed(_f(self.G, sources=srcs, **kw))
 
     def closeness_centrality(self, **kw) -> DataFrame:
@@ -268,40 +286,52 @@ class KeyedGraph:
         Brandes estimator."""
         from .operators.betweenness import betweenness_centrality as _f
 
-        srcs = None
-        if source_keys is not None:
-            srcs = [r["id"] for r in self._ids_of(source_keys).collect()]
+        srcs = self._pivot_ids(source_keys) if source_keys is not None else None
         return self._keyed(_f(self.G, sources=srcs, **kw))
 
     def link_prediction(self, pairs=None, **kw) -> DataFrame:
         """(u_key, w_key, cn, jaccard, adamic_adar, resource_allocation,
         pref_attachment) — candidate generation when ``pairs`` is None,
-        else scores for the given (u_key, w_key) tuples."""
+        else scores for the given (u_key, w_key) tuples IN the caller's
+        orientation (the kernel canonicalizes by id internally; the
+        output here preserves the tuples as passed so callers can join
+        results back onto their candidate table)."""
         from .operators.linkpred import _score_pairs, link_prediction_scores
 
+        dim = self._dim
+        score_cols = [
+            "cn",
+            "jaccard",
+            "adamic_adar",
+            "resource_allocation",
+            "pref_attachment",
+        ]
         if pairs is None:
             scored = link_prediction_scores(self.G, **kw)
-        else:
-            dim = self._dim
-            pdf = self.G.spark.createDataFrame(
-                list(pairs), "u_key string, w_key string"
+            return (
+                scored.join(dim.withColumnRenamed("id", "u"), "u")
+                .withColumnRenamed("key", "u_key")
+                .join(dim.withColumnRenamed("id", "w"), "w")
+                .withColumnRenamed("key", "w_key")
+                .select("u_key", "w_key", *score_cols)
             )
-            pdf = (
-                pdf.join(dim.withColumnRenamed("key", "u_key"), "u_key")
-                .withColumnRenamed("id", "u")
-                .join(dim.withColumnRenamed("key", "w_key"), "w_key")
-                .withColumnRenamed("id", "w")
-                .select("u", "w")
-            )
-            scored = _score_pairs(self.G, pdf, **kw)
-        dim = self._dim
-        return (
-            scored.join(dim.withColumnRenamed("id", "u"), "u")
-            .withColumnRenamed("key", "u_key")
-            .join(dim.withColumnRenamed("id", "w"), "w")
-            .withColumnRenamed("key", "w_key")
-            .drop("u", "w")
+        pdf = self.G.spark.createDataFrame(
+            list(pairs), "u_key string, w_key string"
         )
+        pdf = (
+            pdf.join(dim.withColumnRenamed("key", "u_key"), "u_key")
+            .withColumnRenamed("id", "_uid")
+            .join(dim.withColumnRenamed("key", "w_key"), "w_key")
+            .withColumnRenamed("id", "_wid")
+            .select(
+                "u_key",
+                "w_key",
+                F.least("_uid", "_wid").alias("u"),
+                F.greatest("_uid", "_wid").alias("w"),
+            )
+        )
+        scored = _score_pairs(self.G, pdf.select("u", "w"))
+        return pdf.join(scored, ["u", "w"]).select("u_key", "w_key", *score_cols)
 
     def random_walks(self, walk_length: int, start_keys=None, **kw) -> DataFrame:
         """(start_key, walk, step, key) — deterministic walk corpus."""

@@ -109,6 +109,17 @@ class _BaseGraph:
         # select.offdiag — graph.py:24-37
         return self.edges.filter(F.col("src") != F.col("dst"))
 
+    def _prop_sym_offdiag(self) -> DataFrame:
+        """Both-direction simple adjacency (src, dst): off-diagonal edges
+        symmetrized — the neighbor relation the undirected kernels
+        (linkpred / MIS / Brandes) all share.  Duplicate-free here
+        because Graph stores one canonical row per undirected edge;
+        DiGraph overrides with a distinct."""
+        off = self.get_property("offdiag").select("src", "dst")
+        return off.unionByName(
+            off.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
     def partition_by_src(self, num_partitions: int | None = None) -> None:
         """Hash-partition edges by ``src`` once; every frontier/rank join in
         the superstep loops then reuses this placement (SURVEY O14)."""
@@ -239,6 +250,16 @@ class DiGraph(_BaseGraph):
             self.edges.select("src", "dst")
             .unionByName(self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
             .distinct()
+        )
+
+    def _prop_sym_offdiag(self) -> DataFrame:
+        """Undirected simple neighbor relation of a digraph: off-diagonal
+        ``A | A.T`` pattern (distinct — reciprocal edges collapse)."""
+        off = self.get_property("offdiag").select("src", "dst")
+        return (
+            off.unionByName(
+                off.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct()
         )
 
     def _prop_out_degrees(self) -> DataFrame:

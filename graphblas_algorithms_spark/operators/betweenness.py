@@ -34,10 +34,7 @@ from ..plans.superstep import lineage_cut
 def _adj(G) -> DataFrame:
     if G.is_directed_flag:
         return G.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    off = G.get_property("offdiag").select("src", "dst")
-    return off.unionByName(
-        off.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    return G.get_property("sym_offdiag")
 
 
 def _forward(G, adj: DataFrame, sources: list[int]) -> tuple[DataFrame, int]:
@@ -143,6 +140,9 @@ def betweenness_centrality(
 
     exact = sources is None
     chunks = _source_chunks(G, sources, chunk_size)
+    if not chunks:  # explicit empty pivot list: zero contribution everywhere
+        zero = G.nodes.select("id", F.lit(0.0).alias("betweenness"))
+        return zero if dense else zero.limit(0)
     adj = _adj(G).persist()
     acc = None
     for chunk in chunks:

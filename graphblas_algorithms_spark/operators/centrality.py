@@ -296,6 +296,9 @@ def harmonic_centrality(
     INTO the node (nx convention: d(s, v))."""
     from .shortest_paths import all_pairs_shortest_path_length
 
+    if sources is not None and len(sources) == 0:
+        zero = G.nodes.select("id", F.lit(0.0).alias("harmonic"))
+        return zero if dense else zero.limit(0)
     dists = all_pairs_shortest_path_length(G, sources=sources, chunk_size=chunk_size)
     h = (
         dists.filter(F.col("source") != F.col("id"))

@@ -16,9 +16,9 @@ center contributes quadratically while carrying ~zero signal (a
 neighborhood shared through a 10^6-degree hub says nothing about the
 pair), so ``max_center_degree`` caps the centers that generate
 candidates — the graph analog of the n-gram dedup path's ``max_df``
-hot-shingle cap (``pipeline/dedup.py``).  Scores for an explicit
-candidate table (the NetworkX ``ebunch``) skip generation entirely and
-are exact regardless of the cap.
+hot-shingle cap (``pipeline/dedup.py``).  Scoring an explicit candidate
+table (the NetworkX ``ebunch``) restricts wedge generation to the
+queried endpoints' neighborhoods and is always exact (no cap applies).
 """
 
 from __future__ import annotations
@@ -27,26 +27,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _adj(G) -> DataFrame:
-    """Off-diagonal symmetric adjacency (src, dst), both directions."""
-    off = G.get_property("offdiag").select("src", "dst")
-    return off.unionByName(off.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-
-
-def _wedge_scores(G, max_center_degree: int | None = None) -> DataFrame:
+def _wedge_scores(
+    G,
+    max_center_degree: int | None = None,
+    endpoints: DataFrame | None = None,
+) -> DataFrame:
     """Per-pair common-neighborhood aggregates through shared neighbors.
 
     Returns (u, w, cn, aa, ra) with u < w for every pair at distance <= 2
     (including pairs that are also edges — callers filter):
     cn = |Γ(u) ∩ Γ(w)|, aa = Σ_v 1/ln(deg v), ra = Σ_v 1/deg v.
+    ``endpoints`` (an (id) DataFrame) restricts BOTH wedge endpoints to a
+    node set — exact for any pair within the set, while skipping the
+    full-graph wedge enumeration.
     """
-    adj = _adj(G)
+    adj = G.get_property("sym_offdiag")
     deg = G.get_property("degrees_minus")
     centers = adj.select(F.col("src").alias("v"), F.col("dst").alias("n")).join(
         deg.select(F.col("id").alias("v"), F.col("degree").alias("dv")), "v"
     )
     if max_center_degree is not None:
         centers = centers.filter(F.col("dv") <= max_center_degree)
+    if endpoints is not None:
+        centers = centers.join(
+            endpoints.select(F.col("id").alias("n")), "n", "left_semi"
+        )
     left = centers.select("v", F.col("n").alias("u"), "dv")
     right = centers.select("v", F.col("n").alias("w"))
     wedges = left.join(right, "v").filter(F.col("u") < F.col("w"))
@@ -98,16 +103,21 @@ def link_prediction_scores(
     )
 
 
-def _score_pairs(G, pairs: DataFrame, max_center_degree: int | None = None) -> DataFrame:
+def _score_pairs(G, pairs: DataFrame) -> DataFrame:
     """Scores for an explicit (u, w) candidate table (NetworkX ebunch).
 
     Pairs are canonicalized to u < w; pairs with no common neighbor get
-    cn=0 / 0.0 scores (NetworkX emits 0 for them too).
+    cn=0 / 0.0 scores (NetworkX emits 0 for them too).  Always exact:
+    wedge generation is restricted to the queried endpoints (no hub cap
+    — a cap would silently undercount cn/aa/ra for explicit pairs).
     """
     canon = pairs.select(
         F.least("u", "w").alias("u"), F.greatest("u", "w").alias("w")
     ).distinct()
-    scores = _wedge_scores(G, max_center_degree=max_center_degree)
+    ends = canon.select(F.col("u").alias("id")).unionByName(
+        canon.select(F.col("w").alias("id"))
+    ).distinct()
+    scores = _wedge_scores(G, endpoints=ends)
     deg = G.get_property("degrees_minus")
     return (
         canon.join(scores, ["u", "w"], "left")
@@ -131,18 +141,19 @@ def _score_pairs(G, pairs: DataFrame, max_center_degree: int | None = None) -> D
 
 def jaccard_coefficient(G, pairs: DataFrame | None = None, **kw) -> DataFrame:
     """(u, w, jaccard) — |Γ(u)∩Γ(w)| / |Γ(u)∪Γ(w)| (nx semantics on a
-    simple graph)."""
-    base = _score_pairs(G, pairs, **kw) if pairs is not None else link_prediction_scores(G, **kw)
+    simple graph).  ``**kw`` applies to candidate GENERATION only
+    (explicit pairs are always scored exactly)."""
+    base = _score_pairs(G, pairs) if pairs is not None else link_prediction_scores(G, **kw)
     return base.select("u", "w", "jaccard")
 
 
 def adamic_adar_index(G, pairs: DataFrame | None = None, **kw) -> DataFrame:
-    base = _score_pairs(G, pairs, **kw) if pairs is not None else link_prediction_scores(G, **kw)
+    base = _score_pairs(G, pairs) if pairs is not None else link_prediction_scores(G, **kw)
     return base.select("u", "w", "adamic_adar")
 
 
 def resource_allocation_index(G, pairs: DataFrame | None = None, **kw) -> DataFrame:
-    base = _score_pairs(G, pairs, **kw) if pairs is not None else link_prediction_scores(G, **kw)
+    base = _score_pairs(G, pairs) if pairs is not None else link_prediction_scores(G, **kw)
     return base.select("u", "w", "resource_allocation")
 
 

@@ -32,16 +32,14 @@ def maximal_independent_set(G, seed: int = 42, max_rounds: int = 64) -> DataFram
     Self-edges are ignored (a self-looped node can still enter: MIS is
     defined on the simple graph).  Raises if ``max_rounds`` is hit
     (never observed below ~3 log2 n rounds)."""
-    off = G.get_property("offdiag").select("src", "dst")
-    adj = off.unionByName(
-        off.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    adj = G.get_property("sym_offdiag").persist()
     pri = F.md5(F.concat_ws("|", F.lit(int(seed)), F.col("id")))
     undecided = G.nodes.select("id", pri.alias("pri")).persist()
     mis = None
-    for _ in range(max_rounds):
-        if undecided.limit(1).count() == 0:
-            break
+    done = undecided.limit(1).count() == 0
+    rounds = 0
+    while not done and rounds < max_rounds:
+        rounds += 1
         # neighbor priorities WITHIN the undecided set: adjacency
         # restricted by two semi-joins (SURVEY P8 structure mask)
         u_ids = undecided.select("id")
@@ -79,11 +77,12 @@ def maximal_independent_set(G, seed: int = 42, max_rounds: int = 64) -> DataFram
             .transform(lineage_cut)
             .persist()
         )
-    else:
+        done = undecided.limit(1).count() == 0
+    adj.unpersist()
+    if not done:
         raise RuntimeError(
             f"maximal_independent_set did not converge in {max_rounds} rounds"
         )
-    adj.unpersist()
     if mis is None:
         return G.nodes.select("id").limit(0)
     return mis.select("id")

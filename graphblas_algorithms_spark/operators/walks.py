@@ -35,6 +35,37 @@ from ..plans.superstep import lineage_cut
 _HEX15 = 1152921504606846976.0
 
 
+def _walk_inputs(G, starts, weighted):
+    """(starts_df, adjacency, use_weight) shared by both walk kernels.
+
+    Self-loops are excluded in BOTH directed and undirected graphs (a
+    self-loop that won the draw would trap the walk at one node for the
+    rest of its length — degenerate training sentences).  Requesting
+    ``weighted=True`` on a graph without a weight column raises rather
+    than silently producing a uniform corpus."""
+    if starts is None:
+        sdf = G.nodes.select("id")
+    elif isinstance(starts, DataFrame):
+        sdf = starts.select("id")
+    else:
+        sdf = G.spark.createDataFrame([(int(s),) for s in starts], "id long")
+    if weighted and "weight" not in G.edges.columns:
+        raise ValueError(
+            "weighted=True on a graph without a weight column — the corpus "
+            "would silently degrade to uniform walks"
+        )
+    wcols = ["weight"] if weighted else []
+    if G.is_directed_flag:
+        adj = G.edges.select("src", "dst", *wcols).filter(F.col("src") != F.col("dst"))
+    else:
+        adj = (
+            G.get_property("sym_edges")
+            .select("src", "dst", *wcols)
+            .filter(F.col("src") != F.col("dst"))
+        )
+    return sdf, adj.persist(), weighted
+
+
 def random_walks(
     G,
     walk_length: int,
@@ -52,27 +83,12 @@ def random_walks(
     Efraimidis-Spirakis keys: pick argmax over neighbors of
     ``ln(u)/w`` where ``u`` is the same md5 hash-uniform — still fully
     deterministic and engine-replayable."""
-    if starts is None:
-        sdf = G.nodes.select("id")
-    elif isinstance(starts, DataFrame):
-        sdf = starts.select("id")
-    else:
-        sdf = G.spark.createDataFrame([(int(s),) for s in starts], "id long")
-    use_w = weighted and "weight" in G.edges.columns
-    wcols = ["weight"] if use_w else []
-    adj = (
-        G.edges.select("src", "dst", *wcols)
-        if G.is_directed_flag
-        else G.get_property("sym_edges")
-        .select("src", "dst", *wcols)
-        .filter(F.col("src") != F.col("dst"))
-    )
-    adj = adj.persist()
+    sdf, adj, use_w = _walk_inputs(G, starts, weighted)
     walks = G.spark.range(num_walks).select(F.col("id").alias("walk"))
     cur = sdf.select(F.col("id").alias("start")).crossJoin(walks).select(
         "start", "walk", F.col("start").alias("node")
     )
-    out = cur.select("start", "walk", F.lit(0).alias("step"), "node").persist()
+    steps = [cur.select("start", "walk", F.lit(0).alias("step"), "node").persist()]
     for step in range(1, walk_length + 1):
         draw = F.md5(
             F.concat_ws(
@@ -107,11 +123,15 @@ def random_walks(
         nxt = cur.join(hop, ["walk", "node"]).select(
             "start", "walk", F.col("_next").alias("node")
         )
+        # each step is cut once and APPENDED — unioning per step and
+        # re-cutting the growing prefix would rewrite the whole corpus
+        # every hop (O(walk_length^2) data movement)
         cur = nxt.transform(lineage_cut)
-        out = out.unionByName(
-            cur.select("start", "walk", F.lit(step).alias("step"), "node")
-        ).transform(lineage_cut)
+        steps.append(cur.select("start", "walk", F.lit(step).alias("step"), "node"))
     adj.unpersist()
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
     return out
 
 
@@ -148,21 +168,7 @@ def node2vec_walks(
     set (the prev-adjacency test) + one argmax agg — still a bounded
     number of shuffles per superstep with all chains batched.
     """
-    if starts is None:
-        sdf = G.nodes.select("id")
-    elif isinstance(starts, DataFrame):
-        sdf = starts.select("id")
-    else:
-        sdf = G.spark.createDataFrame([(int(s),) for s in starts], "id long")
-    use_w = weighted and "weight" in G.edges.columns
-    wcols = ["weight"] if use_w else []
-    adj = (
-        G.edges.select("src", "dst", *wcols)
-        if G.is_directed_flag
-        else G.get_property("sym_edges")
-        .select("src", "dst", *wcols)
-        .filter(F.col("src") != F.col("dst"))
-    ).persist()
+    sdf, adj, use_w = _walk_inputs(G, starts, weighted)
     nbr = adj.select(
         F.col("src").alias("_np"), F.col("dst").alias("_nd"), F.lit(1).alias("_is_nbr")
     )
@@ -170,7 +176,7 @@ def node2vec_walks(
     cur = sdf.select(F.col("id").alias("start")).crossJoin(walks).select(
         "start", "walk", F.lit(None).cast("long").alias("prev"), F.col("start").alias("node")
     )
-    out = cur.select("start", "walk", F.lit(0).alias("step"), "node")
+    steps = [cur.select("start", "walk", F.lit(0).alias("step"), "node")]
     wexpr = F.col("weight") if use_w else F.lit(1.0)
     for step in range(1, walk_length + 1):
         # hop computed per DISTINCT (walk, prev, node) and joined back —
@@ -217,8 +223,9 @@ def node2vec_walks(
             "start", "walk", F.col("node").alias("prev"), F.col("_next").alias("node")
         )
         cur = nxt.transform(lineage_cut)
-        out = out.unionByName(
-            cur.select("start", "walk", F.lit(step).alias("step"), "node")
-        ).transform(lineage_cut)
+        steps.append(cur.select("start", "walk", F.lit(step).alias("step"), "node"))
     adj.unpersist()
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
     return out

@@ -27,7 +27,10 @@ def funnel_conversion(
     <value_sum_stage>_value, funnel) where ``funnel`` is 1 iff the user's
     FIRST event of each stage occurs in strict stage order (first view <
     first click < first purchase) — the ordered-funnel definition, not
-    mere stage presence."""
+    mere stage presence.  A single-stage funnel degenerates to presence
+    of that stage; an empty stage tuple is an error."""
+    if not stages:
+        raise ValueError("funnel_conversion requires at least one stage")
     aggs = []
     for s in stages:
         is_s = F.col("event_type") == s
@@ -51,11 +54,9 @@ def funnel_conversion(
         ).alias(f"{value_sum_stage}_value")
     )
     out = events.groupBy("user_id").agg(*aggs)
-    ordered = None
+    # single stage: the funnel degenerates to "did stage 1 happen"
+    ordered = F.col(f"_t_{stages[0]}").isNotNull()
     for a, b in zip(stages, stages[1:]):
-        step = F.col(f"_t_{a}") < F.col(f"_t_{b}")
-        ordered = step if ordered is None else (ordered & step)
-    out = out.withColumn(
-        "funnel", F.when(ordered, 1).otherwise(0) if ordered is not None else F.lit(1)
-    )
+        ordered = ordered & (F.col(f"_t_{a}") < F.col(f"_t_{b}"))
+    out = out.withColumn("funnel", F.when(ordered, 1).otherwise(0))
     return out.drop(*[f"_t_{s}" for s in stages])

@@ -83,19 +83,30 @@ def test_explicit_pairs_ebunch(spark):
 
 
 def test_min_common_and_hub_cap(spark):
-    # star center is a mega-hub: capping it removes every candidate pair
-    # generated THROUGH it, but leaf-leaf pairs only exist through the hub
+    # star hub (degree 12) + a detached path 20-21-22: capping centers at
+    # degree 5 must remove every hub-mediated pair but keep (20, 22),
+    # whose only shared neighbor 21 has degree 2
     nxg = nx.star_graph(12)
     nxg.add_edge(1, 2)  # one real edge among leaves
+    nxg.add_edges_from([(20, 21), (21, 22)])
     G = from_networkx(spark, nxg)
-    allp = link_prediction_scores(G).collect()
-    assert {(r["u"], r["w"]) for r in allp} == {
-        (u, w) for (u, w) in _nx_pairs(nxg)
+    allp = {(r["u"], r["w"]) for r in link_prediction_scores(G).collect()}
+    assert allp == _nx_pairs(nxg)
+    capped = {
+        (r["u"], r["w"])
+        for r in link_prediction_scores(G, max_center_degree=5).collect()
     }
-    capped = link_prediction_scores(G, max_center_degree=5).collect()
-    # hub (degree 12) is the only distance-2 center except nodes 1,2
-    assert {(r["u"], r["w"]) for r in capped} <= {(r["u"], r["w"]) for r in allp}
-    assert all(r["cn"] >= 2 for r in link_prediction_scores(G, min_common=2).collect())
+    assert capped == {(20, 22)}
+    uncapped = {
+        (r["u"], r["w"])
+        for r in link_prediction_scores(G, max_center_degree=100).collect()
+    }
+    assert uncapped == allp
+    # min_common prunes: only pair (1,2) has 2 shared nbrs but is an edge,
+    # so every surviving candidate here has exactly 1 common neighbor
+    mc = link_prediction_scores(G, min_common=2).collect()
+    assert mc == []
+    assert {r["cn"] for r in link_prediction_scores(G, min_common=1).collect()} == {1}
 
 
 def test_adamic_adar_and_ra_wrappers(spark):

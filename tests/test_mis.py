@@ -69,3 +69,11 @@ def test_mis_complete_graph_single_winner(spark):
     G = from_networkx(spark, nxg)
     got = {r["id"] for r in maximal_independent_set(G).collect()}
     assert len(got) == 1 and got == _py_mis(nxg)
+
+
+def test_mis_converging_on_final_round_is_success(spark):
+    # regression: fixpoint landing exactly on max_rounds must not raise
+    nxg = nx.path_graph(2)
+    G = from_networkx(spark, nxg)
+    got = {r["id"] for r in maximal_independent_set(G, max_rounds=1).collect()}
+    assert got == _py_mis(nxg)

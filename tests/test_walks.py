@@ -18,9 +18,12 @@ def _py_walks(nxg, walk_length, num_walks, starts, seed=42, directed=False):
             cur = s
             rows.add((s, w, 0, s))
             for step in range(1, walk_length + 1):
-                nbrs = list(nxg.successors(cur)) if directed else [
-                    v for v in nxg[cur] if v != cur
-                ]
+                # self-loops excluded in both orientations (kernel contract)
+                nbrs = (
+                    [v for v in nxg.successors(cur) if v != cur]
+                    if directed
+                    else [v for v in nxg[cur] if v != cur]
+                )
                 if not nbrs:
                     break
                 cur = min(
@@ -47,6 +50,7 @@ def test_walks_match_python_replay_undirected(spark):
 
 def test_walks_directed_dead_end(spark):
     nxg = nx.DiGraph([(0, 1), (1, 2), (2, 3)])  # 3 is a sink
+    nxg.add_edge(3, 3)  # self-loop at the sink: must NOT trap the walk
     nxg.add_node(9)  # isolated start: walk is just step 0
     G = from_networkx(spark, nxg)
     got = {
@@ -55,8 +59,17 @@ def test_walks_directed_dead_end(spark):
     }
     want = _py_walks(nxg, 5, 1, [0, 9], directed=True)
     assert got == want
-    # the chain walk visits 0->1->2->3 then stops at the sink
+    # the chain walk visits 0->1->2->3 then stops (self-loop excluded)
     assert (0, 0, 3, 3) in got and not any(s == 4 for (_, _, s, _) in got)
+
+
+def test_weighted_requires_weight_column(spark):
+    import pytest as _pytest
+
+    nxg = nx.path_graph(5)
+    G = from_networkx(spark, nxg)
+    with _pytest.raises(ValueError, match="weight"):
+        random_walks(G, walk_length=2, starts=[0], weighted=True)
 
 
 def test_walk_sentences_ordered(spark):
