@@ -678,6 +678,20 @@ def _q_mis(spark, sf_dir):
     return maximal_independent_set(_part_graph(spark, sf_dir))
 
 
+def _q_coloring(spark, sf_dir):
+    """Speculative greedy coloring with conflict resolution on the
+    1/7-thinned co-purchase graph (11 rounds measured; the full-density
+    graph takes 37 — thinned keeps the oracle unroll and the driver
+    wall small while exercising the identical kernel).  Oracle unrolls
+    the same rounds with DuckDB list functions for the mex."""
+    from graphblas_algorithms_spark.classes.graph import Graph
+    from graphblas_algorithms_spark.operators.mis import greedy_color
+
+    p = _part_pairs(spark, sf_dir).filter((F.col("src") + F.col("dst")) % 7 == 0)
+    G = Graph(p, _part_nodes(spark, sf_dir), canonicalize=False)
+    return greedy_color(G)
+
+
 def _q_isolates(spark, sf_dir):
     from graphblas_algorithms_spark.operators.structure import isolates
 
@@ -1110,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks_weighted": _q_walks_weighted,
         "graph_node2vec": _q_node2vec,
         "graph_mis": _q_mis,
+        "graph_coloring": _q_coloring,
         "graph_isolates": _q_isolates,
         "graph_smetric": _q_smetric,
         "graph_reciprocity": _q_reciprocity,
@@ -1963,6 +1978,65 @@ u{r + 1} AS MATERIALIZED (
     union = "\nUNION ALL ".join(f"SELECT id FROM c{r}" for r in range(rounds))
     parts.append(f"mis AS ({union})")
     parts.append("SELECT id FROM mis")
+    return "\n".join(parts)
+
+
+def _sql_coloring(rounds: int = 16, seed: int = 42) -> str:
+    """Speculative coloring unrolled: per round every undecided node
+    picks the mex over COMMITTED neighbor colors (list_filter over
+    range(0, |used|+1), matching Spark's sequence/array_except), then
+    same-pick edges send the higher-md5-priority endpoint back.
+    Over-unrolled; empty rounds are no-ops."""
+    parts = [
+        """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE (a.l_partkey + b.l_partkey) % 7 = 0
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+),""",
+        f"u0 AS MATERIALIZED (SELECT id, md5(concat_ws('|', {seed}, id)) AS pri FROM part_nodes),",
+        "col0 AS MATERIALIZED (SELECT id, 0::BIGINT AS color FROM part_nodes WHERE false),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""pk{r} AS MATERIALIZED (
+  SELECT id, pri,
+         coalesce(list_min(list_filter(range(0, coalesce(len(used), 0) + 1),
+                                       x -> NOT list_contains(coalesce(used, []), x))),
+                  0)::BIGINT AS pick
+  FROM (
+    SELECT u.id, u.pri,
+           list(DISTINCT c2.color) FILTER (WHERE c2.color IS NOT NULL) AS used
+    FROM u{r} u
+    LEFT JOIN sym e ON e.src = u.id
+    LEFT JOIN col{r} c2 ON c2.id = e.dst
+    GROUP BY u.id, u.pri
+  )
+),
+ls{r} AS MATERIALIZED (
+  SELECT DISTINCT p1.id
+  FROM pk{r} p1
+  JOIN sym e ON e.src = p1.id
+  JOIN pk{r} p2 ON p2.id = e.dst AND p2.pick = p1.pick
+  WHERE p2.pri < p1.pri
+),
+col{r + 1} AS MATERIALIZED (
+  SELECT * FROM col{r}
+  UNION ALL
+  SELECT p.id, p.pick AS color FROM pk{r} p ANTI JOIN ls{r} l ON l.id = p.id
+),
+u{r + 1} AS MATERIALIZED (
+  SELECT u.id, u.pri FROM u{r} u SEMI JOIN ls{r} l ON l.id = u.id
+),"""
+        )
+    parts.append(f"final AS (SELECT id, color FROM col{rounds})")
+    parts.append("SELECT id, color FROM final")
     return "\n".join(parts)
 
 
@@ -2839,6 +2913,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks_weighted": _sql_walks(weighted=True),
         "graph_node2vec": _sql_node2vec(),
         "graph_mis": _sql_mis(),
+        "graph_coloring": _sql_coloring(),
         "graph_isolates": _SQL_ISOLATES,
         "graph_smetric": _SQL_SMETRIC,
         "graph_reciprocity": _SQL_RECIPROCITY,

@@ -77,3 +77,54 @@ def test_mis_converging_on_final_round_is_success(spark):
     G = from_networkx(spark, nxg)
     got = {r["id"] for r in maximal_independent_set(G, max_rounds=1).collect()}
     assert got == _py_mis(nxg)
+
+
+def _py_color(nxg, seed=42):
+    # speculative pick + conflict resolution (mirrors greedy_color)
+    pri = {v: hashlib.md5(f"{seed}|{v}".encode()).hexdigest() for v in nxg}
+    undecided = set(nxg)
+    color = {}
+    while undecided:
+        pick = {}
+        for v in undecided:
+            used = {color[u] for u in nxg[v] if u in color and u != v}
+            c = 0
+            while c in used:
+                c += 1
+            pick[v] = c
+        losers = set()
+        for v in undecided:
+            for u in nxg[v]:
+                if u != v and u in undecided and pick[u] == pick[v] and pri[u] < pri[v]:
+                    losers.add(v)
+                    break
+        for v in undecided - losers:
+            color[v] = pick[v]
+        undecided = losers
+    return color
+
+
+def test_greedy_color_matches_python_replay(spark):
+    from graphblas_algorithms_spark.operators.mis import greedy_color
+
+    nxg = nx.gnp_random_graph(70, 0.1, seed=17)
+    nxg.add_node(777)
+    G = from_networkx(spark, nxg)
+    got = {r["id"]: r["color"] for r in greedy_color(G).collect()}
+    assert got == _py_color(nxg)
+    # proper coloring + Delta+1 bound
+    for u, v in nxg.edges:
+        if u != v:
+            assert got[u] != got[v]
+    maxdeg = max(d for _, d in nxg.degree)
+    assert max(got.values()) <= maxdeg
+
+
+def test_greedy_color_complete_graph_uses_n_colors(spark):
+    from graphblas_algorithms_spark.operators.mis import greedy_color
+
+    nxg = nx.complete_graph(7)
+    G = from_networkx(spark, nxg)
+    got = {r["id"]: r["color"] for r in greedy_color(G).collect()}
+    assert sorted(got.values()) == list(range(7))
+    assert got == _py_color(nxg)
