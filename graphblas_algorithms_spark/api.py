@@ -361,6 +361,18 @@ class KeyedGraph:
             .select("start_key", "walk", "step", "key")
         )
 
+    def maximal_independent_set(self, **kw) -> DataFrame:
+        """(key) — deterministic Luby MIS."""
+        from .operators.mis import maximal_independent_set as _f
+
+        return self._keyed(_f(self.G, **kw))
+
+    def greedy_color(self, **kw) -> DataFrame:
+        """(key, color) — speculative greedy coloring."""
+        from .operators.mis import greedy_color as _f
+
+        return self._keyed(_f(self.G, **kw))
+
     # -- traversal / shortest paths ----------------------------------------
     def bfs_levels(self, source_key, **kw) -> DataFrame:
         from .operators.traversal import bfs_levels as _f

@@ -306,3 +306,20 @@ def test_keyed_random_walks(spark):
         by_chain.setdefault((r["start_key"], r["walk"]), {})[r["step"]] = r["key"]
     for (s, _), seq in by_chain.items():
         assert seq[0] == s
+
+
+def test_keyed_mis_and_coloring(spark):
+    nxg = nx.gnp_random_graph(30, 0.15, seed=9)
+    key = {i: f"m{i}" for i in nxg.nodes}
+    raw = spark.createDataFrame(
+        [(key[u], key[v]) for u, v in nxg.edges], "a string, b string"
+    )
+    kg = KeyedGraph(raw, "a", "b", directed=False)
+    mis = {r["key"] for r in kg.maximal_independent_set().collect()}
+    inv = {v: k for k, v in key.items()}
+    ids = {inv[k] for k in mis}
+    for u, v in nxg.edges:
+        assert not (u in ids and v in ids)
+    col = {inv[r["key"]]: r["color"] for r in kg.greedy_color().collect()}
+    for u, v in nxg.edges:
+        assert col[u] != col[v]
