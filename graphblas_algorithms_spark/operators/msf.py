@@ -29,11 +29,17 @@ from pyspark.sql import functions as F
 from ..plans.superstep import lineage_cut
 
 
-def minimum_spanning_forest(G, max_rounds: int = 64) -> DataFrame:
+def minimum_spanning_forest(
+    G, max_rounds: int = 64, cc_method: str = "star"
+) -> DataFrame:
     """(src: long, dst: long, weight: double) — edges of the minimum
     spanning forest (one tree per connected component), canonical
     src < dst.  Unweighted graphs get weight 1.0 (any spanning forest is
-    minimal; the lexicographic order still fixes WHICH one)."""
+    minimal; the lexicographic order still fixes WHICH one).
+
+    ``cc_method``: contraction CC variant — "star" (default; the chosen
+    edges form pseudo-trees whose chains can be long, so the
+    diameter-independent kernel is the safe default) or "minlabel"."""
     has_w = "weight" in G.edges.columns
     wcol = F.col("weight").cast("double") if has_w else F.lit(1.0)
     base = (
@@ -94,7 +100,7 @@ def minimum_spanning_forest(G, max_rounds: int = 64) -> DataFrame:
         )
         from .components import connected_components
 
-        labels = connected_components(comp_graph).select(
+        labels = connected_components(comp_graph, method=cc_method).select(
             F.col("id"), F.col("component").alias("_new")
         )
         # 3. relabel both endpoints
