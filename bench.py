@@ -207,6 +207,10 @@ def _sf_queries(spark) -> dict:
         # pivot-sampled centralities (16-source Brandes / 48-pivot harmonic)
         "graph_betweenness",
         "graph_harmonic",
+        # deterministic walk corpus (16 starts x 2 walks x 8 hops) and
+        # speculative greedy coloring on the 1/7-thinned graph
+        "graph_walks",
+        "graph_coloring",
         "pipe_minhash_neardup",
         # corpus-level transitive dedup: LSH pairs -> CC clusters
         "pipe_dedup_clusters",
