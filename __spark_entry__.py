@@ -749,6 +749,20 @@ def _q_token_counts(spark, sf_dir):
     return token_counts(_read(spark, sf_dir, "documents"))
 
 
+def _q_lm_score(spark, sf_dir):
+    """Corpus-trained add-one word-bigram LM score per document (the
+    KenLM-style quality-filter proxy); oracle rebuilds the identical
+    counts with list_zip bigrams and replays the log arithmetic."""
+    from graphblas_algorithms_spark.pipeline.text import lm_scores
+
+    s = lm_scores(_read(spark, sf_dir, "documents"))
+    return s.select(
+        "doc_id",
+        F.round("lm_logprob", 6).alias("lm_logprob"),
+        F.round("lm_per_token", 6).alias("lm_per_token"),
+    )
+
+
 def _q_fingerprints(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.text import fingerprints
 
@@ -1132,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node_boundary": _q_node_boundary,
         "graph_laplacian": _q_laplacian,
         "pipe_token_counts": _q_token_counts,
+        "pipe_lm_score": _q_lm_score,
         "pipe_fingerprints": _q_fingerprints,
         "pipe_exact_dups": _q_exact_dups,
         "pipe_quality": _q_quality,
@@ -2282,6 +2297,41 @@ FROM entries GROUP BY row, col HAVING sum(value) <> 0
 
 _BPE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
+# corpus-trained add-one word-bigram LM score (mirrors
+# pipeline/text.py:lm_scores): bigrams via list_zip of shifted slices,
+# c1 = bigram-context counts, V = corpus distinct tokens
+_SQL_LM_SCORE = """
+WITH lsts AS MATERIALIZED (
+  SELECT doc_id,
+         str_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS lst
+  FROM documents
+),
+bi AS MATERIALIZED (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2
+  FROM (
+    SELECT doc_id,
+           unnest(list_zip(lst[1:len(lst) - 1], lst[2:len(lst)])) AS z
+    FROM lsts
+  )
+),
+uni AS MATERIALIZED (SELECT w1, count(*)::BIGINT AS c1 FROM bi GROUP BY w1),
+bic AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bi GROUP BY w1, w2),
+voc AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(lst) AS tok FROM lsts)),
+scored AS (
+  SELECT b.doc_id,
+         sum(ln((bic.c2 + 1.0) / (uni.c1 + voc.v))) AS lp,
+         count(*) AS nb
+  FROM bi b JOIN bic ON bic.w1 = b.w1 AND bic.w2 = b.w2
+  JOIN uni ON uni.w1 = b.w1
+  CROSS JOIN voc
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(s.lp, 0.0), 6) AS lm_logprob,
+       round(coalesce(s.lp / s.nb, 0.0), 6) AS lm_per_token
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
 _SQL_TOKEN_COUNTS = f"""
 SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
@@ -2921,6 +2971,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_node_boundary": _SQL_NODE_BOUNDARY,
         "graph_laplacian": _SQL_LAPLACIAN,
         "pipe_token_counts": _SQL_TOKEN_COUNTS,
+        "pipe_lm_score": _SQL_LM_SCORE,
         "pipe_fingerprints": _SQL_FINGERPRINTS,
         "pipe_exact_dups": _SQL_EXACT_DUPS,
         "pipe_quality": _SQL_QUALITY,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic.
 # (The sf documents corpus is synthetic English-ish; the operator's value
@@ -283,3 +284,49 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     )
     return scored.withColumn("_rk", rk).filter(F.col("_rk") <= k).drop("_rk")
+
+
+def lm_scores(docs: DataFrame, prefix_len: int | None = None) -> DataFrame:
+    """(doc_id, lm_logprob: double, lm_per_token: double) — corpus-trained
+    add-one-smoothed word-bigram language-model score per document.
+
+    The KenLM-style quality-filter proxy: documents whose token
+    transitions are improbable under the corpus's own bigram statistics
+    (boilerplate, shuffled text, OCR noise) score low.  Two passes, both
+    plain aggregations: (1) corpus bigram/unigram counts (one groupBy
+    each — partial-agg friendly, the "train" shuffle is bounded by the
+    vocabulary, not the corpus); (2) per-document sum of
+    log((c(w1,w2) + 1) / (c(w1) + V)) via one join of the document's
+    bigrams against the count tables.  Deterministic and exactly
+    replayable in SQL (integer counts + ln of their ratio).
+
+    ``prefix_len`` truncates each document to its first N whitespace
+    tokens before scoring (bounds the explode at web scale)."""
+    w = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    if prefix_len is not None:
+        w = F.slice(w, 1, prefix_len)
+    toks = docs.select("doc_id", F.posexplode(w).alias("pos", "w1"))
+    bi = toks.withColumn(
+        "w2", F.lead("w1").over(Window.partitionBy("doc_id").orderBy("pos"))
+    ).filter(F.col("w2").isNotNull())
+    uni_c = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi_c = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab = toks.select("w1").distinct().count()
+    scored = (
+        bi.join(bi_c, ["w1", "w2"])
+        .join(uni_c, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(vocab))))
+            ).alias("lm_logprob"),
+            F.count("*").alias("_nb"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("lm_logprob", F.lit(0.0)).alias("lm_logprob"),
+        F.coalesce(F.col("lm_logprob") / F.col("_nb"), F.lit(0.0)).alias(
+            "lm_per_token"
+        ),
+    )

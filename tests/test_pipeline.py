@@ -835,3 +835,31 @@ def test_funnel_conversion(spark):
     assert got[1]["click_k_sum"] == 7 and got[2]["click_k_sum"] == 5
     assert got[3]["click_k_sum"] == 11 and got[3]["n_purchase"] == 0
     assert got[2]["n_view"] == 1 and got[2]["n_click"] == 1 and got[2]["n_purchase"] == 1
+
+
+def test_lm_scores_hand_computed(spark):
+    import math
+
+    from graphblas_algorithms_spark.pipeline.text import lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "en", "s", 7),
+            (2, "a b", "en", "s", 3),
+            (3, "c", "en", "s", 1),  # no bigram -> 0.0
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in lm_scores(docs).collect()}
+    # corpus bigrams: d1: (a,b),(b,a),(a,b); d2: (a,b)
+    # c2(a,b)=3, c2(b,a)=1, c1(a)=3, c1(b)=1, V=3 (a, b, c)
+    lp_ab = math.log((3 + 1) / (3 + 3))
+    lp_ba = math.log((1 + 1) / (1 + 3))
+    d1 = 2 * lp_ab + lp_ba
+    assert got[1]["lm_logprob"] == pytest.approx(d1, abs=1e-9)
+    assert got[1]["lm_per_token"] == pytest.approx(d1 / 3, abs=1e-9)
+    assert got[2]["lm_logprob"] == pytest.approx(lp_ab, abs=1e-9)
+    assert got[3]["lm_logprob"] == 0.0 and got[3]["lm_per_token"] == 0.0
+    # prefix_len truncation drops d1's trailing bigram
+    got2 = {r["doc_id"]: r for r in lm_scores(docs, prefix_len=3).collect()}
+    assert got2[1]["lm_logprob"] != got[1]["lm_logprob"]
