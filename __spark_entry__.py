@@ -221,6 +221,19 @@ def _q_pagerank(spark, sf_dir):
     return r.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_ppr_multi(spark, sf_dir):
+    """Batched multi-seed personalized PageRank: 4 lowest-id seeds ride
+    ONE contributions shuffle per superstep (the queries-as-matrix trick
+    applied to link analysis); oracle unrolls the same fixed iterations
+    with a seed dimension."""
+    from graphblas_algorithms_spark.operators.ppr import personalized_pagerank_multi
+
+    G = _cust_supp_graph(spark, sf_dir)
+    seeds = [r["id"] for r in G.nodes.orderBy("id").limit(4).collect()]
+    r = personalized_pagerank_multi(G, seeds, alpha=0.85, iters=PR_ITERS)
+    return r.select("seed", "id", F.round("rank", 6).alias("rank"))
+
+
 def _q_components(spark, sf_dir):
     from graphblas_algorithms_spark.operators.components import connected_components
 
@@ -1096,6 +1109,7 @@ def _q_frame_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_pagerank": _q_pagerank,
+        "graph_ppr_multi": _q_ppr_multi,
         "graph_pagerank_weighted": _q_pagerank_weighted,
         "graph_pagerank_personalized": _q_pagerank_personalized,
         "graph_pagerank_incremental": _q_pagerank_incremental,
@@ -1265,6 +1279,46 @@ def _sql_pagerank() -> str:
     return _sql_pagerank_unrolled(
         _SQL_CUST_SUPP, "cs_edges", "cs_nodes", "id, round(r, 6) AS rank"
     )
+
+
+def _sql_ppr_multi(n_seeds: int = 4, iters: int | None = None, alpha: float = 0.85) -> str:
+    """Multi-seed PPR unrolled with a seed dimension (mirrors
+    operators/ppr.py): per seed, teleport and dangling mass concentrate
+    on the seed; state is (seed, id, r)."""
+    iters = iters or PR_ITERS
+    parts = [
+        "WITH " + _SQL_CUST_SUPP.strip().rstrip(",").strip(),
+        f""",
+sd AS MATERIALIZED (SELECT id AS seed FROM cs_nodes ORDER BY id LIMIT {n_seeds}),
+outdeg_q AS MATERIALIZED (SELECT src, count(*) AS c FROM cs_edges GROUP BY src),
+nn_q AS MATERIALIZED (SELECT count(*)::DOUBLE AS cnt FROM cs_nodes),
+y0 AS MATERIALIZED (
+  SELECT s.seed, n.id, 1.0 / nn.cnt AS r FROM cs_nodes n CROSS JOIN sd s CROSS JOIN nn_q nn
+)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+y{k} AS MATERIALIZED (
+  SELECT s.seed, no.id,
+         (1 - {alpha}) * (CASE WHEN no.id = s.seed THEN 1.0 ELSE 0.0 END)
+         + coalesce(c.s, 0)
+         + {alpha} * coalesce(dm.mass, 0)
+           * (CASE WHEN no.id = s.seed THEN 1.0 ELSE 0.0 END) AS r
+  FROM cs_nodes no
+  CROSS JOIN sd s
+  LEFT JOIN (SELECT p.seed, coalesce(sum(p.r), 0) AS mass
+             FROM y{k - 1} p LEFT JOIN outdeg_q od ON p.id = od.src
+             WHERE od.src IS NULL GROUP BY p.seed) dm ON dm.seed = s.seed
+  LEFT JOIN (SELECT p.seed, e.dst AS id, sum({alpha} * p.r / od.c) AS s
+             FROM y{k - 1} p
+             JOIN cs_edges e ON p.id = e.src
+             JOIN outdeg_q od ON od.src = e.src
+             GROUP BY p.seed, e.dst) c ON c.seed = s.seed AND c.id = no.id
+)"""
+        )
+    parts.append(f"\nSELECT seed, id, round(r, 6) AS rank FROM y{iters}")
+    return "".join(parts)
 
 
 def _sql_pagerank_weighted() -> str:
@@ -2922,6 +2976,7 @@ SELECT asset_id, unnest(range(0, nf, 5))::BIGINT AS frame_idx FROM v
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_pagerank": _sql_pagerank(),
+        "graph_ppr_multi": _sql_ppr_multi(),
         "graph_pagerank_weighted": _sql_pagerank_weighted(),
         "graph_pagerank_personalized": _sql_pagerank_personalized(),
         "graph_pagerank_incremental": _sql_pagerank_incremental(),
