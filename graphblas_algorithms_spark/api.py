@@ -116,6 +116,21 @@ class KeyedGraph:
         h, a = _hits(self.G, **kw)
         return self._keyed(h), self._keyed(a)
 
+    def personalized_pagerank_multi(self, seed_keys, **kw) -> DataFrame:
+        """(seed_key, key, rank) — batched PPR, one shuffle per superstep
+        for all seeds."""
+        from .operators.ppr import personalized_pagerank_multi as _f
+
+        seeds = self._pivot_ids(seed_keys)
+        r = _f(self.G, seeds, **kw)
+        dim = self._dim
+        return (
+            r.join(dim.withColumnRenamed("id", "seed"), "seed")
+            .withColumnRenamed("key", "seed_key")
+            .join(dim.withColumnRenamed("id", "id"), "id")
+            .select("seed_key", "key", "rank")
+        )
+
     # -- centrality --------------------------------------------------------
     def degree_centrality(self) -> DataFrame:
         from .operators.centrality import degree_centrality as _f
