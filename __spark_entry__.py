@@ -1106,6 +1106,60 @@ def _q_frame_sample(spark, sf_dir):
     )
 
 
+def _q_assortativity(spark, sf_dir):
+    """Degree assortativity + density of the co-purchase graph
+    (operators/metrics.py; networkx degree_assortativity_coefficient)."""
+    from graphblas_algorithms_spark.operators.metrics import (
+        degree_assortativity_coefficient,
+        density,
+    )
+
+    G = _part_graph(spark, sf_dir)
+    r = degree_assortativity_coefficient(G)
+    d = density(G)
+    return spark.createDataFrame(
+        [(round(r, 6), round(d, 9))], "assortativity double, density double"
+    )
+
+
+def _q_avg_neighbor_degree(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.metrics import average_neighbor_degree
+
+    out = average_neighbor_degree(_part_graph(spark, sf_dir))
+    return out.select("id", F.round("avg_nbr_deg", 6).alias("avg_nbr_deg"))
+
+
+def _q_modularity(spark, sf_dir):
+    """Per-community modularity contributions for a deterministic md5-hash
+    8-way partition (the partition is engine-portable: conv(md5) == DuckDB
+    ::UBIGINT on a 15-hex prefix)."""
+    from graphblas_algorithms_spark.operators.metrics import modularity_by_community
+
+    G = _part_graph(spark, sf_dir)
+    lab = G.nodes.select(
+        "id",
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 8
+        ).alias("community"),
+    )
+    out = modularity_by_community(G, lab)
+    return out.select(
+        "community",
+        F.col("intra_edges").cast("long").alias("intra_edges"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+        F.round("contrib", 6).alias("contrib"),
+    )
+
+
+def _q_rich_club(spark, sf_dir):
+    from graphblas_algorithms_spark.operators.metrics import rich_club_coefficient
+
+    out = rich_club_coefficient(_part_graph(spark, sf_dir))
+    return out.select("k", "n_nodes", "n_edges", F.round("phi", 6).alias("phi"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_pagerank": _q_pagerank,
@@ -1159,6 +1213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_conductance": _q_conductance,
         "graph_node_boundary": _q_node_boundary,
         "graph_laplacian": _q_laplacian,
+        "graph_assortativity": _q_assortativity,
+        "graph_avg_neighbor_degree": _q_avg_neighbor_degree,
+        "graph_modularity": _q_modularity,
+        "graph_rich_club": _q_rich_club,
         "pipe_token_counts": _q_token_counts,
         "pipe_lm_score": _q_lm_score,
         "pipe_fingerprints": _q_fingerprints,
@@ -2973,6 +3031,106 @@ SELECT asset_id, unnest(range(0, nf, 5))::BIGINT AS frame_idx FROM v
 """
 
 
+_SQL_PART_MAT = """
+part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS (SELECT p_partkey AS id FROM part),
+sym AS (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+)
+"""
+
+_SQL_ASSORTATIVITY = f"""
+WITH {_SQL_PART_MAT},
+deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM sym GROUP BY src),
+pairs AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM sym s JOIN deg du ON s.src = du.id JOIN deg dv ON s.dst = dv.id
+)
+SELECT round(corr(du, dv), 6) AS assortativity,
+       round(2.0 * (SELECT count(*) FROM part_pairs)
+             / ((SELECT count(*) FROM part_nodes)
+                * ((SELECT count(*) FROM part_nodes) - 1)), 9) AS density
+FROM pairs
+"""
+
+_SQL_AVG_NBR_DEG = f"""
+WITH {_SQL_PART_MAT},
+deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM sym GROUP BY src),
+avg_n AS (
+  SELECT s.src AS id, avg(dn.d) AS avg_nbr_deg
+  FROM sym s JOIN deg dn ON s.dst = dn.id
+  GROUP BY s.src
+)
+SELECT n.id, round(coalesce(a.avg_nbr_deg, 0.0), 6) AS avg_nbr_deg
+FROM part_nodes n LEFT JOIN avg_n a ON a.id = n.id
+"""
+
+# the community labels replicate the Spark side bit-for-bit:
+# Spark conv(substring(md5(id), 1, 15), 16, 10) == DuckDB ('0x'||substring)::UBIGINT
+_SQL_MODULARITY = f"""
+WITH {_SQL_PART_MAT},
+lab AS MATERIALIZED (
+  SELECT id,
+         ((('0x' || substring(md5(id::VARCHAR), 1, 15))::UBIGINT) % 8)::BIGINT
+           AS community
+  FROM part_nodes
+),
+deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM sym GROUP BY src),
+m AS (SELECT count(*)::DOUBLE AS m FROM part_pairs),
+intra AS (
+  SELECT lu.community, count(*)::BIGINT AS intra_edges
+  FROM part_pairs p
+    JOIN lab lu ON p.src = lu.id
+    JOIN lab lv ON p.dst = lv.id
+  WHERE lu.community = lv.community
+  GROUP BY lu.community
+),
+dsum AS (
+  SELECT l.community, sum(coalesce(deg.d, 0))::BIGINT AS degree_sum
+  FROM lab l LEFT JOIN deg ON deg.id = l.id
+  GROUP BY l.community
+)
+SELECT d.community,
+       coalesce(i.intra_edges, 0) AS intra_edges,
+       d.degree_sum,
+       round(coalesce(i.intra_edges, 0) / m.m
+             - (d.degree_sum / (2 * m.m)) * (d.degree_sum / (2 * m.m)), 6)
+         AS contrib
+FROM dsum d LEFT JOIN intra i ON i.community = d.community CROSS JOIN m
+"""
+
+_SQL_RICH_CLUB = f"""
+WITH {_SQL_PART_MAT},
+deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM sym GROUP BY src),
+degall AS (
+  SELECT n.id, coalesce(deg.d, 0)::BIGINT AS d
+  FROM part_nodes n LEFT JOIN deg ON deg.id = n.id
+),
+edges_min AS (
+  SELECT least(du.d, dv.d) AS md
+  FROM part_pairs p JOIN deg du ON p.src = du.id JOIN deg dv ON p.dst = dv.id
+),
+ks AS (SELECT unnest(range(0, (SELECT max(d) FROM degall))) AS k),
+nk AS (
+  SELECT k.k, count(*)::BIGINT AS n_nodes FROM ks k JOIN degall d ON d.d > k.k GROUP BY k.k
+),
+ek AS (
+  SELECT k.k, count(*)::BIGINT AS n_edges FROM ks k JOIN edges_min e ON e.md > k.k GROUP BY k.k
+)
+SELECT n.k::BIGINT AS k, n.n_nodes, coalesce(e.n_edges, 0) AS n_edges,
+       round(2.0 * coalesce(e.n_edges, 0) / (n.n_nodes * (n.n_nodes - 1)), 6) AS phi
+FROM nk n LEFT JOIN ek e ON e.k = n.k
+WHERE n.n_nodes >= 2
+ORDER BY k
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_pagerank": _sql_pagerank(),
@@ -3025,6 +3183,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_conductance": _SQL_CONDUCTANCE,
         "graph_node_boundary": _SQL_NODE_BOUNDARY,
         "graph_laplacian": _SQL_LAPLACIAN,
+        "graph_assortativity": _SQL_ASSORTATIVITY,
+        "graph_avg_neighbor_degree": _SQL_AVG_NBR_DEG,
+        "graph_modularity": _SQL_MODULARITY,
+        "graph_rich_club": _SQL_RICH_CLUB,
         "pipe_token_counts": _SQL_TOKEN_COUNTS,
         "pipe_lm_score": _SQL_LM_SCORE,
         "pipe_fingerprints": _SQL_FINGERPRINTS,
