@@ -207,6 +207,8 @@ def entry(spark: SparkSession) -> DataFrame:
 PR_ITERS = 20
 INC_PR_ITERS = (12, 8)  # fixed supersteps per epoch (bulk, warm restart)
 LPA_ITERS = 3
+LOUVAIN_ROUNDS = 4
+LOUVAIN_LEVELS = 2
 KATZ_ITERS = 12
 SSSP_ITERS = 8
 HITS_ITERS = 8
@@ -1153,6 +1155,19 @@ def _q_modularity(spark, sf_dir):
     )
 
 
+def _q_louvain(spark, sf_dir):
+    """Deterministic parallel Louvain (operators/louvain.py) on the
+    co-purchase graph: 4 half-activation move rounds x 2 contraction
+    levels, exact-BIGINT gain argmax — bit-replicated by the unrolled
+    DuckDB SQL in _sql_louvain()."""
+    from graphblas_algorithms_spark.operators.louvain import louvain_communities
+
+    G = _part_graph(spark, sf_dir)
+    return louvain_communities(G, rounds=LOUVAIN_ROUNDS, levels=LOUVAIN_LEVELS).select(
+        "id", "community"
+    )
+
+
 def _q_rich_club(spark, sf_dir):
     from graphblas_algorithms_spark.operators.metrics import rich_club_coefficient
 
@@ -1173,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wcc": _q_wcc,
         "graph_scc": _q_scc,
         "graph_labelprop": _q_labelprop,
+        "graph_louvain": _q_louvain,
         "graph_triangles_total": _q_triangles_total,
         "graph_triangles": _q_triangles,
         "graph_triangles_weighted": _q_triangles_weighted,
@@ -3031,6 +3047,107 @@ SELECT asset_id, unnest(range(0, nf, 5))::BIGINT AS frame_idx FROM v
 """
 
 
+def _sql_louvain(rounds: int = LOUVAIN_ROUNDS, levels: int = LOUVAIN_LEVELS) -> str:
+    """Step-unrolled replica of operators/louvain.py's pinned rule: per
+    round, half-activation by md5 parity (engine-portable), exact-BIGINT
+    modularity-gain argmax with (gain, is_own, -c) ordering and the
+    singleton swap-prevention filter; per level, min-member relabel +
+    contraction of the ORIGINAL edges by the composed mapping."""
+
+    def act(col: str, r: int) -> str:
+        return (
+            f"(('0x' || substring(md5(CAST({col} AS VARCHAR) || '|{r}'), 1, 15))"
+            f"::UBIGINT % 2 = 0)"
+        )
+
+    parts = [
+        "WITH part_pairs AS MATERIALIZED (",
+        "  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst",
+        "  FROM lineitem a JOIN lineitem b",
+        "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey",
+        "),",
+        "part_nodes AS (SELECT p_partkey AS id FROM part),",
+        "e0 AS (SELECT src, dst, 1::BIGINT AS w FROM part_pairs),",
+        "n0 AS (SELECT id FROM part_nodes)",
+    ]
+    for lv in range(levels):
+        parts.append(f""",
+sym{lv} AS MATERIALIZED (
+  SELECT src, dst, w FROM e{lv} WHERE src <> dst
+  UNION ALL SELECT dst AS src, src AS dst, w FROM e{lv} WHERE src <> dst
+),
+deg{lv} AS MATERIALIZED (
+  SELECT n.id, coalesce(s.d, 0)::BIGINT AS deg FROM n{lv} n LEFT JOIN (
+    SELECT id, sum(w)::BIGINT AS d FROM (
+      SELECT src AS id, w FROM sym{lv}
+      UNION ALL SELECT src AS id, 2 * w AS w FROM e{lv} WHERE src = dst
+    ) GROUP BY id) s ON s.id = n.id
+),
+mm{lv} AS (SELECT sum(w)::BIGINT AS m FROM e{lv}),
+l{lv}_0 AS MATERIALIZED (SELECT id, id AS c FROM n{lv})""")
+        for r in range(rounds):
+            parts.append(f""",
+st{lv}_{r} AS MATERIALIZED (
+  SELECT l.c, sum(d.deg)::BIGINT AS sig, count(*)::BIGINT AS sz
+  FROM l{lv}_{r} l JOIN deg{lv} d ON d.id = l.id GROUP BY l.c
+),
+kv{lv}_{r} AS (
+  SELECT s.src AS id, l.c, sum(s.w)::BIGINT AS k
+  FROM sym{lv} s JOIN l{lv}_{r} l ON l.id = s.dst
+  WHERE {act('s.src', r)}
+  GROUP BY s.src, l.c
+),
+cd{lv}_{r} AS (
+  SELECT id, c, sum(k)::BIGINT AS k FROM (
+    SELECT id, c, k FROM kv{lv}_{r}
+    UNION ALL SELECT id, c, 0 AS k FROM l{lv}_{r} WHERE {act('id', r)}
+  ) GROUP BY id, c
+),
+sc{lv}_{r} AS (
+  SELECT cd.id, cd.c,
+         2 * (SELECT m FROM mm{lv}) * cd.k
+           - d.deg * (st.sig - CASE WHEN cd.c = lo.c THEN d.deg ELSE 0 END)
+           AS gain,
+         CASE WHEN cd.c = lo.c THEN 1 ELSE 0 END AS is_own
+  FROM cd{lv}_{r} cd
+  JOIN l{lv}_{r} lo ON lo.id = cd.id
+  JOIN deg{lv} d ON d.id = cd.id
+  JOIN st{lv}_{r} st ON st.c = cd.c
+  JOIN st{lv}_{r} so ON so.c = lo.c
+  WHERE NOT (so.sz = 1 AND st.sz = 1 AND cd.c > lo.c)
+),
+l{lv}_{r + 1} AS MATERIALIZED (
+  SELECT id, c FROM (
+    SELECT id, c,
+           row_number() OVER (PARTITION BY id ORDER BY gain DESC, is_own DESC, c ASC) AS rn
+    FROM sc{lv}_{r}) WHERE rn = 1
+  UNION ALL
+  SELECT id, c FROM l{lv}_{r} WHERE NOT {act('id', r)}
+)""")
+        parts.append(f""",
+rl{lv} AS MATERIALIZED (
+  SELECT l.id, rr.rep AS c FROM l{lv}_{rounds} l
+  JOIN (SELECT c, min(id) AS rep FROM l{lv}_{rounds} GROUP BY c) rr ON rr.c = l.c
+)""")
+        if lv == 0:
+            parts.append(",\nmap0 AS MATERIALIZED (SELECT id, c FROM rl0)")
+        else:
+            parts.append(f""",
+map{lv} AS MATERIALIZED (
+  SELECT m.id, r.c FROM map{lv - 1} m JOIN rl{lv} r ON r.id = m.c
+)""")
+        if lv + 1 < levels:
+            parts.append(f""",
+e{lv + 1} AS MATERIALIZED (
+  SELECT least(cu.c, cv.c) AS src, greatest(cu.c, cv.c) AS dst, sum(e.w)::BIGINT AS w
+  FROM e0 e JOIN map{lv} cu ON e.src = cu.id JOIN map{lv} cv ON e.dst = cv.id
+  GROUP BY 1, 2
+),
+n{lv + 1} AS (SELECT DISTINCT c AS id FROM map{lv})""")
+    parts.append(f"\nSELECT id, c AS community FROM map{levels - 1}")
+    return "\n".join(parts)
+
+
 _SQL_PART_MAT = """
 part_pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -3144,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wcc": _SQL_WCC,
         "graph_scc": _SQL_SCC,
         "graph_labelprop": _sql_labelprop(),
+        "graph_louvain": _sql_louvain(),
         "graph_triangles_total": _SQL_TRIANGLES_TOTAL,
         "graph_triangles": _SQL_TRIANGLES,
         "graph_triangles_weighted": _SQL_TRIANGLES_WEIGHTED,
