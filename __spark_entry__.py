@@ -693,6 +693,15 @@ def _q_mis(spark, sf_dir):
     return maximal_independent_set(_part_graph(spark, sf_dir))
 
 
+def _q_matching(spark, sf_dir):
+    """Dominant-edge maximal matching with unique md5 edge priorities —
+    deterministic in (graph, seed); oracle unrolls the same rounds
+    (9 needed at sf0.01, unrolled to 14; empty rounds are no-ops)."""
+    from graphblas_algorithms_spark.operators.matching import maximal_matching
+
+    return maximal_matching(_part_graph(spark, sf_dir))
+
+
 def _q_coloring(spark, sf_dir):
     """Speculative greedy coloring with conflict resolution on the
     1/7-thinned co-purchase graph (11 rounds measured; the full-density
@@ -1222,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks_weighted": _q_walks_weighted,
         "graph_node2vec": _q_node2vec,
         "graph_mis": _q_mis,
+        "graph_matching": _q_matching,
         "graph_coloring": _q_coloring,
         "graph_isolates": _q_isolates,
         "graph_smetric": _q_smetric,
@@ -2121,6 +2131,52 @@ u{r + 1} AS MATERIALIZED (
     union = "\nUNION ALL ".join(f"SELECT id FROM c{r}" for r in range(rounds))
     parts.append(f"mis AS ({union})")
     parts.append("SELECT id FROM mis")
+    return "\n".join(parts)
+
+
+def _sql_matching(rounds: int = 14, seed: int = 42) -> str:
+    """Dominant-edge maximal matching unrolled (operators/matching.py):
+    per round an edge wins when its globally-unique priority string
+    (md5(seed|src|dst) || '|src|dst') is the min over live edges at BOTH
+    endpoints; both endpoints retire.  9 rounds reach the fixpoint at
+    sf0.01; the extra rounds are empty no-ops (same over-unroll
+    convention as the MIS oracle)."""
+    parts = [
+        """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),""",
+        f"""e0 AS MATERIALIZED (
+  SELECT src, dst,
+         concat_ws('|', md5(concat_ws('|', {seed}, src, dst)), src, dst) AS pri
+  FROM part_pairs
+),""",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""nm{r} AS MATERIALIZED (
+  SELECT id, min(pri) AS minp FROM (
+    SELECT src AS id, pri FROM e{r}
+    UNION ALL SELECT dst AS id, pri FROM e{r}
+  ) GROUP BY id
+),
+w{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  JOIN nm{r} ns ON ns.id = e.src AND ns.minp = e.pri
+  JOIN nm{r} nd ON nd.id = e.dst AND nd.minp = e.pri
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.pri FROM e{r} e
+  ANTI JOIN (SELECT src AS id FROM w{r} UNION SELECT dst AS id FROM w{r}) a
+    ON a.id = e.src
+  ANTI JOIN (SELECT src AS id FROM w{r} UNION SELECT dst AS id FROM w{r}) b
+    ON b.id = e.dst
+),"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT src, dst FROM w{r}" for r in range(rounds))
+    parts.append(f"matched AS ({union})")
+    parts.append("SELECT src, dst FROM matched")
     return "\n".join(parts)
 
 
@@ -3294,6 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks_weighted": _sql_walks(weighted=True),
         "graph_node2vec": _sql_node2vec(),
         "graph_mis": _sql_mis(),
+        "graph_matching": _sql_matching(),
         "graph_coloring": _sql_coloring(),
         "graph_isolates": _SQL_ISOLATES,
         "graph_smetric": _SQL_SMETRIC,

@@ -388,6 +388,20 @@ class KeyedGraph:
 
         return self._keyed(_f(self.G, **kw))
 
+    def maximal_matching(self, **kw) -> DataFrame:
+        """(src_key, dst_key) — deterministic dominant-edge matching."""
+        from .operators.matching import maximal_matching as _f
+
+        t = _f(self.G, **kw)
+        dim = self._dim
+        return (
+            t.join(dim.withColumnRenamed("id", "src"), "src")
+            .withColumnRenamed("key", "src_key")
+            .join(dim.withColumnRenamed("id", "dst"), "dst")
+            .withColumnRenamed("key", "dst_key")
+            .select("src_key", "dst_key")
+        )
+
     def minimum_spanning_forest(self, **kw) -> DataFrame:
         """(src_key, dst_key, weight) — Borůvka MSF edges."""
         from .operators.msf import minimum_spanning_forest as _f

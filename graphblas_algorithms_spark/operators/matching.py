@@ -1,0 +1,114 @@
+"""Maximal matching — parallel locally-dominant edges, deterministic.
+
+Not in the reference (graphblas-algorithms has no matching kernel);
+added as the third classic symmetry-breaking primitive next to Luby
+MIS and speculative coloring (operators/mis.py) — matching IS the MIS
+of the line graph, and the dominant-edge scheme (Preis 1999 /
+Manne-Bisseling 2007) computes it without materializing the line
+graph: each round, an edge whose priority is the minimum among ALL
+live edges touching either endpoint joins the matching; both endpoints
+retire and every incident edge dies.
+
+Determinism: edge priority = md5(seed|src|dst) on the canonical
+(src < dst) edge, suffixed with '|src|dst' so priorities are globally
+UNIQUE strings — the lexicographic min is strict in every engine, no
+RNG, no ties.  The result is a pure function of (graph, seed); the
+driver oracle (`graph_matching`) unrolls the same rounds in DuckDB SQL
+and hash-matches the emitted edge set.
+
+Scale shape: identical currency to MIS — per round one explode +
+min-agg over live edges (O(nnz(live)) map-side-combinable shuffle)
+plus two anti-joins against the matched-node set; the global-min edge
+always wins, and with random-oracle priorities the live edge set
+shrinks geometrically (Luby's analysis on the line graph), so the
+round count is O(log m) independent of diameter.  Every round is
+lineage-cut so the plan stays flat (plans/superstep.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.superstep import lineage_cut
+
+
+def maximal_matching(G, seed: int = 42, max_rounds: int = 64) -> DataFrame:
+    """(src: long, dst: long) — a maximal matching (src < dst rows),
+    deterministic in (G, seed).  No two output edges share an endpoint;
+    every non-self-loop edge of G has a matched endpoint (maximality).
+    Self-loops are ignored (a node cannot match itself).  Raises if
+    ``max_rounds`` is hit (never observed beyond ~2 log2 m rounds).
+    """
+    pri = F.concat_ws(
+        "|",
+        F.md5(F.concat_ws("|", F.lit(int(seed)), F.col("src"), F.col("dst"))),
+        F.col("src"),
+        F.col("dst"),
+    )
+    live = (
+        G.get_property("U_minus")
+        .select("src", "dst")
+        .withColumn("pri", pri)
+        .transform(lineage_cut)
+        .persist()
+    )
+    matching = None
+    done = live.limit(1).count() == 0
+    rounds = 0
+    while not done and rounds < max_rounds:
+        rounds += 1
+        # min live-edge priority per endpoint: one both-direction explode
+        # + map-side-combinable min agg (the round's one big exchange)
+        node_min = (
+            live.select(F.col("src").alias("id"), "pri")
+            .unionByName(live.select(F.col("dst").alias("id"), "pri"))
+            .groupBy("id")
+            .agg(F.min("pri").alias("_minp"))
+        )
+        # locally dominant: the edge is the min at BOTH endpoints
+        # (priorities are unique strings, so min == strict min)
+        won = (
+            live.join(
+                node_min.select(F.col("id").alias("src"), F.col("_minp").alias("_ms")),
+                "src",
+            )
+            .join(
+                node_min.select(F.col("id").alias("dst"), F.col("_minp").alias("_md")),
+                "dst",
+            )
+            .filter((F.col("pri") == F.col("_ms")) & (F.col("pri") == F.col("_md")))
+            .select("src", "dst")
+            .transform(lineage_cut)
+            .persist()
+        )
+        matching = (
+            won if matching is None else matching.unionByName(won).transform(lineage_cut)
+        )
+        # retire both endpoints: every edge touching a matched node dies
+        matched_ids = (
+            won.select(F.col("src").alias("id"))
+            .unionByName(won.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        nxt = (
+            live.join(matched_ids.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(matched_ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .transform(lineage_cut)
+            .persist()
+        )
+        live.unpersist()
+        live = nxt
+        done = live.limit(1).count() == 0
+    live.unpersist()
+    if not done:
+        raise RuntimeError(f"maximal_matching did not converge in {max_rounds} rounds")
+    if matching is None:
+        return G.edges.select("src", "dst").limit(0)
+    return matching.select("src", "dst")
+
+
+def matching_number_lower_bound(G, seed: int = 42) -> float:
+    """|maximal matching| — a deterministic >= 1/2 approximation of the
+    maximum matching size (any maximal matching is a 2-approximation)."""
+    return float(maximal_matching(G, seed=seed).count())

@@ -323,3 +323,25 @@ def test_keyed_mis_and_coloring(spark):
     col = {inv[r["key"]]: r["color"] for r in kg.greedy_color().collect()}
     for u, v in nxg.edges:
         assert col[u] != col[v]
+
+
+def test_keyed_matching(spark):
+    nxg = nx.gnp_random_graph(30, 0.15, seed=9)
+    key = {i: f"m{i}" for i in nxg.nodes}
+    raw = spark.createDataFrame(
+        [(key[u], key[v]) for u, v in nxg.edges], "a string, b string"
+    )
+    kg = KeyedGraph(raw, "a", "b", directed=False)
+    inv = {v: k for k, v in key.items()}
+    got = {
+        (inv[r["src_key"]], inv[r["dst_key"]])
+        for r in kg.maximal_matching().collect()
+    }
+    seen = set()
+    for u, v in got:
+        assert nxg.has_edge(u, v)
+        assert u not in seen and v not in seen
+        seen |= {u, v}
+    for u, v in nxg.edges:
+        if u != v:
+            assert u in seen or v in seen
