@@ -702,6 +702,15 @@ def _q_matching(spark, sf_dir):
     return maximal_matching(_part_graph(spark, sf_dir))
 
 
+def _q_vertex_cover(spark, sf_dir):
+    """2-approx min vertex cover = endpoints of the dominant-edge maximal
+    matching (Gavril/Yannakakis); oracle reuses the matching unroll with
+    a distinct-endpoints final select."""
+    from graphblas_algorithms_spark.operators.matching import min_vertex_cover_2approx
+
+    return min_vertex_cover_2approx(_part_graph(spark, sf_dir))
+
+
 def _q_coloring(spark, sf_dir):
     """Speculative greedy coloring with conflict resolution on the
     1/7-thinned co-purchase graph (11 rounds measured; the full-density
@@ -1232,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node2vec": _q_node2vec,
         "graph_mis": _q_mis,
         "graph_matching": _q_matching,
+        "graph_vertex_cover": _q_vertex_cover,
         "graph_coloring": _q_coloring,
         "graph_isolates": _q_isolates,
         "graph_smetric": _q_smetric,
@@ -2134,7 +2144,7 @@ u{r + 1} AS MATERIALIZED (
     return "\n".join(parts)
 
 
-def _sql_matching(rounds: int = 14, seed: int = 42) -> str:
+def _sql_matching(rounds: int = 14, seed: int = 42, cover: bool = False) -> str:
     """Dominant-edge maximal matching unrolled (operators/matching.py):
     per round an edge wins when its globally-unique priority string
     (md5(seed|src|dst) || '|src|dst') is the min over live edges at BOTH
@@ -2176,7 +2186,13 @@ e{r + 1} AS MATERIALIZED (
         )
     union = "\nUNION ALL ".join(f"SELECT src, dst FROM w{r}" for r in range(rounds))
     parts.append(f"matched AS ({union})")
-    parts.append("SELECT src, dst FROM matched")
+    if cover:
+        parts.append(
+            "SELECT DISTINCT id FROM"
+            " (SELECT src AS id FROM matched UNION ALL SELECT dst AS id FROM matched)"
+        )
+    else:
+        parts.append("SELECT src, dst FROM matched")
     return "\n".join(parts)
 
 
@@ -3351,6 +3367,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_node2vec": _sql_node2vec(),
         "graph_mis": _sql_mis(),
         "graph_matching": _sql_matching(),
+        "graph_vertex_cover": _sql_matching(cover=True),
         "graph_coloring": _sql_coloring(),
         "graph_isolates": _SQL_ISOLATES,
         "graph_smetric": _SQL_SMETRIC,

@@ -392,15 +392,13 @@ class KeyedGraph:
         """(src_key, dst_key) — deterministic dominant-edge matching."""
         from .operators.matching import maximal_matching as _f
 
-        t = _f(self.G, **kw)
-        dim = self._dim
-        return (
-            t.join(dim.withColumnRenamed("id", "src"), "src")
-            .withColumnRenamed("key", "src_key")
-            .join(dim.withColumnRenamed("id", "dst"), "dst")
-            .withColumnRenamed("key", "dst_key")
-            .select("src_key", "dst_key")
-        )
+        return self._keyed_edges(_f(self.G, **kw))
+
+    def min_vertex_cover(self, **kw) -> DataFrame:
+        """(key) — 2-approx min vertex cover (matching endpoints)."""
+        from .operators.matching import min_vertex_cover_2approx as _f
+
+        return self._keyed(_f(self.G, **kw))
 
     def minimum_spanning_forest(self, **kw) -> DataFrame:
         """(src_key, dst_key, weight) — Borůvka MSF edges."""

@@ -112,3 +112,19 @@ def matching_number_lower_bound(G, seed: int = 42) -> float:
     """|maximal matching| — a deterministic >= 1/2 approximation of the
     maximum matching size (any maximal matching is a 2-approximation)."""
     return float(maximal_matching(G, seed=seed).count())
+
+
+def min_vertex_cover_2approx(G, seed: int = 42) -> DataFrame:
+    """(id: long) — the endpoints of a maximal matching: a vertex cover
+    at most 2x the minimum (Gavril/Yannakakis).  Cover: a live edge with
+    neither endpoint in the set would contradict the matching's
+    maximality.  2-approx: the matching's edges are disjoint, so ANY
+    cover needs one node per matched edge, |cover| = 2|M| <= 2 OPT.
+    Deterministic in (G, seed); one extra union+distinct over the
+    matching result — scale currency identical to maximal_matching."""
+    m = maximal_matching(G, seed=seed)
+    return (
+        m.select(F.col("src").alias("id"))
+        .unionByName(m.select(F.col("dst").alias("id")))
+        .distinct()
+    )

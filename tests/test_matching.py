@@ -8,7 +8,10 @@ import hashlib
 import networkx as nx
 
 from graphblas_algorithms_spark import from_networkx
-from graphblas_algorithms_spark.operators.matching import maximal_matching
+from graphblas_algorithms_spark.operators.matching import (
+    maximal_matching,
+    min_vertex_cover_2approx,
+)
 
 
 def _py_matching(nxg, seed=42):
@@ -102,3 +105,20 @@ def test_matching_path_star_selfloop_empty(spark):
     e = nx.empty_graph(4)
     G = from_networkx(spark, e)
     assert maximal_matching(G).count() == 0
+
+
+def test_vertex_cover_2approx(spark):
+    nxg = nx.gnp_random_graph(60, 0.12, seed=31)
+    G = from_networkx(spark, nxg)
+    cover = {r["id"] for r in min_vertex_cover_2approx(G).collect()}
+    # covers every non-loop edge
+    for u, v in nxg.edges:
+        if u != v:
+            assert u in cover or v in cover, (u, v)
+    # exactly the matching's endpoints, so |cover| = 2|M| <= 2 OPT;
+    # check the factor against networkx's exact min weighted cover LP dual
+    # proxy: max matching size (König would need bipartite; use the
+    # guaranteed bound |cover| <= 2 * max_matching instead)
+    opt_matching = len(nx.max_weight_matching(nxg, maxcardinality=True))
+    assert len(cover) <= 2 * opt_matching
+    assert len(cover) == 2 * maximal_matching(G).count()
