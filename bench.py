@@ -211,6 +211,8 @@ def _sf_queries(spark) -> dict:
         # speculative greedy coloring on the 1/7-thinned graph
         "graph_walks",
         "graph_coloring",
+        # dominant-edge matching (the third symmetry-breaking primitive)
+        "graph_matching",
         "pipe_minhash_neardup",
         # corpus-level transitive dedup: LSH pairs -> CC clusters
         "pipe_dedup_clusters",
