@@ -605,6 +605,31 @@ def _q_core_number(spark, sf_dir):
     return core_number(_part_graph(spark, sf_dir)).select("id", "core")
 
 
+def _q_densest(spark, sf_dir):
+    """2(1+eps)-approx densest subgraph via Bahmani et al. parallel
+    peeling (operators/densest.py) at eps=1/10, over the part graph
+    with a PLANTED 150-clique (density 74.5 vs the co-purchase graph's
+    ~58 at sf0.01) — the peel must survive the clique through several
+    rounds while the uniform background collapses, and the max-density
+    snapshot recovers exactly the planted set.  eps is a pinned
+    rational so the survive test is exact BIGINT
+    (``deg * n * 10 > 22 * m``); the oracle unrolls DENSEST_ROUNDS
+    peel rounds, tags every snapshot, and re-selects the best with the
+    same (density DESC, round ASC) ranking."""
+    from graphblas_algorithms_spark.operators.densest import densest_subgraph
+
+    k = spark.range(1, 151).select((F.lit(1000000) + F.col("id")).alias("id"))
+    cq = (
+        k.alias("a")
+        .join(k.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    edges = _part_pairs(spark, sf_dir).unionByName(cq)
+    nodes = _part_nodes(spark, sf_dir).unionByName(k)
+    G = Graph(edges, nodes, canonicalize=False)
+    return densest_subgraph(G, eps_num=1, eps_den=10)
+
+
 def _q_linkpred(spark, sf_dir):
     """Link prediction over the co-purchase graph: every non-edge pair at
     distance 2 with >= 15 common neighbors, scored with the full
@@ -1233,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": _q_ktruss,
         "graph_kcore": _q_kcore,
         "graph_core_number": _q_core_number,
+        "graph_densest": _q_densest,
         "graph_linkpred": _q_linkpred,
         "graph_harmonic": _q_harmonic,
         "graph_betweenness": _q_betweenness,
@@ -1845,6 +1871,61 @@ cn{r} AS MATERIALIZED (
 )"""
         )
     parts.append(f"\nSELECT id, core FROM cn{CORE_NUMBER_ROUNDS}")
+    return "".join(parts)
+
+
+DENSEST_ROUNDS = 12  # sf0.01 peel empties in ~5 rounds at eps=1/10; margin
+
+
+def _sql_densest() -> str:
+    """Unrolled Bahmani peel at eps=1/10 over part graph + planted
+    150-clique: per round drop every node with deg * n * 10 <= 22 * m,
+    tag each snapshot, return the max-density one (density DESC, round
+    ASC — IEEE division is correctly rounded, so the DOUBLE ranking
+    matches the engine's bit-for-bit)."""
+    parts = ["WITH " + _SQL_PART.strip()]
+    parts.append(
+        ",\nck AS MATERIALIZED (SELECT 1000000 + range AS id FROM range(1, 151))"
+        ",\nds0 AS MATERIALIZED"
+        " (SELECT id FROM part_nodes UNION ALL SELECT id FROM ck)"
+        ",\nde0 AS MATERIALIZED (SELECT src, dst FROM part_pairs UNION ALL"
+        " SELECT a.id AS src, b.id AS dst FROM ck a JOIN ck b ON a.id < b.id)"
+    )
+    for r in range(1, DENSEST_ROUNDS + 1):
+        parts.append(
+            f""",
+dd{r} AS MATERIALIZED (
+  SELECT id, count(*) AS c FROM (
+    SELECT src AS id FROM de{r-1} UNION ALL SELECT dst FROM de{r-1}
+  ) GROUP BY id
+),
+ds{r} AS MATERIALIZED (
+  SELECT d.id FROM dd{r} d
+  WHERE d.c * (SELECT count(*) FROM ds{r-1}) * 10 > 22 * (SELECT count(*) FROM de{r-1})
+),
+de{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM de{r-1} e
+  JOIN ds{r} a ON e.src = a.id
+  JOIN ds{r} b ON e.dst = b.id
+)"""
+        )
+    stats = " UNION ALL ".join(
+        f"SELECT {r} AS r, (SELECT count(*) FROM ds{r}) AS n,"
+        f" (SELECT count(*) FROM de{r}) AS m"
+        for r in range(DENSEST_ROUNDS + 1)
+    )
+    tagged = " UNION ALL ".join(
+        f"SELECT {r} AS r, id FROM ds{r}" for r in range(DENSEST_ROUNDS + 1)
+    )
+    parts.append(
+        f""",
+dstats AS MATERIALIZED ({stats}),
+dbest AS MATERIALIZED (
+  SELECT r FROM dstats WHERE n > 0 ORDER BY m * 1.0 / n DESC, r ASC LIMIT 1
+),
+dall AS MATERIALIZED ({tagged})
+SELECT a.id FROM dall a WHERE a.r = (SELECT r FROM dbest)"""
+    )
     return "".join(parts)
 
 
@@ -3359,6 +3440,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ktruss": _sql_ktruss(),
         "graph_kcore": _sql_kcore(),
         "graph_core_number": _sql_core_number(),
+        "graph_densest": _sql_densest(),
         "graph_linkpred": _SQL_LINKPRED,
         "graph_harmonic": _SQL_HARMONIC,
         "graph_betweenness": _sql_betweenness(),

@@ -400,6 +400,12 @@ class KeyedGraph:
 
         return self._keyed(_f(self.G, **kw))
 
+    def densest_subgraph(self, **kw) -> DataFrame:
+        """(key) — 2(1+eps)-approx densest-subgraph node set."""
+        from .operators.densest import densest_subgraph as _f
+
+        return self._keyed(_f(self.G, **kw))
+
     def minimum_spanning_forest(self, **kw) -> DataFrame:
         """(src_key, dst_key, weight) — Borůvka MSF edges."""
         from .operators.msf import minimum_spanning_forest as _f
