@@ -440,6 +440,17 @@ def _q_bfs(spark, sf_dir):
     return bfs_levels(G, int(src))
 
 
+def _q_diameter(spark, sf_dir):
+    """Double-sweep diameter lower bound (Magnien-Latapy-Habib) on the
+    co-purchase graph: BFS from the max-degree hub (min-id ties), then
+    BFS from the farthest node found; all picks are integer-ordered
+    (level DESC, id ASC) so the DuckDB recursive-CTE oracle replays the
+    exact same two sweeps."""
+    from graphblas_algorithms_spark.operators.diameter import double_sweep
+
+    return double_sweep(_part_graph(spark, sf_dir))
+
+
 def _q_sssp(spark, sf_dir):
     from graphblas_algorithms_spark.operators.shortest_paths import (
         bellman_ford_path_length,
@@ -628,6 +639,16 @@ def _q_densest(spark, sf_dir):
     nodes = _part_nodes(spark, sf_dir).unionByName(k)
     G = Graph(edges, nodes, canonicalize=False)
     return densest_subgraph(G, eps_num=1, eps_den=10)
+
+
+def _q_triad_census(spark, sf_dir):
+    """Full 16-class Holland-Leinhardt triad census on the mixed
+    asym/mutual part digraph (operators/triads.py — Batagelj-Mrvar
+    wedge decomposition; only >=2-edge triples are enumerated, the
+    012/102/003 classes are arithmetic complements)."""
+    from graphblas_algorithms_spark.operators.triads import triadic_census
+
+    return triadic_census(_part_digraph(spark, sf_dir))
 
 
 def _q_linkpred(spark, sf_dir):
@@ -938,6 +959,19 @@ def _q_embedding_lsh(spark, sf_dir):
 
     return embedding_lsh_near_duplicates(
         _read(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=16, bands=4
+    )
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup-style cluster-then-dedup over the embeddings table
+    (pipeline/dedup.py:semantic_dedup): nearest-of-16-seed-centroids
+    bucketing, then within-cell round-6 cosine >= 0.35 drops toward the
+    min-id representative.  refine_iters=0 keeps every comparison a
+    vector-vector cosine, so the oracle replays the whole pipeline."""
+    from graphblas_algorithms_spark.pipeline.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _read(spark, sf_dir, "embeddings"), m=16, threshold=0.35, refine_iters=0
     )
 
 
@@ -1259,6 +1293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _q_kcore,
         "graph_core_number": _q_core_number,
         "graph_densest": _q_densest,
+        "graph_diameter": _q_diameter,
+        "graph_triad_census": _q_triad_census,
         "graph_linkpred": _q_linkpred,
         "graph_harmonic": _q_harmonic,
         "graph_betweenness": _q_betweenness,
@@ -1298,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_simhash": _q_simhash,
         "pipe_embedding_neardup": _q_embedding_neardup,
         "pipe_embedding_lsh": _q_embedding_lsh,
+        "pipe_semdedup": _q_semdedup,
         "pipe_ann_topk": _q_ann_topk,
         "pipe_ann_ivf": _q_ann_ivf,
         "pipe_ann_ivf_pandas": _q_ann_ivf_pandas,
@@ -1742,6 +1779,32 @@ reach(id, lvl) AS (
   WHERE r.lvl < 12
 )
 SELECT id, min(lvl)::BIGINT AS level FROM reach GROUP BY id
+"""
+
+
+_SQL_DIAMETER = f"""
+WITH RECURSIVE {_SQL_PART.strip()},
+dsdeg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+dseed AS (SELECT id FROM dsdeg ORDER BY d DESC, id ASC LIMIT 1),
+dr1(id, lvl) AS (
+  SELECT id, 0::BIGINT FROM dseed
+  UNION
+  SELECT e.dst, r.lvl + 1 FROM dr1 r JOIN sym e ON e.src = r.id
+  WHERE r.lvl < 16
+),
+dl1 AS (SELECT id, min(lvl)::BIGINT AS lvl FROM dr1 GROUP BY id),
+du1 AS (SELECT id, lvl FROM dl1 ORDER BY lvl DESC, id ASC LIMIT 1),
+dr2(id, lvl) AS (
+  SELECT id, 0::BIGINT FROM du1
+  UNION
+  SELECT e.dst, r.lvl + 1 FROM dr2 r JOIN sym e ON e.src = r.id
+  WHERE r.lvl < 16
+),
+dl2 AS (SELECT id, min(lvl)::BIGINT AS lvl FROM dr2 GROUP BY id),
+dv1 AS (SELECT id, lvl FROM dl2 ORDER BY lvl DESC, id ASC LIMIT 1)
+SELECT s.id AS seed, du1.id AS far_node, dv1.id AS periphery_node,
+       du1.lvl AS ecc_seed, dv1.lvl AS diameter_lb
+FROM dseed s CROSS JOIN du1 CROSS JOIN dv1
 """
 
 
@@ -3038,6 +3101,111 @@ JOIN v vb ON vb.vec_id = c.id_b
 WHERE round(list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) >= 0.35
 """
 
+def _sql_triad_census() -> str:
+    """Mirrors operators/triads.py:triadic_census over the part digraph:
+    oriented linked-pair self-join for wedges, min-center triangle dedup,
+    the same 6-bit code permutation, the same 64-entry CODE_NAME map
+    (imported — single source of truth), arithmetic 012/102/003."""
+    from graphblas_algorithms_spark.operators.triads import CODE_NAME, TRIAD_TYPES
+
+    codemap = ", ".join(f"({i}, '{nm}')" for i, nm in enumerate(CODE_NAME))
+    types = ", ".join(f"('{t}')" for t in TRIAD_TYPES)
+    return f"""
+WITH {_SQL_PART_DIGRAPH.strip()},
+tc_n AS (SELECT count(*)::BIGINT AS n FROM part_nodes),
+tlp AS MATERIALIZED (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+         max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+         max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS b
+  FROM dedges WHERE src <> dst GROUP BY 1, 2
+),
+tlpo AS MATERIALIZED (
+  SELECT u AS a, v AS bn, f AS ab, b AS ba FROM tlp
+  UNION ALL
+  SELECT v AS a, u AS bn, b AS ab, f AS ba FROM tlp
+),
+tw AS MATERIALIZED (
+  SELECT e1.a AS c, e1.bn AS x, e2.bn AS z,
+         e1.ab AS f_cx, e1.ba AS f_xc, e2.ab AS f_cz, e2.ba AS f_zc
+  FROM tlpo e1 JOIN tlpo e2 ON e1.a = e2.a AND e1.bn < e2.bn
+),
+ttrip AS MATERIALIZED (
+  SELECT tw.*, t.f AS f_xz, t.b AS f_zx
+  FROM tw LEFT JOIN tlp t ON t.u = tw.x AND t.v = tw.z
+  WHERE t.f IS NULL OR tw.c < tw.x
+),
+tcoded AS (
+  SELECT CASE
+    WHEN c < x THEN 32*f_cx + 16*f_xc + 8*f_cz + 4*f_zc
+                    + 2*coalesce(f_xz, 0) + coalesce(f_zx, 0)
+    WHEN c < z THEN 32*f_xc + 16*f_cx + 8*coalesce(f_xz, 0)
+                    + 4*coalesce(f_zx, 0) + 2*f_cz + f_zc
+    ELSE 32*coalesce(f_xz, 0) + 16*coalesce(f_zx, 0)
+         + 8*f_xc + 4*f_cx + 2*f_zc + f_cz
+  END AS code FROM ttrip
+),
+tcodemap(code, nm) AS (VALUES {codemap}),
+tenum AS (
+  SELECT m.nm AS triad_type, count(*)::BIGINT AS n
+  FROM tcoded JOIN tcodemap m USING (code) GROUP BY 1
+),
+tdeg AS (SELECT a AS id, count(*)::BIGINT AS d FROM tlpo GROUP BY a),
+tcm AS (SELECT x, z, count(*)::BIGINT AS cm FROM tw GROUP BY x, z),
+tlonely AS (
+  SELECT CASE WHEN tlp.f = 1 AND tlp.b = 1 THEN '102' ELSE '012' END AS triad_type,
+         sum((SELECT n FROM tc_n) - du.d - dv.d + coalesce(tcm.cm, 0))::BIGINT AS n
+  FROM tlp
+  JOIN tdeg du ON du.id = tlp.u
+  JOIN tdeg dv ON dv.id = tlp.v
+  LEFT JOIN tcm ON tcm.x = tlp.u AND tcm.z = tlp.v
+  GROUP BY 1
+),
+tall AS MATERIALIZED (SELECT * FROM tenum UNION ALL SELECT * FROM tlonely),
+tnull AS (
+  SELECT '003' AS triad_type,
+         ((SELECT n * (n - 1) * (n - 2) // 6 FROM tc_n)
+          - coalesce((SELECT sum(n) FROM tall), 0))::BIGINT AS n
+),
+ttypes(triad_type) AS (VALUES {types}),
+tfull AS (SELECT * FROM tall UNION ALL SELECT * FROM tnull)
+SELECT t.triad_type, coalesce(f.n, 0)::BIGINT AS n
+FROM ttypes t LEFT JOIN tfull f USING (triad_type)
+"""
+
+
+_SQL_SEMDEDUP = f"""
+WITH {_SQL_EMB_NORM.strip()},
+nv AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x / greatest(nrm, 1e-12)) AS v FROM v
+),
+sd_seeds AS (
+  SELECT vec_id % 16 AS centroid_id, min(vec_id) AS vec_id
+  FROM nv GROUP BY 1
+),
+sd_cents AS MATERIALIZED (
+  SELECT s.centroid_id, n.v AS cv FROM sd_seeds s JOIN nv n USING (vec_id)
+),
+sd_assigned AS MATERIALIZED (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT n.vec_id, n.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round(list_dot_product(n.v, c.cv), 6) DESC,
+                      c.centroid_id ASC
+           ) AS rk
+    FROM nv n CROSS JOIN sd_cents c
+  ) WHERE rk = 1
+),
+sd_dropped AS MATERIALIZED (
+  SELECT DISTINCT b.vec_id
+  FROM sd_assigned a JOIN sd_assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v), 6) >= 0.35
+)
+SELECT s.vec_id, s.centroid_id
+FROM sd_assigned s ANTI JOIN sd_dropped d ON s.vec_id = d.vec_id
+"""
+
 _SQL_ANN_TOPK = f"""
 WITH {_SQL_EMB_NORM.strip()},
 scored AS (
@@ -3441,6 +3609,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _sql_kcore(),
         "graph_core_number": _sql_core_number(),
         "graph_densest": _sql_densest(),
+        "graph_diameter": _SQL_DIAMETER,
+        "graph_triad_census": _sql_triad_census(),
         "graph_linkpred": _SQL_LINKPRED,
         "graph_harmonic": _SQL_HARMONIC,
         "graph_betweenness": _sql_betweenness(),
@@ -3480,6 +3650,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_simhash": _sql_simhash(),
         "pipe_embedding_neardup": _SQL_EMB_NEARDUP,
         "pipe_embedding_lsh": _sql_embedding_lsh(),
+        "pipe_semdedup": _SQL_SEMDEDUP,
         "pipe_ann_topk": _SQL_ANN_TOPK,
         # pipe_ann_ivf: approximate — rows-only check
         "events_windowed": _SQL_EVENTS_WINDOWED,

@@ -406,6 +406,34 @@ class KeyedGraph:
 
         return self._keyed(_f(self.G, **kw))
 
+    def triadic_census(self) -> DataFrame:
+        """(triad_type, n) — full 16-class census (no node keys)."""
+        from .operators.triads import triadic_census as _f
+
+        return _f(self.G)
+
+    def double_sweep(self, seed_key=None) -> DataFrame:
+        """(seed_key_out, far_key, periphery_key, ecc_seed,
+        diameter_lb) — double-sweep diameter bound, node columns keyed."""
+        from .operators.diameter import double_sweep as _f
+
+        seed = None if seed_key is None else self._id_of(seed_key)
+        r = _f(self.G, seed=seed)
+        dim = self._dim
+        for col, out in [
+            ("seed", "seed_key_out"),
+            ("far_node", "far_key"),
+            ("periphery_node", "periphery_key"),
+        ]:
+            r = (
+                r.join(dim.withColumnRenamed("id", col), col)
+                .withColumnRenamed("key", out)
+                .drop(col)
+            )
+        return r.select(
+            "seed_key_out", "far_key", "periphery_key", "ecc_seed", "diameter_lb"
+        )
+
     def minimum_spanning_forest(self, **kw) -> DataFrame:
         """(src_key, dst_key, weight) — Borůvka MSF edges."""
         from .operators.msf import minimum_spanning_forest as _f

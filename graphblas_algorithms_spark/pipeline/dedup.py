@@ -467,3 +467,79 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    m: int = 16,
+    threshold: float = 0.35,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """(vec_id, centroid_id) — the KEPT corpus after SemDeDup-style
+    cluster-then-dedup (Abbas et al., "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", arXiv:2303.09540):
+
+    1. k-means-partition the embedding space (deterministic_centroids,
+       similarity.py — min-id residue seeds + optional Lloyd steps);
+    2. assign every vector to its nearest centroid (one broadcast join
+       against the m-row centroid table, round-6 cosine, ties to the
+       smaller centroid_id);
+    3. WITHIN each cell only, drop every vector with a cosine >=
+       threshold to any smaller-id vector of the same cell.
+
+    The within-cell restriction is the whole point: pairwise work is
+    sum(|cell|^2) instead of n^2, and the self-join shuffles on
+    centroid_id only — at 100 TB size m ~ n/10^4 so cells stay bounded,
+    exactly the IVF sizing story (similarity.py).  The paper keeps one
+    representative per epsilon-ball; we pin the deterministic,
+    join-expressible variant "drop iff a smaller-id in-cell neighbor
+    clears the threshold" (min-id representative).
+
+    With ``refine_iters=0`` the centroids are exact normalized corpus
+    vectors, so every comparison is a round-6 vector-vector cosine and
+    the driver oracle (``pipe_semdedup``) replays the full pipeline in
+    SQL; ``refine_iters>=1`` is the quality path (float cell means are
+    engine-local — pytest-gated, like IVF recall).
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _dot, _norm_vec, deterministic_centroids
+
+    vecs = _norm_vec(emb, id_col="vec_id")
+    cents = deterministic_centroids(emb, m, refine_iters=refine_iters)
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "id", "v", "centroid_id",
+            F.round(_dot(F.col("v"), F.col("cv")), 6).alias("_sim"),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("centroid_id"))
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("id", "v", "centroid_id")
+        .persist()
+    )
+    a = assigned.select(
+        "centroid_id", F.col("id").alias("_ida"), F.col("v").alias("_va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col("id").alias("_idb"), F.col("v").alias("_vb")
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_idb").alias("id"),
+            F.round(_dot(F.col("_va"), F.col("_vb")), 6).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .select("id")
+        .distinct()
+    )
+    return assigned.join(dropped, "id", "left_anti").select(
+        F.col("id").alias("vec_id"), "centroid_id"
+    )

@@ -345,3 +345,18 @@ def test_keyed_matching(spark):
     for u, v in nxg.edges:
         if u != v:
             assert u in seen or v in seen
+
+
+def test_keyed_triad_census_and_double_sweep(kg_and_nx, spark):
+    kg, nxg, key = kg_and_nx
+    got = {r["triad_type"]: r["n"] for r in kg.triadic_census().collect()}
+    assert got == nx.triadic_census(nxg)
+    # double sweep on an undirected keyed path: tight diameter, keyed ends
+    raw = spark.createDataFrame(
+        [(f"p{i}", f"p{i+1}") for i in range(8)], "a string, b string"
+    )
+    pkg = KeyedGraph(raw, "a", "b", directed=False)
+    row = pkg.double_sweep().collect()[0]
+    assert row["diameter_lb"] == 8
+    assert {row["far_key"], row["periphery_key"]} == {"p0", "p8"}
+    assert row["seed_key_out"].startswith("p")

@@ -863,3 +863,88 @@ def test_lm_scores_hand_computed(spark):
     # prefix_len truncation drops d1's trailing bigram
     got2 = {r["doc_id"]: r for r in lm_scores(docs, prefix_len=3).collect()}
     assert got2[1]["lm_logprob"] != got[1]["lm_logprob"]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-dedup)
+# ---------------------------------------------------------------------------
+
+
+def _py_semdedup(rows, m, threshold):
+    """Driver-side replay of semantic_dedup at refine_iters=0: residue
+    min-id seeds, nearest-centroid (round-6, centroid asc ties),
+    within-cell drop toward the min-id representative."""
+    vecs = {}
+    for vid, e in rows:
+        v = np.asarray(e, dtype=np.float64)
+        vecs[vid] = v / max(np.linalg.norm(v), 1e-12)
+    seeds = {}
+    for vid in vecs:
+        c = vid % m
+        if c not in seeds or vid < seeds[c]:
+            seeds[c] = vid
+    cents = {c: vecs[s] for c, s in seeds.items()}
+    cell = {}
+    for vid, v in vecs.items():
+        best = min(
+            ((-round(float(v @ cv), 6), c) for c, cv in cents.items())
+        )
+        cell[vid] = best[1]
+    dropped = set()
+    ids = sorted(vecs)
+    for i, b in enumerate(ids):
+        for a in ids[:i]:
+            if cell[a] == cell[b] and round(float(vecs[a] @ vecs[b]), 6) >= threshold:
+                dropped.add(b)
+                break
+    return {(vid, cell[vid]) for vid in ids if vid not in dropped}
+
+
+def test_semantic_dedup_matches_python_replay(spark):
+    from graphblas_algorithms_spark.pipeline.dedup import semantic_dedup
+
+    emb = _clustered_emb(spark, n_clusters=6, per=10, d=16, sigma=0.03)
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    got = {
+        (r["vec_id"], r["centroid_id"])
+        for r in semantic_dedup(emb, m=8, threshold=0.9).collect()
+    }
+    assert got == _py_semdedup(rows, m=8, threshold=0.9)
+    # tight clusters + high threshold: dedup must actually fire
+    assert 0 < len(got) < len(rows)
+
+
+def test_semantic_dedup_kept_set_properties(spark):
+    from graphblas_algorithms_spark.pipeline.dedup import semantic_dedup
+    from graphblas_algorithms_spark.pipeline.similarity import _dot, _norm_vec
+
+    emb = _clustered_emb(spark, n_clusters=4, per=8, d=16, sigma=0.05)
+    kept = semantic_dedup(emb, m=4, threshold=0.9).persist()
+    # no surviving in-cell pair clears the threshold
+    nv = _norm_vec(emb, id_col="vec_id")
+    a = kept.join(nv, kept.vec_id == nv.id).select(
+        F.col("vec_id").alias("ia"), F.col("centroid_id").alias("ca"), F.col("v").alias("va")
+    )
+    b = a.select(
+        F.col("ia").alias("ib"), F.col("ca").alias("cb"), F.col("va").alias("vb")
+    )
+    bad = (
+        a.join(b, (a.ca == b.cb) & (a.ia < b.ib))
+        .filter(F.round(_dot(F.col("va"), F.col("vb")), 6) >= 0.9)
+        .count()
+    )
+    assert bad == 0
+    # threshold > 1 keeps everything; threshold -1 collapses to one per cell
+    n = emb.count()
+    assert semantic_dedup(emb, m=4, threshold=1.01).count() == n
+    one_per = semantic_dedup(emb, m=4, threshold=-1.0)
+    assert one_per.count() == one_per.select("centroid_id").distinct().count()
+
+
+def test_semantic_dedup_refined_centroids_path(spark):
+    from graphblas_algorithms_spark.pipeline.dedup import semantic_dedup
+
+    emb = _clustered_emb(spark, n_clusters=4, per=8, d=16, sigma=0.05)
+    out = semantic_dedup(emb, m=4, threshold=0.9, refine_iters=1)
+    assert 0 < out.count() <= emb.count()
+    assert out.columns == ["vec_id", "centroid_id"]
