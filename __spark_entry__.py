@@ -651,6 +651,21 @@ def _q_triad_census(spark, sf_dir):
     return triadic_census(_part_digraph(spark, sf_dir))
 
 
+def _q_onion(spark, sf_dir):
+    """Onion decomposition (nx onion_layers — the k-core peel's round
+    index) on the 1/7-thinned co-purchase graph (34 peel rounds + the
+    isolate layer at sf0.01; the full-density graph takes 70 — thinned
+    keeps the oracle unroll and driver wall small, same trick as
+    graph_coloring).  The oracle unrolls the same bulk-synchronous
+    rounds, chaining the monotone core bound through one-row CTEs."""
+    from graphblas_algorithms_spark.classes.graph import Graph
+    from graphblas_algorithms_spark.operators.kcore import onion_layers
+
+    p = _part_pairs(spark, sf_dir).filter((F.col("src") + F.col("dst")) % 7 == 0)
+    G = Graph(p, _part_nodes(spark, sf_dir), canonicalize=False)
+    return onion_layers(G)
+
+
 def _q_linkpred(spark, sf_dir):
     """Link prediction over the co-purchase graph: every non-edge pair at
     distance 2 with >= 15 common neighbors, scored with the full
@@ -1295,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_densest": _q_densest,
         "graph_diameter": _q_diameter,
         "graph_triad_census": _q_triad_census,
+        "graph_onion": _q_onion,
         "graph_linkpred": _q_linkpred,
         "graph_harmonic": _q_harmonic,
         "graph_betweenness": _q_betweenness,
@@ -3101,6 +3117,70 @@ JOIN v vb ON vb.vec_id = c.id_b
 WHERE round(list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) >= 0.35
 """
 
+ONION_ROUNDS = 40  # 1/7-thinned sf0.01 peel takes 34 loop rounds; margin
+
+
+def _sql_onion() -> str:
+    """Unrolled onion decomposition on the 1/7-thinned co-purchase
+    graph: per round, the monotone core bound (one-row CTE chain) and
+    the bulk drop of every node at degree <= bound; isolates are layer
+    1 and shift loop layers by one."""
+    parts = ["WITH " + _SQL_PART.strip()]
+    parts.append(
+        """,
+othin AS MATERIALIZED (SELECT src, dst FROM part_pairs WHERE (src + dst) % 7 = 0),
+osym AS MATERIALIZED (
+  SELECT src, dst FROM othin UNION ALL SELECT dst AS src, src AS dst FROM othin
+),
+odeg0 AS MATERIALIZED (
+  SELECT n.id, coalesce(d.cnt, 0) AS d
+  FROM part_nodes n LEFT JOIN
+    (SELECT src AS id, count(*) AS cnt FROM osym GROUP BY src) d USING (id)
+),
+oiso AS MATERIALIZED (SELECT id FROM odeg0 WHERE d = 0),
+oshift AS MATERIALIZED (SELECT CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS s FROM oiso),
+ol0 AS MATERIALIZED (SELECT id FROM odeg0 WHERE d > 0),
+oe0 AS MATERIALIZED (SELECT src, dst FROM osym),
+oc0 AS MATERIALIZED (SELECT 1 AS c)"""
+    )
+    for r in range(1, ONION_ROUNDS + 1):
+        parts.append(
+            f""",
+od{r} AS MATERIALIZED (
+  SELECT l.id, coalesce(d.cnt, 0) AS d
+  FROM ol{r-1} l LEFT JOIN
+    (SELECT src AS id, count(*) AS cnt FROM oe{r-1} GROUP BY src) d USING (id)
+),
+oc{r} AS MATERIALIZED (
+  SELECT greatest((SELECT c FROM oc{r-1}),
+                  coalesce((SELECT min(d) FROM od{r}),
+                           (SELECT c FROM oc{r-1}))) AS c
+),
+ob{r} AS MATERIALIZED (
+  SELECT id FROM od{r} WHERE d <= (SELECT c FROM oc{r})
+),
+ol{r} AS MATERIALIZED (
+  SELECT l.id FROM ol{r-1} l ANTI JOIN ob{r} b ON l.id = b.id
+),
+oe{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM oe{r-1} e
+  ANTI JOIN ob{r} a ON e.src = a.id
+  ANTI JOIN ob{r} b ON e.dst = b.id
+)"""
+        )
+    layers = " UNION ALL ".join(
+        f"SELECT id, ({r} + (SELECT s FROM oshift))::BIGINT AS layer FROM ob{r}"
+        for r in range(1, ONION_ROUNDS + 1)
+    )
+    parts.append(
+        f"""
+SELECT id, 1::BIGINT AS layer FROM oiso
+UNION ALL
+{layers}"""
+    )
+    return "".join(parts)
+
+
 def _sql_triad_census() -> str:
     """Mirrors operators/triads.py:triadic_census over the part digraph:
     oriented linked-pair self-join for wedges, min-center triangle dedup,
@@ -3611,6 +3691,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_densest": _sql_densest(),
         "graph_diameter": _SQL_DIAMETER,
         "graph_triad_census": _sql_triad_census(),
+        "graph_onion": _sql_onion(),
         "graph_linkpred": _SQL_LINKPRED,
         "graph_harmonic": _SQL_HARMONIC,
         "graph_betweenness": _sql_betweenness(),

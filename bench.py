@@ -213,6 +213,14 @@ def _sf_queries(spark) -> dict:
         "graph_coloring",
         # dominant-edge matching (the third symmetry-breaking primitive)
         "graph_matching",
+        # community structure: multilevel Louvain + the densest-core peel
+        "graph_louvain",
+        "graph_densest",
+        # whole-graph distance statistic (2 BFS passes) + triad census
+        "graph_diameter",
+        "graph_triad_census",
+        # embedding-space curation: cluster-then-dedup (SemDeDup shape)
+        "pipe_semdedup",
         "pipe_minhash_neardup",
         # corpus-level transitive dedup: LSH pairs -> CC clusters
         "pipe_dedup_clusters",

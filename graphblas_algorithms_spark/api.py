@@ -253,6 +253,12 @@ class KeyedGraph:
 
         return self._keyed(_f(self.G, **kw))
 
+    def onion_layers(self, **kw) -> DataFrame:
+        """(key, layer) — onion decomposition (k-core peel round index)."""
+        from .operators.kcore import onion_layers as _f
+
+        return self._keyed(_f(self.G, **kw))
+
     def neighborhood_function(self, **kw) -> list:
         """ANF distance-distribution estimate (aggregate — no key join)."""
         from .operators.anf import neighborhood_function as _f

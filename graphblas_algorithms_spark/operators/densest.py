@@ -73,6 +73,13 @@ def densest_subgraph(
     n = nodes.count()
     m = edges.count()
 
+    if max(n * n * eps_den, coef * m) >= 2**63:
+        # deg <= n, so deg * n * eps_den <= n^2 * eps_den bounds the
+        # exact cross-multiply; past int64 use a coarser eps_den
+        raise ValueError(
+            f"exact BIGINT threshold overflows int64 at n={n}, "
+            f"eps_den={eps_den}; reduce eps_den (coarser eps granularity)"
+        )
     live = nodes  # snapshot r's node set
     stats = [(0, n, m, (m / n) if n else 0.0)]
     removed_parts: list[DataFrame] = []  # (id, round) increments
@@ -87,9 +94,12 @@ def densest_subgraph(
             .groupBy("id")
             .agg(F.count("*").alias("_d"))
         )
+        # thresholds pre-multiplied in Python: exact bigint arithmetic,
+        # and F.lit() promotes to LongType when the product exceeds int32
+        # (coef * m overflows a 32-bit literal multiply at ~100M edges)
         keep = (
             deg.filter(
-                F.col("_d") * F.lit(n) * F.lit(eps_den) > F.lit(coef) * F.lit(m)
+                F.col("_d") * F.lit(n * eps_den) > F.lit(coef * m)
             )
             .select("id")
             .transform(lineage_cut)

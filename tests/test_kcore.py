@@ -43,3 +43,24 @@ def test_core_number_star_plus_clique(spark):
     got = vector_to_dict(core_number(G), val_col="core")
     want = nx.core_number(nxg)
     assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_onion_layers_matches_networkx(spark):
+    from graphblas_algorithms_spark.operators.kcore import onion_layers
+
+    for seed, p in [(3, 0.06), (11, 0.18)]:
+        nxg = nx.gnp_random_graph(60, p, seed=seed)
+        G = from_networkx(spark, nxg)
+        got = {r["id"]: r["layer"] for r in onion_layers(G).collect()}
+        assert got == nx.onion_layers(nxg)
+
+
+def test_onion_layers_isolates_and_docs_example(spark):
+    from graphblas_algorithms_spark.operators.kcore import onion_layers
+
+    # the nx docstring example: havel_hakimi of [0,1,2,2,2,2,3]
+    nxg = nx.havel_hakimi_graph([0, 1, 2, 2, 2, 2, 3])
+    G = from_networkx(spark, nxg)
+    got = {r["id"]: r["layer"] for r in onion_layers(G).collect()}
+    assert got == nx.onion_layers(nxg)
+    assert got[6] == 1  # the isolate sits alone in layer 1
