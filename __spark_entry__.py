@@ -370,6 +370,34 @@ def _q_triangles_total(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_triangles long")
 
 
+def _q_triangles_incremental(spark, sf_dir):
+    """PRODUCTION streaming shape: the part graph's edges arrive as 3
+    parquet files processed one per micro-batch
+    (streaming/triangles.py); each batch enumerates wedges touching its
+    truly-new edges only (inclusion-exclusion over 1/2/3-new-edge
+    triangles).  The final running total must equal one batch
+    total_triangles over the full edge set — same oracle as
+    graph_triangles_total."""
+    import tempfile
+
+    from graphblas_algorithms_spark.streaming.triangles import (
+        incremental_triangles,
+        read_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="tri_inc_")
+    feed, store, ckpt = f"{base}/feed", f"{base}/store", f"{base}/ckpt"
+    pairs = _part_pairs(spark, sf_dir)
+    for i in range(3):
+        pairs.filter((F.col("src") + F.col("dst")) % 3 == i).write.mode(
+            "overwrite"
+        ).parquet(f"{feed}/chunk={i}")
+    q = incremental_triangles(spark, feed, store, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+    _, total = read_state(spark, store)
+    return spark.createDataFrame([(total,)], "n_triangles long")
+
+
 def _q_triangles(spark, sf_dir):
     from graphblas_algorithms_spark.operators.triangles import triangles
 
@@ -1282,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop": _q_labelprop,
         "graph_louvain": _q_louvain,
         "graph_triangles_total": _q_triangles_total,
+        "graph_triangles_incremental": _q_triangles_incremental,
         "graph_triangles": _q_triangles,
         "graph_triangles_weighted": _q_triangles_weighted,
         "graph_clustering": _q_clustering,
@@ -3664,6 +3693,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_labelprop": _sql_labelprop(),
         "graph_louvain": _sql_louvain(),
         "graph_triangles_total": _SQL_TRIANGLES_TOTAL,
+        "graph_triangles_incremental": _SQL_TRIANGLES_TOTAL,
         "graph_triangles": _SQL_TRIANGLES,
         "graph_triangles_weighted": _SQL_TRIANGLES_WEIGHTED,
         "graph_clustering": _SQL_CLUSTERING,
