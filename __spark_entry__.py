@@ -714,6 +714,21 @@ def _q_linkpred(spark, sf_dir):
     )
 
 
+def _q_closeness(spark, sf_dir):
+    """Exact Wasserman-Faust closeness centrality: (r/tot) * (r/(n-1))
+    where r counts the OTHER nodes reachable from v and tot sums their
+    distances — the all-pairs batched-BFS form (chunked (k x n) matrix
+    frontiers); the oracle replays the full all-sources BFS as one
+    bounded recursive CTE.  At web scale the pivot `harmonic_centrality`
+    estimator is the sanctioned path (closeness does not decompose over
+    a source sample; see operators/centrality.py)."""
+    from graphblas_algorithms_spark.operators.centrality import closeness_centrality
+
+    G = _part_graph(spark, sf_dir)
+    c = closeness_centrality(G)
+    return c.select("id", F.round("closeness", 6).alias("closeness"))
+
+
 def _q_harmonic(spark, sf_dir):
     """Sampled harmonic centrality: sum of 1/d(s, v) over the 48
     lowest-id pivot sources — the pivot form is the estimator that
@@ -1341,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triad_census": _q_triad_census,
         "graph_onion": _q_onion,
         "graph_linkpred": _q_linkpred,
+        "graph_closeness": _q_closeness,
         "graph_harmonic": _q_harmonic,
         "graph_betweenness": _q_betweenness,
         "graph_walks": _q_walks,
@@ -2524,6 +2540,61 @@ dist AS (SELECT source, id, min(lvl) AS d FROM reach GROUP BY source, id),
 h AS (SELECT id, sum(1.0 / d) AS h FROM dist WHERE source <> id GROUP BY id)
 SELECT n.id, round(coalesce(h.h, 0.0), 6) AS harmonic
 FROM part_nodes n LEFT JOIN h ON n.id = h.id
+"""
+
+#: Closeness needs ALL-pairs distances, so the recursive-CTE pattern used
+#: by the 48-source harmonic oracle blows up here (each reached node
+#: reappears at every deeper level under UNION dedup on the (source, id,
+#: lvl) triple -> ~44M states x degree-115 joins).  Instead: a bounded
+#: MATERIALIZED frontier-delta chain.  The sf0.01 part graph has diameter
+#: 3 with every pair reachable (measured via dense numpy BFS), so f1/f2
+#: forward expansion plus a distance-3 step computed from the TINY
+#: unreached-after-2 complement (13.9k of 4M pairs) covers it; f4 is kept
+#: as the emptiness witness so a deeper graph would surface as a value
+#: mismatch rather than silently under-counting.
+_SQL_CLOSENESS = f"""
+WITH {_SQL_PART.strip()},
+nn AS MATERIALIZED (SELECT count(*) AS n FROM part_nodes),
+f1 AS MATERIALIZED (SELECT src AS source, dst AS id FROM sym),
+f2 AS MATERIALIZED (
+  SELECT DISTINCT f1.source, e.dst AS id
+  FROM f1 JOIN sym e ON e.src = f1.id
+  WHERE e.dst <> f1.source
+    AND NOT EXISTS (SELECT 1 FROM f1 k WHERE k.source = f1.source AND k.id = e.dst)
+),
+u3 AS MATERIALIZED (
+  SELECT a.id AS source, b.id AS id
+  FROM part_nodes a CROSS JOIN part_nodes b
+  WHERE a.id <> b.id
+    AND NOT EXISTS (SELECT 1 FROM f1 WHERE f1.source = a.id AND f1.id = b.id)
+    AND NOT EXISTS (SELECT 1 FROM f2 WHERE f2.source = a.id AND f2.id = b.id)
+),
+f3 AS MATERIALIZED (
+  SELECT DISTINCT u.source, u.id
+  FROM u3 u JOIN sym e ON e.dst = u.id
+  JOIN f2 ON f2.source = u.source AND f2.id = e.src
+),
+f4 AS MATERIALIZED (
+  SELECT DISTINCT u.source, u.id
+  FROM (SELECT source, id FROM u3 EXCEPT SELECT source, id FROM f3) u
+  JOIN sym e ON e.dst = u.id
+  JOIN f3 ON f3.source = u.source AND f3.id = e.src
+),
+dist AS (
+  SELECT source, id, 1 AS d FROM f1
+  UNION ALL SELECT source, id, 2 FROM f2
+  UNION ALL SELECT source, id, 3 FROM f3
+  UNION ALL SELECT source, id, 4 FROM f4
+),
+agg AS (
+  SELECT source AS id, sum(d)::DOUBLE AS tot, count(*)::DOUBLE AS r
+  FROM dist GROUP BY source
+)
+SELECT n.id,
+       round(coalesce(
+         CASE WHEN a.tot > 0 THEN (a.r / a.tot) * (a.r / (nn.n - 1)) END,
+         0.0), 6) AS closeness
+FROM part_nodes n LEFT JOIN agg a ON n.id = a.id CROSS JOIN nn
 """
 
 _SQL_EGO = f"""
@@ -3723,6 +3794,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triad_census": _sql_triad_census(),
         "graph_onion": _sql_onion(),
         "graph_linkpred": _SQL_LINKPRED,
+        "graph_closeness": _SQL_CLOSENESS,
         "graph_harmonic": _SQL_HARMONIC,
         "graph_betweenness": _sql_betweenness(),
         "graph_walks": _sql_walks(),
