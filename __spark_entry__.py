@@ -966,6 +966,26 @@ def _q_token_budget_sample(spark, sf_dir):
     return token_budget_sample(_read(spark, sf_dir, "documents"), budget_tokens=700)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chop sequence packing to 256-token training windows:
+    deterministic shuffle order, distributed prefix-sum offsets (bucketed
+    two-phase scan, no global single-partition window), integer-div
+    window ids.  Oracle replays the identical md5-uniform order and
+    cumsum as one DuckDB window."""
+    from graphblas_algorithms_spark.pipeline.curation import pack_sequences
+
+    return pack_sequences(_read(spark, sf_dir, "documents"), seq_len=256)
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis A-Res weighted sample without replacement:
+    key = u^(1/ws_tokens), top-100 — planned as TakeOrderedAndProject
+    (per-partition local top-k, no global sort)."""
+    from graphblas_algorithms_spark.pipeline.curation import weighted_sample
+
+    return weighted_sample(_read(spark, sf_dir, "documents"), k=100)
+
+
 def _q_langid(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.text import language_id
 
@@ -1387,6 +1407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_tfidf_topterms": _q_tfidf_topterms,
         "pipe_decontaminate": _q_decontaminate,
         "pipe_token_budget_sample": _q_token_budget_sample,
+        "pipe_pack_sequences": _q_pack_sequences,
+        "pipe_weighted_sample": _q_weighted_sample,
         "pipe_langid": _q_langid,
         "pipe_clean_corpus": _q_clean_corpus,
         "pipe_ngram_jaccard": _q_ngram_jaccard,
@@ -2838,6 +2860,44 @@ WHERE ('0x' || substr(md5('budget:' || t.doc_id::VARCHAR), 1, 15))::UBIGINT
         / 1152921504606846976.0 < r.rate
 """
 
+#: Ordering by the raw uniform u alone matches Spark's (bucket, u,
+#: doc_id) order because bucket = floor(u * n_buckets) is monotone in u;
+#: `//` is DuckDB integer division, matching Spark's `div`.
+_SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+         ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+           / 1152921504606846976.0 AS u
+  FROM documents
+),
+laid AS (
+  SELECT doc_id, ws_tokens,
+         coalesce(sum(ws_tokens) OVER (
+           ORDER BY u, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS begin_tok
+  FROM t
+)
+SELECT doc_id, ws_tokens, begin_tok,
+       begin_tok // 256 AS first_seq,
+       (begin_tok + ws_tokens - 1) // 256 AS last_seq
+FROM laid
+"""
+
+_SQL_WEIGHTED_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+         ('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+           / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, ws_tokens
+FROM t
+ORDER BY pow(u, 1.0 / ws_tokens) DESC, doc_id
+LIMIT 100
+"""
+
 _SQL_SOURCE_MIX = """
 WITH t AS (
   SELECT source,
@@ -3825,6 +3885,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_tfidf_topterms": _SQL_TFIDF_TOPTERMS,
         "pipe_decontaminate": _SQL_DECONTAMINATE,
         "pipe_token_budget_sample": _SQL_TOKEN_BUDGET_SAMPLE,
+        "pipe_pack_sequences": _SQL_PACK_SEQUENCES,
+        "pipe_weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "pipe_langid": _sql_langid(),
         "pipe_clean_corpus": _sql_clean_corpus(),
         "pipe_ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -153,3 +153,101 @@ def token_budget_sample(
         .filter(_uniform(F.col("doc_id"), salt) < F.col("rate"))
         .select("doc_id", "source", "ws_tokens")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_buckets: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """(doc_id, ws_tokens, begin_tok, first_seq, last_seq) — concat-and-chop
+    sequence packing: shuffle documents into a deterministic order, lay
+    their tokens end-to-end on one global tape, and cut the tape into
+    fixed ``seq_len`` training windows.  ``begin_tok`` is each document's
+    global token offset; ``first_seq``/``last_seq`` are the window ids it
+    lands in (a doc longer than the remaining window straddles —
+    standard causal-LM packing, no padding waste).
+
+    The global offset is a distributed prefix sum, NOT a single global
+    window (``Window.orderBy`` with no partition key drags the whole
+    corpus through one task):
+
+    1. bucket = floor(uniform * n_buckets) — the shuffle order and the
+       bucketing derive from the SAME md5 uniform, so ordering by
+       (bucket, u) equals ordering by u alone;
+    2. per-bucket token totals -> exclusive running offsets, a window
+       over an ``n_buckets``-row aggregate (bounded, never corpus-sized);
+    3. within-bucket exclusive cumsum, a window partitioned by bucket —
+       the one corpus shuffle, each partition ~|corpus|/n_buckets.
+
+    At 100 TB raise ``n_buckets`` so a bucket fits an executor (the
+    only scale knob); everything is integer arithmetic on deterministic
+    hashes, so re-runs and the DuckDB oracle reproduce offsets exactly.
+    """
+    from pyspark.sql import Window
+
+    u = _uniform(F.col("doc_id"), salt)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens"),
+        u.alias("u"),
+        F.floor(u * F.lit(float(n_buckets))).cast("long").alias("bucket"),
+    )
+    bucket_tot = toks.groupBy("bucket").agg(F.sum("ws_tokens").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("boff")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    begin = F.col("boff") + F.coalesce(F.sum("ws_tokens").over(w_in), F.lit(0))
+    laid = toks.join(F.broadcast(offsets), "bucket").select(
+        "doc_id", "ws_tokens", begin.alias("begin_tok")
+    )
+    # integer `div`, not `/`: double division loses exactness past 2^53
+    # total tokens, and a 100 TB corpus is ~1e13-1e14 tokens — too close
+    return laid.select(
+        "doc_id",
+        "ws_tokens",
+        "begin_tok",
+        F.expr(f"begin_tok div {int(seq_len)}").alias("first_seq"),
+        F.expr(f"(begin_tok + ws_tokens - 1) div {int(seq_len)}").alias("last_seq"),
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """(doc_id, source, ws_tokens) — k documents sampled WITHOUT
+    replacement with probability proportional to token count, via the
+    Efraimidis-Spirakis A-Res key: key = u^(1/weight), keep the k
+    largest.  The standard one-pass distributed weighted reservoir:
+    token-heavy docs are proportionally likelier, yet the draw is a
+    plain top-k, so Spark plans it as TakeOrderedAndProject — each
+    partition keeps a local k, only n_partitions*k rows ever merge
+    (never a global sort).  Deterministic: u is the md5 uniform of
+    doc_id, so re-runs, resumes, and the DuckDB oracle select the
+    identical k rows.  This is the "sample k docs by token mass" step
+    of mixture building when a source must be represented by a fixed
+    COUNT of documents rather than a rate (cf. ``token_budget_sample``).
+    """
+    key = F.pow(_uniform(F.col("doc_id"), salt), 1.0 / F.col("ws_tokens"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long")
+            .alias("ws_tokens"),
+        )
+        .select("doc_id", "source", "ws_tokens", key.alias("_k"))
+        .orderBy(F.desc("_k"), "doc_id")
+        .limit(k)
+        .select("doc_id", "source", "ws_tokens")
+    )

@@ -948,3 +948,74 @@ def test_semantic_dedup_refined_centroids_path(spark):
     out = semantic_dedup(emb, m=4, threshold=0.9, refine_iters=1)
     assert 0 < out.count() <= emb.count()
     assert out.columns == ["vec_id", "centroid_id"]
+
+
+# ---------------------------------------------------------------------------
+# curation: sequence packing + weighted reservoir sampling
+# ---------------------------------------------------------------------------
+
+
+def _md5_uniform(salt: str, value) -> float:
+    h = hashlib.md5(f"{salt}:{value}".encode()).hexdigest()
+    return int(h[:15], 16) / 16**15
+
+
+def test_pack_sequences_matches_python_prefix_sum(spark, docs, docs_pd):
+    """The distributed bucketed prefix sum must equal the single-threaded
+    oracle: sort docs by the md5 uniform, lay token counts end-to-end,
+    chop at seq_len.  Bucket count is an implementation detail (same
+    answer at any n_buckets), and the layout tiles [0, total) exactly."""
+    from graphblas_algorithms_spark.pipeline.curation import pack_sequences
+
+    seq_len = 64
+    toks = {
+        did: len(re.split(r"\s+", text.strip()))
+        for did, text in docs_pd.items()
+    }
+    order = sorted(docs_pd, key=lambda d: (_md5_uniform("pack", d), d))
+    want, off = {}, 0
+    for did in order:
+        n = toks[did]
+        want[int(did)] = (off, off // seq_len, (off + n - 1) // seq_len)
+        off += n
+
+    got = {
+        r["doc_id"]: (r["begin_tok"], r["first_seq"], r["last_seq"])
+        for r in pack_sequences(docs, seq_len).collect()
+    }
+    assert got == want
+
+    # begins tile [0, total): sorted begins == exclusive prefix sums
+    begins = sorted(b for b, _, _ in got.values())
+    assert begins[0] == 0 and begins[-1] + toks[order[-1]] <= off + max(toks.values())
+
+    # bucketing and input partitioning are invisible to the result
+    alt = {
+        r["doc_id"]: (r["begin_tok"], r["first_seq"], r["last_seq"])
+        for r in pack_sequences(docs.repartition(7), seq_len, n_buckets=4).collect()
+    }
+    assert alt == want
+
+
+def test_weighted_sample_ares_topk(spark, docs, docs_pd):
+    """A-Res: the k kept docs are exactly the k largest u^(1/w) keys per
+    a python oracle; the plan is TakeOrdered (per-partition local top-k,
+    no global sort); repartitioning never changes the draw."""
+    from graphblas_algorithms_spark.pipeline.curation import weighted_sample
+
+    k = 20
+    keys = {}
+    for did, text in docs_pd.items():
+        w = len(re.split(r"\s+", text.strip()))
+        keys[int(did)] = _md5_uniform("wsample", did) ** (1.0 / w)
+    want = set(sorted(keys, key=lambda d: (-keys[d], d))[:k])
+
+    out = weighted_sample(docs, k=k)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == want
+
+    again = {r["doc_id"] for r in weighted_sample(docs.repartition(5), k=k).collect()}
+    assert again == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
