@@ -714,6 +714,26 @@ def _q_linkpred(spark, sf_dir):
     )
 
 
+def _q_negative_sample(spark, sf_dir):
+    """Deterministic negative edge sampling (k non-edges per node, md5
+    draw order, dense-index candidate mapping via assign_dense_ids);
+    the oracle replays the identical draws, rejections, and integer
+    min-j/row_number ranking."""
+    from graphblas_algorithms_spark.operators.sampling import negative_edge_sample
+
+    G = _part_graph(spark, sf_dir)
+    return negative_edge_sample(G, k=2, factor=4)
+
+
+def _q_linkpred_trainset(spark, sf_dir):
+    """Full link-prediction training set: canonical positives + sampled
+    negatives + deterministic pair-keyed train/test split."""
+    from graphblas_algorithms_spark.operators.sampling import linkpred_training_set
+
+    G = _part_graph(spark, sf_dir)
+    return linkpred_training_set(G, k=2, factor=4, holdout_rate=0.2)
+
+
 def _q_closeness(spark, sf_dir):
     """Exact Wasserman-Faust closeness centrality: (r/tot) * (r/(n-1))
     where r counts the OTHER nodes reachable from v and tot sums their
@@ -1376,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triad_census": _q_triad_census,
         "graph_onion": _q_onion,
         "graph_linkpred": _q_linkpred,
+        "graph_negative_sample": _q_negative_sample,
+        "graph_linkpred_trainset": _q_linkpred_trainset,
         "graph_closeness": _q_closeness,
         "graph_harmonic": _q_harmonic,
         "graph_betweenness": _q_betweenness,
@@ -2562,6 +2584,61 @@ dist AS (SELECT source, id, min(lvl) AS d FROM reach GROUP BY source, id),
 h AS (SELECT id, sum(1.0 / d) AS h FROM dist WHERE source <> id GROUP BY id)
 SELECT n.id, round(coalesce(h.h, 0.0), 6) AS harmonic
 FROM part_nodes n LEFT JOIN h ON n.id = h.id
+"""
+
+#: The dense candidate index replays assign_dense_ids' sorted-key order
+#: as a plain row_number; draws, rejections, and ranking are integer-
+#: exact, so the oracle selects the identical pairs.  The least() clamp
+#: mirrors sampling.py's double-rounding guard.
+_SQL_NEG_CAND = f"""
+{_SQL_PART.strip()},
+nn AS MATERIALIZED (SELECT count(*) AS n FROM part_nodes),
+nidx AS MATERIALIZED (
+  SELECT id AS key, row_number() OVER (ORDER BY id) - 1 AS idx
+  FROM part_nodes
+),
+cand AS (
+  SELECT s.id AS src, j.j,
+         least(floor((('0x' || substr(md5('{{salt}}:' || s.id || ':' || j.j), 1, 15))::UBIGINT
+                      / 1152921504606846976.0) * nn.n)::BIGINT,
+               nn.n - 1) AS idx
+  FROM part_nodes s CROSS JOIN nn CROSS JOIN generate_series(0, 7) AS j(j)
+),
+firstj AS (
+  SELECT c.src, x.key AS dst, min(c.j) AS j
+  FROM cand c JOIN nidx x ON x.idx = c.idx
+  WHERE x.key <> c.src
+    AND NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = c.src AND e.dst = x.key)
+  GROUP BY c.src, x.key
+),
+ranked AS (
+  SELECT src, dst, j,
+         row_number() OVER (PARTITION BY src ORDER BY j, dst) AS rn
+  FROM firstj
+)
+"""
+
+_SQL_NEGATIVE_SAMPLE = f"""
+WITH {_SQL_NEG_CAND.strip().format(salt="neg")}
+SELECT src, dst, j FROM ranked WHERE rn <= 2
+"""
+
+_SQL_LINKPRED_TRAINSET = f"""
+WITH {_SQL_NEG_CAND.strip().format(salt="lp:neg")},
+pos AS (
+  SELECT least(src, dst) AS src, greatest(src, dst) AS dst, 1 AS label
+  FROM sym GROUP BY 1, 2
+),
+lp_rows AS (
+  SELECT src, dst, label FROM pos
+  UNION ALL
+  SELECT src, dst, 0 AS label FROM ranked WHERE rn <= 2
+)
+SELECT src, dst, label,
+       CASE WHEN ('0x' || substr(md5('lp:split:' || src || ':' || dst), 1, 15))::UBIGINT
+                 / 1152921504606846976.0 < 0.2
+            THEN 'test' ELSE 'train' END AS split
+FROM lp_rows
 """
 
 #: Closeness needs ALL-pairs distances, so the recursive-CTE pattern used
@@ -3854,6 +3931,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_triad_census": _sql_triad_census(),
         "graph_onion": _sql_onion(),
         "graph_linkpred": _SQL_LINKPRED,
+        "graph_negative_sample": _SQL_NEGATIVE_SAMPLE,
+        "graph_linkpred_trainset": _SQL_LINKPRED_TRAINSET,
         "graph_closeness": _SQL_CLOSENESS,
         "graph_harmonic": _SQL_HARMONIC,
         "graph_betweenness": _sql_betweenness(),
