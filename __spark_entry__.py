@@ -734,6 +734,26 @@ def _q_linkpred_trainset(spark, sf_dir):
     return linkpred_training_set(G, k=2, factor=4, holdout_rate=0.2)
 
 
+def _q_khop_sample(spark, sf_dir):
+    """Layer-wise GraphSAGE-style neighbor-sampled adjacency blocks
+    (fanouts 3 then 2, md5-ranked per src); the oracle replays the
+    per-hop row_number ranking ordered by the same md5 integers."""
+    from graphblas_algorithms_spark.operators.sampling import khop_neighbor_sample
+
+    G = _part_graph(spark, sf_dir)
+    return khop_neighbor_sample(G, fanouts=(3, 2))
+
+
+def _q_chunk_documents(spark, sf_dir):
+    """Sliding-window document chunking (128-token windows, stride 96):
+    pure integer scan-side explode, zero shuffles."""
+    from graphblas_algorithms_spark.pipeline.curation import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=128, stride=96
+    )
+
+
 def _q_closeness(spark, sf_dir):
     """Exact Wasserman-Faust closeness centrality: (r/tot) * (r/(n-1))
     where r counts the OTHER nodes reachable from v and tot sums their
@@ -1398,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_linkpred": _q_linkpred,
         "graph_negative_sample": _q_negative_sample,
         "graph_linkpred_trainset": _q_linkpred_trainset,
+        "graph_khop_sample": _q_khop_sample,
         "graph_closeness": _q_closeness,
         "graph_harmonic": _q_harmonic,
         "graph_betweenness": _q_betweenness,
@@ -1431,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_token_budget_sample": _q_token_budget_sample,
         "pipe_pack_sequences": _q_pack_sequences,
         "pipe_weighted_sample": _q_weighted_sample,
+        "pipe_chunk_documents": _q_chunk_documents,
         "pipe_langid": _q_langid,
         "pipe_clean_corpus": _q_clean_corpus,
         "pipe_ngram_jaccard": _q_ngram_jaccard,
@@ -2639,6 +2661,49 @@ SELECT src, dst, label,
                  / 1152921504606846976.0 < 0.2
             THEN 'test' ELSE 'train' END AS split
 FROM lp_rows
+"""
+
+#: Ranking by the raw md5 UBIGINT equals Spark's ranking by the derived
+#: double u (monotone), with dst as the integer tie-break.
+_SQL_KHOP_SAMPLE = f"""
+WITH {_SQL_PART.strip()},
+h1 AS MATERIALIZED (
+  SELECT 1 AS hop, src, dst FROM (
+    SELECT e.src, e.dst,
+           row_number() OVER (PARTITION BY e.src ORDER BY
+             ('0x' || substr(md5('khop:1:' || e.src || ':' || e.dst), 1, 15))::UBIGINT,
+             e.dst) AS rn
+    FROM sym e JOIN part_nodes n ON n.id = e.src
+  ) WHERE rn <= 3
+),
+f2 AS MATERIALIZED (SELECT DISTINCT dst AS id FROM h1),
+h2 AS (
+  SELECT 2 AS hop, src, dst FROM (
+    SELECT e.src, e.dst,
+           row_number() OVER (PARTITION BY e.src ORDER BY
+             ('0x' || substr(md5('khop:2:' || e.src || ':' || e.dst), 1, 15))::UBIGINT,
+             e.dst) AS rn
+    FROM sym e JOIN f2 ON f2.id = e.src
+  ) WHERE rn <= 2
+)
+SELECT hop, src, dst FROM h1
+UNION ALL
+SELECT hop, src, dst FROM h2
+"""
+
+_SQL_CHUNK_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n,
+         1 + (greatest(len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT - 128, 0)
+              + 95) // 96 AS n_chunks
+  FROM documents
+)
+SELECT doc_id,
+       chunk_id,
+       (chunk_id * 96)::BIGINT AS begin_tok,
+       least(128, n - chunk_id * 96)::BIGINT AS n_toks
+FROM (SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_id FROM t)
 """
 
 #: Closeness needs ALL-pairs distances, so the recursive-CTE pattern used
@@ -3933,6 +3998,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_linkpred": _SQL_LINKPRED,
         "graph_negative_sample": _SQL_NEGATIVE_SAMPLE,
         "graph_linkpred_trainset": _SQL_LINKPRED_TRAINSET,
+        "graph_khop_sample": _SQL_KHOP_SAMPLE,
         "graph_closeness": _SQL_CLOSENESS,
         "graph_harmonic": _SQL_HARMONIC,
         "graph_betweenness": _sql_betweenness(),
@@ -3966,6 +4032,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_token_budget_sample": _SQL_TOKEN_BUDGET_SAMPLE,
         "pipe_pack_sequences": _SQL_PACK_SEQUENCES,
         "pipe_weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "pipe_chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "pipe_langid": _sql_langid(),
         "pipe_clean_corpus": _sql_clean_corpus(),
         "pipe_ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -101,6 +101,56 @@ def negative_edge_sample(
     )
 
 
+def khop_neighbor_sample(
+    G,
+    seeds: DataFrame | None = None,
+    fanouts: tuple[int, ...] = (10, 5),
+    salt: str = "khop",
+) -> DataFrame:
+    """(hop, src, dst) — layer-wise deterministic neighbor-sampled
+    adjacency blocks, the GNN-minibatch primitive (GraphSAGE/FastGCN
+    family): hop h keeps at most ``fanouts[h-1]`` neighbors per frontier
+    node, ranked by an md5 uniform of (salt, hop, src, dst); the next
+    frontier is the distinct sampled targets.
+
+    Layer-wise (one shared sample per node per hop), NOT per-seed trees:
+    per-seed sampling multiplies work by |seeds| x prod(fanouts), while
+    the shared block is what batched GNN trainers consume anyway.  Scale
+    shape: hop h is one join frontier x adjacency (partitioned on src)
+    plus a per-src window of at most deg(src) rows — the window never
+    sees more than one node's neighbor list, so hub skew degrades a
+    task, not the stage.  Deterministic in (edge set, seeds, fanouts,
+    salt): re-runs, resumes, and the DuckDB oracle sample identical
+    blocks.
+
+    ``seeds``: one-column (id) DataFrame; default = every node.
+    """
+    if not fanouts or any(f < 1 for f in fanouts):
+        raise ValueError(f"fanouts must be non-empty positive, got {fanouts!r}")
+    adj = G.get_property("sym_offdiag").select("src", "dst")
+    frontier = (seeds if seeds is not None else G.nodes).select(
+        F.col(seeds.columns[0] if seeds is not None else "id").alias("id")
+    ).distinct()
+
+    blocks = []
+    for hop, fan in enumerate(fanouts, start=1):
+        u = _uniform(F.lit(salt), F.lit(hop), F.col("src"), F.col("dst"))
+        w = Window.partitionBy("src").orderBy(u, "dst")
+        block = (
+            frontier.join(adj, frontier["id"] == adj["src"])
+            .select("src", "dst")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= fan)
+            .select(F.lit(hop).alias("hop"), "src", "dst")
+        )
+        blocks.append(block)
+        frontier = block.select(F.col("dst").alias("id")).distinct()
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def linkpred_training_set(
     G,
     k: int,

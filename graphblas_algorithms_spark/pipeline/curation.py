@@ -219,6 +219,55 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """(doc_id, chunk_id, begin_tok, n_toks) — sliding-window document
+    chunking: window ``chunk_tokens`` wide advancing by ``stride``
+    (overlap = chunk_tokens - stride), the RAG-indexing / long-doc
+    pretraining prep step.  Short docs yield one whole-doc chunk; the
+    final window is clipped, never empty (requires stride <=
+    chunk_tokens).  Pure integer scan-side arithmetic — explode over a
+    computed ``sequence()``, zero shuffles, exact at any scale — and the
+    chunk manifest references token offsets so the (heavy) text column
+    is never duplicated per chunk.
+    """
+    if not (1 <= stride <= chunk_tokens):
+        raise ValueError(
+            f"need 1 <= stride <= chunk_tokens, got stride={stride} "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    # chunks = 1 + ceil(max(0, n - chunk) / stride); integer `div` so the
+    # count is exact for any doc length (cf. pack_sequences)
+    n_chunks = F.expr(
+        f"1 + (greatest(_n - {int(chunk_tokens)}, 0) + {int(stride) - 1}) "
+        f"div {int(stride)}"
+    )
+    begin = F.col("chunk_id").cast("long") * F.lit(stride)
+    return (
+        docs.select("doc_id", n.alias("_n"))
+        .select("doc_id", "_n", n_chunks.alias("_c"))
+        .select(
+            "doc_id",
+            "_n",
+            F.explode(F.sequence(F.lit(0), (F.col("_c") - 1).cast("int"))).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            begin.alias("begin_tok"),
+            F.least(F.lit(chunk_tokens).cast("long"), F.col("_n") - begin).alias(
+                "n_toks"
+            ),
+        )
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     k: int,

@@ -85,3 +85,91 @@ def test_linkpred_training_set_shape_and_split(spark):
         assert r["split"] == ("test" if u < 0.25 else "train")
     splits = {r["split"] for r in rows}
     assert splits == {"train", "test"}
+
+
+def _python_khop(nxg, fanouts, salt="khop"):
+    frontier = set(nxg.nodes())
+    out = set()
+    for hop, fan in enumerate(fanouts, 1):
+        nxt = set()
+        for v in sorted(frontier):
+            ranked = sorted(nxg[v], key=lambda w: (_u(f"{salt}:{hop}:{v}:{w}"), w))
+            for w in ranked[:fan]:
+                out.add((hop, v, w))
+                nxt.add(w)
+        frontier = nxt
+    return out
+
+
+def test_khop_neighbor_sample_matches_python_replay(spark):
+    from graphblas_algorithms_spark.operators.sampling import khop_neighbor_sample
+
+    nxg = nx.gnp_random_graph(40, 0.15, seed=3)
+    G = from_networkx(spark, nxg)
+    got = {
+        (r["hop"], r["src"], r["dst"])
+        for r in khop_neighbor_sample(G, fanouts=(3, 2)).collect()
+    }
+    assert got == _python_khop(nxg, (3, 2))
+
+    # every sampled pair is a real edge; per-(hop, src) cap holds
+    from collections import Counter
+
+    per = Counter((h, s) for h, s, _ in got)
+    for (h, s), c in per.items():
+        assert c <= (3 if h == 1 else 2)
+    for _, s, d in got:
+        assert nxg.has_edge(s, d)
+
+    # explicit seed set restricts hop 1 to the seeds' neighborhoods
+    seeds = spark.createDataFrame([(0,), (1,)], "id long")
+    sub = {
+        (r["hop"], r["src"], r["dst"])
+        for r in khop_neighbor_sample(G, seeds=seeds, fanouts=(3, 2)).collect()
+    }
+    assert {s for h, s, _ in sub if h == 1} <= {0, 1}
+    assert sub <= _python_khop_seeded(nxg, {0, 1}, (3, 2))
+
+
+def _python_khop_seeded(nxg, seeds, fanouts, salt="khop"):
+    frontier = set(seeds)
+    out = set()
+    for hop, fan in enumerate(fanouts, 1):
+        nxt = set()
+        for v in sorted(frontier):
+            ranked = sorted(nxg[v], key=lambda w: (_u(f"{salt}:{hop}:{v}:{w}"), w))
+            for w in ranked[:fan]:
+                out.add((hop, v, w))
+                nxt.add(w)
+        frontier = nxt
+    return out
+
+
+def test_chunk_documents_integer_replay(spark):
+    from graphblas_algorithms_spark.pipeline.curation import chunk_documents
+
+    rows = [
+        (1, " ".join(["w"] * 5)),      # shorter than one window
+        (2, " ".join(["w"] * 128)),    # exactly one window
+        (3, " ".join(["w"] * 129)),    # one token over -> 2 chunks
+        (4, " ".join(["w"] * 400)),    # several strides
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["begin_tok"], r["n_toks"])
+        for r in chunk_documents(docs, chunk_tokens=128, stride=96).collect()
+    }
+    want = {}
+    for did, text in rows:
+        n = len(text.split())
+        n_chunks = 1 + (max(n - 128, 0) + 95) // 96
+        for i in range(n_chunks):
+            want[(did, i)] = (i * 96, min(128, n - i * 96))
+    assert got == want
+    # every chunk is non-empty and windows tile the doc with overlap
+    assert all(t > 0 for _, t in got.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=64, stride=65)
