@@ -628,6 +628,40 @@ class KeyedGraph:
             .select("src_key", "dst_key")
         )
 
+    def _keyed_pairs(self, df: DataFrame, extra: list[str]) -> DataFrame:
+        """(src_key, dst_key, *extra) — like _keyed_edges but keeps the
+        payload columns sampling results carry (hop/j/label/split)."""
+        dim = self._dim
+        return (
+            df.join(dim.withColumnRenamed("id", "src"), "src")
+            .withColumnRenamed("key", "src_key")
+            .join(dim.withColumnRenamed("id", "dst"), "dst")
+            .withColumnRenamed("key", "dst_key")
+            .select("src_key", "dst_key", *extra)
+        )
+
+    # -- training-set sampling ------------------------------------------------
+    def negative_edge_sample(self, k: int, **kw) -> DataFrame:
+        """(src_key, dst_key, j) — deterministic non-edge draws."""
+        from .operators.sampling import negative_edge_sample as _f
+
+        return self._keyed_pairs(_f(self.G, k, **kw), ["j"])
+
+    def khop_neighbor_sample(self, fanouts=(10, 5), seed_keys=None, **kw) -> DataFrame:
+        """(src_key, dst_key, hop) — layer-wise fanout-sampled blocks."""
+        from .operators.sampling import khop_neighbor_sample as _f
+
+        seeds = self._ids_of(seed_keys) if seed_keys is not None else None
+        return self._keyed_pairs(
+            _f(self.G, seeds=seeds, fanouts=fanouts, **kw), ["hop"]
+        )
+
+    def linkpred_training_set(self, k: int, **kw) -> DataFrame:
+        """(src_key, dst_key, label, split) — positives + sampled negatives."""
+        from .operators.sampling import linkpred_training_set as _f
+
+        return self._keyed_pairs(_f(self.G, k, **kw), ["label", "split"])
+
     def edge_boundary(self, s_keys, t_keys=None) -> DataFrame:
         from .operators.boundary import edge_boundary as _f
 

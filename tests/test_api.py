@@ -360,3 +360,37 @@ def test_keyed_triad_census_and_double_sweep(kg_and_nx, spark):
     assert row["diameter_lb"] == 8
     assert {row["far_key"], row["periphery_key"]} == {"p0", "p8"}
     assert row["seed_key_out"].startswith("p")
+
+
+def test_keyed_sampling_wrappers(spark):
+    """negative_edge_sample / khop_neighbor_sample / linkpred_training_set
+    through the key-typed shell: keys round-trip, payload columns survive,
+    and negatives never collide with real (undirected) edges."""
+    nxg = nx.gnp_random_graph(25, 0.2, seed=13)
+    key = {i: f"repo/{i:02d}" for i in nxg.nodes}
+    rows = [(key[u], key[v]) for u, v in nxg.edges]
+    raw = spark.createDataFrame(rows, "from_repo string, to_repo string")
+    kg = KeyedGraph(raw, "from_repo", "to_repo", directed=False)
+    rev = {v: k for k, v in key.items()}
+
+    neg = kg.negative_edge_sample(k=2).collect()
+    assert neg and set(neg[0].asDict()) == {"src_key", "dst_key", "j"}
+    for r in neg:
+        assert not nxg.has_edge(rev[r["src_key"]], rev[r["dst_key"]])
+
+    blocks = kg.khop_neighbor_sample(fanouts=(3, 2)).collect()
+    assert {r["hop"] for r in blocks} == {1, 2}
+    for r in blocks:
+        assert nxg.has_edge(rev[r["src_key"]], rev[r["dst_key"]])
+
+    seeded = kg.khop_neighbor_sample(
+        fanouts=(2,), seed_keys=[key[0], key[1]]
+    ).collect()
+    assert {rev[r["src_key"]] for r in seeded} <= {0, 1}
+
+    ts = kg.linkpred_training_set(k=2).collect()
+    assert {(r["label"], r["split"]) for r in ts} <= {
+        (0, "train"), (0, "test"), (1, "train"), (1, "test")
+    }
+    pos = {(rev[r["src_key"]], rev[r["dst_key"]]) for r in ts if r["label"] == 1}
+    assert pos == {(min(u, v), max(u, v)) for u, v in nxg.edges}
