@@ -143,3 +143,55 @@ def test_pagerank_superstep_exchange_count(spark):
     # the caller's repartition (reused, AQE may elide it)
     assert n_exchanges <= 3, f"vxm grew to {n_exchanges} exchanges:\n{plan}"
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_zero_exchanges(spark, docs):
+    """Chunking is a pure scan-side explode: no shuffle anywhere, and
+    the scan prunes to (doc_id, text)."""
+    from graphblas_algorithms_spark.pipeline.curation import chunk_documents
+
+    plan = _physical(chunk_documents(docs, chunk_tokens=128, stride=96))
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_bounded_exchanges(spark, docs):
+    """The distributed prefix sum = the one corpus shuffle (bucket
+    window) + the tiny n_buckets-row aggregate side; a regression to a
+    global un-partitioned window would plan Window with an empty
+    partition spec over a SinglePartition exchange of the CORPUS — the
+    corpus-side Window must be partitioned by bucket."""
+    from graphblas_algorithms_spark.pipeline.curation import pack_sequences
+
+    df = pack_sequences(docs, seq_len=256, n_buckets=8)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    # corpus-sized exchanges: bucket repartition for the within-bucket
+    # window (+ its agg input reuse). The offsets side is an 8-row agg;
+    # its SinglePartition exchange is bounded, not corpus-sized.
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 3, f"pack_sequences grew to {n_hash} hash exchanges:\n{plan}"
+    # the within-bucket window must carry the bucket partition spec —
+    # Spark prints it first inside windowspecdefinition(...)
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert wins and any(
+        "windowspecdefinition(bucket" in ln for ln in wins
+    ), "\n".join(wins)
+
+
+def test_negative_sample_no_cartesian(spark):
+    """Candidate mapping + rejection are hash joins end-to-end."""
+    from graphblas_algorithms_spark.classes.graph import Graph
+    from graphblas_algorithms_spark.operators.sampling import (
+        khop_neighbor_sample,
+        negative_edge_sample,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "src long, dst long"
+    )
+    G = Graph(e, spark.range(4).select("id"))
+    plan = _physical(negative_edge_sample(G, k=2, factor=2))
+    assert "CartesianProduct" not in plan, plan
+
+    plan2 = _physical(khop_neighbor_sample(G, fanouts=(2, 2)))
+    assert "CartesianProduct" not in plan2, plan2
