@@ -754,6 +754,25 @@ def _q_chunk_documents(spark, sf_dir):
     )
 
 
+def _q_feature_prop(spark, sf_dir):
+    """SGC-style feature smoothing: 2 rounds of self-loop neighborhood
+    mean over 64-dim embeddings mapped onto the part graph (vec_id =
+    id % 500).  Long-format (id, pos, val) so the aggregation is a plain
+    codegen groupBy at any dimension; oracle replays both rounds as
+    materialized sum/deg CTEs (round-6 absorbs sum-order float drift)."""
+    from graphblas_algorithms_spark.operators.features import propagate_features
+
+    G = _part_graph(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    feats = (
+        _part_nodes(spark, sf_dir)
+        .join(emb, F.col("id") % 500 == F.col("vec_id"))
+        .select("id", F.col("embedding").alias("vec"))
+    )
+    out = propagate_features(G, feats, iters=2)
+    return out.select("id", "pos", F.round("val", 6).alias("val"))
+
+
 def _q_closeness(spark, sf_dir):
     """Exact Wasserman-Faust closeness centrality: (r/tot) * (r/(n-1))
     where r counts the OTHER nodes reachable from v and tot sums their
@@ -1419,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_negative_sample": _q_negative_sample,
         "graph_linkpred_trainset": _q_linkpred_trainset,
         "graph_khop_sample": _q_khop_sample,
+        "graph_feature_prop": _q_feature_prop,
         "graph_closeness": _q_closeness,
         "graph_harmonic": _q_harmonic,
         "graph_betweenness": _q_betweenness,
@@ -2689,6 +2709,39 @@ h2 AS (
 SELECT hop, src, dst FROM h1
 UNION ALL
 SELECT hop, src, dst FROM h2
+"""
+
+#: pos is 0-based in Spark's posexplode; generate_subscripts is 1-based.
+_SQL_FEATURE_PROP = f"""
+WITH {_SQL_PART.strip()},
+f0 AS MATERIALIZED (
+  SELECT n.id,
+         generate_subscripts(e.embedding, 1) - 1 AS pos,
+         unnest(e.embedding)::DOUBLE AS val
+  FROM part_nodes n JOIN embeddings e ON e.vec_id = n.id % 500
+),
+deg AS MATERIALIZED (SELECT dst AS id, count(*) + 1 AS d FROM sym GROUP BY dst),
+it1 AS MATERIALIZED (
+  SELECT s.id, s.pos, s.s / coalesce(g.d, 1) AS val
+  FROM (
+    SELECT id, pos, sum(val) AS s FROM (
+      SELECT id, pos, val FROM f0
+      UNION ALL
+      SELECT e.dst AS id, f.pos, f.val FROM f0 f JOIN sym e ON e.src = f.id
+    ) GROUP BY id, pos
+  ) s LEFT JOIN deg g ON g.id = s.id
+),
+it2 AS (
+  SELECT s.id, s.pos, s.s / coalesce(g.d, 1) AS val
+  FROM (
+    SELECT id, pos, sum(val) AS s FROM (
+      SELECT id, pos, val FROM it1
+      UNION ALL
+      SELECT e.dst AS id, f.pos, f.val FROM it1 f JOIN sym e ON e.src = f.id
+    ) GROUP BY id, pos
+  ) s LEFT JOIN deg g ON g.id = s.id
+)
+SELECT id, pos, round(val, 6) AS val FROM it2
 """
 
 _SQL_CHUNK_DOCUMENTS = """
@@ -3999,6 +4052,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_negative_sample": _SQL_NEGATIVE_SAMPLE,
         "graph_linkpred_trainset": _SQL_LINKPRED_TRAINSET,
         "graph_khop_sample": _SQL_KHOP_SAMPLE,
+        "graph_feature_prop": _SQL_FEATURE_PROP,
         "graph_closeness": _SQL_CLOSENESS,
         "graph_harmonic": _SQL_HARMONIC,
         "graph_betweenness": _sql_betweenness(),
