@@ -614,6 +614,22 @@ def _q_edge_support(spark, sf_dir):
     return _edge_support(_part_pairs(spark, sf_dir))
 
 
+def _q_effective_size(spark, sf_dir):
+    """Burt's effective size (structural holes) over the co-purchase
+    graph: deg - 2*tri/deg per node, one shared wedge join."""
+    from graphblas_algorithms_spark.operators.structure import effective_size
+
+    es = effective_size(_part_graph(spark, sf_dir))
+    return es.select("id", F.round("effective_size", 6).alias("effective_size"))
+
+
+def _q_local_bridges(spark, sf_dir):
+    """Local bridges: canonical edges on no triangle (span > 2)."""
+    from graphblas_algorithms_spark.operators.structure import local_bridges
+
+    return local_bridges(_part_graph(spark, sf_dir))
+
+
 def _q_ktruss(spark, sf_dir):
     """Full k-truss fixpoint.  The fixpoint is deterministic, so the DuckDB
     oracle unrolls KTRUSS_ROUNDS support-filter rounds — once the edge set
@@ -1427,6 +1443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_directed": _q_clustering_directed,
         "graph_generalized_degree": _q_generalized_degree,
         "graph_edge_support": _q_edge_support,
+        "graph_effective_size": _q_effective_size,
+        "graph_local_bridges": _q_local_bridges,
         "graph_ktruss": _q_ktruss,
         "graph_kcore": _q_kcore,
         "graph_core_number": _q_core_number,
@@ -1803,6 +1821,31 @@ FROM part_nodes n LEFT JOIN cnt ON n.id = cnt.id
 
 _SQL_DEG_MINUS = """
 deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM sym GROUP BY src)
+"""
+
+# Burt effective size: deg - 2*tri/deg per edge-having node (mirrors
+# operators/structure.py:effective_size)
+_SQL_EFFECTIVE_SIZE = f"""WITH {_SQL_TRI_LIST},
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*)::BIGINT AS t FROM corners GROUP BY id),
+{_SQL_DEG_MINUS.strip()}
+SELECT deg.id, round(deg.d - 2.0 * coalesce(cnt.t, 0) / deg.d, 6) AS effective_size
+FROM deg LEFT JOIN cnt ON deg.id = cnt.id
+"""
+
+# local bridges: canonical edges appearing in no triangle (mirrors
+# operators/structure.py:local_bridges)
+_SQL_LOCAL_BRIDGES = f"""WITH {_SQL_TRI_LIST},
+tri_e AS (
+  SELECT a AS src, b AS dst FROM tri
+  UNION SELECT a, c FROM tri
+  UNION SELECT b, c FROM tri
+)
+SELECT p.src, p.dst FROM part_pairs p
+LEFT JOIN tri_e t ON p.src = t.src AND p.dst = t.dst
+WHERE t.src IS NULL
 """
 
 # link prediction: distance-2 non-edge pairs with >= 15 common neighbors,
@@ -4041,6 +4084,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_clustering_directed": _SQL_CLUSTERING_DIRECTED,
         "graph_generalized_degree": _SQL_GENERALIZED_DEGREE,
         "graph_edge_support": _SQL_EDGE_SUPPORT,
+        "graph_effective_size": _SQL_EFFECTIVE_SIZE,
+        "graph_local_bridges": _SQL_LOCAL_BRIDGES,
         "graph_ktruss": _sql_ktruss(),
         "graph_kcore": _sql_kcore(),
         "graph_core_number": _sql_core_number(),

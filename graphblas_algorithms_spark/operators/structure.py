@@ -142,6 +142,55 @@ def mutual_weight(G, u: int, v: int) -> float:
     return float(rows[0]["s"] or 0.0)
 
 
+def effective_size(G: Graph) -> DataFrame:
+    """(id: long, effective_size: double) — Burt's effective size for every
+    node with degree >= 1, under the unweighted-undirected simplification
+    (Borgatti 1997): ``ES(u) = deg(u) - 2 * triangles(u) / deg(u)``.
+
+    Extends the reference's structural-holes surface (``structuralholes.py``
+    stops at ``mutual_weight``) to the node-level metric networkx exposes as
+    ``effective_size``.  The whole thing is one wedge join (shared with
+    ``triangles``) plus a degree aggregate — at 100 TB the triangle count is
+    the dominant exchange and it is already degree-oriented (low-degree
+    wedge centers), so hub skew is bounded the same way ``triangles`` is.
+    Self-loops are excluded (networkx simple-graph semantics)."""
+    from .triangles import triangles as _triangles
+
+    deg = G.get_property("degrees_minus")
+    tri = _triangles(G, dense=False)
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            (
+                F.col("degree")
+                - 2.0 * F.coalesce(F.col("triangles"), F.lit(0)) / F.col("degree")
+            ).alias("effective_size"),
+        )
+    )
+
+
+def local_bridges(G: Graph, with_span: bool = False) -> DataFrame:
+    """(src, dst) — canonical undirected edges that are *local bridges*:
+    their endpoints share no common neighbor, i.e. the edge lies on no
+    triangle (span > 2; Easley-Kleinberg ch. 3, networkx ``local_bridges``).
+
+    One pass of the k-truss support join (``ktruss._edge_support``) filtered
+    to support 0 — no new exchange shapes beyond what ``k_truss`` already
+    pays, and the support join is wedge-oriented so hubs cost one wide task,
+    not a stage.  ``with_span`` is accepted for networkx parity but only the
+    infinite/non-infinite distinction is computed here (span enumeration is
+    an all-pairs problem); it adds a ``span_gt_2`` literal column."""
+    from .ktruss import _edge_support
+
+    e = G.get_property("U_minus").select("src", "dst")
+    sup = _edge_support(e)
+    out = sup.filter(F.col("support") == 0).select("src", "dst")
+    if with_span:
+        out = out.withColumn("span_gt_2", F.lit(True))
+    return out
+
+
 def is_simple_path(G, path: list[int]) -> bool:
     """Consecutive pairs all edges, no repeated node (``simple_paths.py:6-21``)."""
     if len(path) == 0 or len(set(path)) != len(path):

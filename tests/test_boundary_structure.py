@@ -222,3 +222,27 @@ def test_linalg(spark):
     r = 1.5
     BH = _mat_to_np(bethe_hessian_matrix(G, r=r), n)
     assert np.allclose(BH, (r * r - 1) * np.eye(n) - r * A + np.diag(deg))
+
+
+def test_effective_size(er):
+    nxg, G = er
+    from graphblas_algorithms_spark.operators.structure import effective_size
+
+    got = {r["id"]: r["effective_size"] for r in effective_size(G).collect()}
+    want = nx.effective_size(nxg)
+    pos = {n for n, d in nxg.degree() if d > 0}
+    assert set(got) == pos
+    for n in pos:
+        assert got[n] == pytest.approx(want[n]), n
+
+
+def test_local_bridges(er):
+    nxg, G = er
+    from graphblas_algorithms_spark.operators.structure import local_bridges
+
+    got = {(r["src"], r["dst"]) for r in local_bridges(G).collect()}
+    want = {tuple(sorted(e)) for e in nx.local_bridges(nxg, with_span=False)}
+    assert got == want
+    spanned = local_bridges(G, with_span=True).collect()
+    assert {(r["src"], r["dst"]) for r in spanned} == want
+    assert all(r["span_gt_2"] for r in spanned)
