@@ -1005,6 +1005,16 @@ def _q_source_mix(spark, sf_dir):
     return source_mix(_read(spark, sf_dir, "documents"))
 
 
+def _q_domain_cap(spark, sf_dir):
+    """Per-source cap at 20 docs, longest-first: the histogram-threshold
+    plan (corpus never shuffles; only the tie band at the threshold
+    length is ranked)."""
+    from graphblas_algorithms_spark.pipeline.curation import domain_cap
+
+    capped = domain_cap(_read(spark, sf_dir, "documents"), cap=20)
+    return capped.select("doc_id", "source", "n_chars")
+
+
 def _q_common_ngrams(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.text import common_ngrams
 
@@ -1484,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_quality": _q_quality,
         "pipe_repetition": _q_repetition,
         "pipe_source_mix": _q_source_mix,
+        "pipe_domain_cap": _q_domain_cap,
         "pipe_common_ngrams": _q_common_ngrams,
         "pipe_tfidf_topterms": _q_tfidf_topterms,
         "pipe_decontaminate": _q_decontaminate,
@@ -3136,6 +3147,37 @@ ORDER BY pow(u, 1.0 / ws_tokens) DESC, doc_id
 LIMIT 100
 """
 
+# per-source cap, longest-first with doc_id tiebreak (mirrors
+# pipeline/curation.py:domain_cap's histogram-threshold plan)
+_SQL_DOMAIN_CAP = """
+WITH hist AS (
+  SELECT source, n_chars, count(*)::BIGINT AS cnt
+  FROM documents GROUP BY source, n_chars
+),
+running AS (
+  SELECT source, n_chars, cnt,
+         sum(cnt) OVER (PARTITION BY source ORDER BY n_chars DESC) - cnt AS above
+  FROM hist
+),
+whole AS (SELECT source, n_chars FROM running WHERE above + cnt <= 20),
+bnd AS (
+  SELECT source, n_chars, 20 - above AS quota
+  FROM running WHERE above < 20 AND above + cnt > 20
+),
+keptw AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d JOIN whole w ON d.source = w.source AND d.n_chars = w.n_chars
+),
+keptb AS (
+  SELECT doc_id, source, n_chars FROM (
+    SELECT d.doc_id, d.source, d.n_chars, b.quota,
+           row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
+    FROM documents d JOIN bnd b ON d.source = b.source AND d.n_chars = b.n_chars
+  ) WHERE rn <= quota
+)
+SELECT * FROM keptw UNION ALL SELECT * FROM keptb
+"""
+
 _SQL_SOURCE_MIX = """
 WITH t AS (
   SELECT source,
@@ -4125,6 +4167,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_quality": _SQL_QUALITY,
         "pipe_repetition": _SQL_REPETITION,
         "pipe_source_mix": _SQL_SOURCE_MIX,
+        "pipe_domain_cap": _SQL_DOMAIN_CAP,
         "pipe_common_ngrams": _SQL_COMMON_NGRAMS,
         "pipe_tfidf_topterms": _SQL_TFIDF_TOPTERMS,
         "pipe_decontaminate": _SQL_DECONTAMINATE,

@@ -300,3 +300,57 @@ def weighted_sample(
         .limit(k)
         .select("doc_id", "source", "ws_tokens")
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    by: str = "source",
+) -> DataFrame:
+    """Cap every domain/source at ``cap`` documents, keeping the longest
+    (``n_chars`` DESC, ``doc_id`` ASC tiebreak) — the per-domain cap step
+    of CommonCrawl-style curation (C4 / RefinedWeb keep at most N pages
+    per registered domain so megadomains don't dominate the mix).
+
+    Skew-aware two-phase plan — the naive ``row_number() OVER
+    (PARTITION BY source)`` ships every row of a hot domain to one task,
+    which is exactly the domain the cap exists for.  Instead:
+
+    1. Aggregate the per-(source, n_chars) histogram — map-side
+       combinable, output is |sources| x |distinct lengths| rows, corpus
+       never shuffles.
+    2. A window over the HISTOGRAM (tiny) finds, per source, the length
+       threshold where the running count crosses ``cap``: rows strictly
+       above the threshold are kept outright, rows below are dropped
+       outright — both decided by a broadcast semi-join, zero corpus
+       shuffle.
+    3. Only the boundary band (docs tied AT the threshold length) is
+       ranked by doc_id to fill the remaining quota; its size is bounded
+       by the tie count at one length value, not by domain size.
+
+    Deterministic in (doc set) alone, so the DuckDB oracle and re-runs
+    select identical rows.  Returns the input columns unchanged.
+    """
+    from pyspark.sql import Window
+
+    hist = docs.groupBy(by, "n_chars").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(by).orderBy(F.col("n_chars").desc())
+    running = hist.select(
+        by, "n_chars", "cnt", (F.sum("cnt").over(w) - F.col("cnt")).alias("above")
+    )
+    keep_whole = running.filter(F.col("above") + F.col("cnt") <= cap).select(
+        by, "n_chars"
+    )
+    boundary = running.filter(
+        (F.col("above") < cap) & (F.col("above") + F.col("cnt") > cap)
+    ).select(by, "n_chars", (F.lit(cap) - F.col("above")).alias("_quota"))
+
+    kept_full = docs.join(F.broadcast(keep_whole), [by, "n_chars"], "left_semi")
+    wb = Window.partitionBy(by).orderBy(F.col("doc_id").asc())
+    kept_boundary = (
+        docs.join(F.broadcast(boundary), [by, "n_chars"])
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .select(*docs.columns)
+    )
+    return kept_full.unionByName(kept_boundary)

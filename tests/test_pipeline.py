@@ -1019,3 +1019,35 @@ def test_weighted_sample_ares_topk(spark, docs, docs_pd):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
+
+
+def test_domain_cap_exact_and_deterministic(spark, docs):
+    """Cap semantics vs a pandas brute force (longest-first, doc_id
+    tiebreak), exact per-source counts, invariance to repartitioning,
+    and a synthetic tie-heavy frame exercising the boundary band."""
+    from graphblas_algorithms_spark.pipeline.curation import domain_cap
+
+    cap = 5
+    got = {r["doc_id"] for r in domain_cap(docs, cap).collect()}
+    pdf = docs.select("doc_id", "source", "n_chars").toPandas()
+    want = set(
+        pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("source")
+        .head(cap)["doc_id"]
+    )
+    assert got == want
+    again = {r["doc_id"] for r in domain_cap(docs.repartition(7), cap).collect()}
+    assert got == again
+
+    # tie-heavy: one hot source, every doc the same length -> the whole
+    # quota comes out of the boundary band, ranked by doc_id
+    rows = [(i, "hot", 100) for i in range(50)] + [(100 + i, "cold", i) for i in range(3)]
+    tied = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    kept = domain_cap(tied, 10).groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    assert by_src == {"hot": 10, "cold": 3}
+    kept_hot = sorted(
+        r["doc_id"]
+        for r in domain_cap(tied, 10).filter("source = 'hot'").collect()
+    )
+    assert kept_hot == list(range(10))
