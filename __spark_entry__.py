@@ -1097,6 +1097,20 @@ def _q_minhash_neardup(spark, sf_dir):
     )
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Snapshot-refresh dedup: documents split deterministically into a
+    base corpus and an incoming slice; incoming docs near-duplicating a
+    base doc (LSH candidates, true-Jaccard verified) are reported."""
+    from graphblas_algorithms_spark.pipeline.curation import _uniform
+    from graphblas_algorithms_spark.pipeline.dedup import incremental_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    u = _uniform(F.col("doc_id"), "inc")
+    return incremental_near_duplicates(
+        docs.filter(u < 0.5), docs.filter(u >= 0.5), k=3, n_hashes=12, bands=4, threshold=0.7
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.dedup import near_duplicate_clusters
 
@@ -1506,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_clean_corpus": _q_clean_corpus,
         "pipe_ngram_jaccard": _q_ngram_jaccard,
         "pipe_minhash_neardup": _q_minhash_neardup,
+        "pipe_dedup_incremental": _q_dedup_incremental,
         "pipe_dedup_clusters": _q_dedup_clusters,
         "pipe_simhash": _q_simhash,
         "pipe_embedding_neardup": _q_embedding_neardup,
@@ -3433,6 +3448,43 @@ WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= {threshold}
 """
 
 
+def _sql_dedup_incremental(
+    n_hashes: int = 12, bands: int = 4, threshold: float = 0.7
+) -> str:
+    """Incoming-vs-base band join over the shared minhash prelude; the
+    base/incoming split replicates pipeline/curation.py:_uniform with
+    salt 'inc' (mirrors pipeline/dedup.py:incremental_near_duplicates)."""
+    return f"""
+WITH {_sql_minhash_prelude(n_hashes, bands)},
+split AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5('inc:' || doc_id), 1, 15))::UBIGINT)::DOUBLE
+          / 1152921504606846976.0) < 0.5 AS is_base
+  FROM documents
+),
+cand2 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key
+  JOIN split sa ON sa.doc_id = a.doc_id AND NOT sa.is_base
+  JOIN split sb ON sb.doc_id = b.doc_id AND sb.is_base
+),
+inter2 AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+  FROM cand2 c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a AS doc_id, doc_b AS dup_of,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter2
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= {threshold}
+"""
+
+
 def _sql_dedup_clusters(n_hashes: int = 12, bands: int = 4, threshold: float = 0.7) -> str:
     """Transitive near-dup clusters: verified pairs -> undirected edges ->
     recursive min-reachable-id fixpoint (the SQL statement of the engine's
@@ -4179,6 +4231,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_clean_corpus": _sql_clean_corpus(),
         "pipe_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "pipe_minhash_neardup": _sql_minhash_neardup(),
+        "pipe_dedup_incremental": _sql_dedup_incremental(),
         "pipe_dedup_clusters": _sql_dedup_clusters(),
         "pipe_simhash": _sql_simhash(),
         "pipe_embedding_neardup": _SQL_EMB_NEARDUP,

@@ -87,11 +87,9 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 12) -> DataF
     )
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, k: int = 3, n_hashes: int = 12, bands: int = 4
-) -> DataFrame:
-    """(doc_a, doc_b) candidate near-dup pairs: docs agreeing on ALL
-    rows of at least one band (n_hashes/bands rows per band)."""
+def _band_keys(docs: DataFrame, k: int, n_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, key) — one LSH bucket key per band: md5 of the
+    band's MinHash rows joined with '|'."""
     rows = n_hashes // bands
     sig = minhash_signatures(docs, k, n_hashes)
     band_cols = []
@@ -105,6 +103,15 @@ def lsh_candidate_pairs(
     banded = band_cols[0]
     for extra in band_cols[1:]:
         banded = banded.unionByName(extra)
+    return banded
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 3, n_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs agreeing on ALL
+    rows of at least one band (n_hashes/bands rows per band)."""
+    banded = _band_keys(docs, k, n_hashes, bands)
     left = banded.select("band", "key", F.col("doc_id").alias("doc_a"))
     right = banded.select("band", "key", F.col("doc_id").alias("doc_b"))
     return (
@@ -126,6 +133,61 @@ def minhash_near_duplicates(
     Jaccard >= threshold (computed only on candidates)."""
     cand = lsh_candidate_pairs(docs, k, n_hashes, bands)
     return _verify_jaccard(docs, cand, k, threshold)
+
+
+def incremental_near_duplicates(
+    base: DataFrame,
+    incoming: DataFrame,
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(doc_id, dup_of, jaccard) — every INCOMING doc that near-duplicates
+    some BASE doc: LSH candidates from an incoming→base band join,
+    verified with true shingle Jaccard >= threshold.
+
+    The snapshot-refresh dedup step: when a corpus is extended, only the
+    new slice is deduped — against the base, not base-vs-base.  At
+    100 TB the asymmetry is the point: the base side's band table is a
+    compact precomputable signature index (n_hashes hex strings per
+    doc, ~1e-4 of corpus bytes), so the only corpus-scale work is
+    signing the incoming slice; the band join touches base text again
+    only for verification, and only on candidate doc pairs.  doc_ids
+    must be disjoint across the two frames."""
+    cand = (
+        _band_keys(incoming, k, n_hashes, bands)
+        .select("band", "key", F.col("doc_id").alias("doc_a"))
+        .join(
+            _band_keys(base, k, n_hashes, bands).select(
+                "band", "key", F.col("doc_id").alias("doc_b")
+            ),
+            ["band", "key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    both = base.select("doc_id", "text").unionByName(incoming.select("doc_id", "text"))
+    ver = _verify_jaccard(both, cand, k, threshold)
+    return ver.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("dup_of"), "jaccard"
+    )
+
+
+def dedup_incremental(
+    base: DataFrame,
+    incoming: DataFrame,
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """The surviving incoming slice: ``incoming`` minus every doc
+    ``incremental_near_duplicates`` matched to the base corpus."""
+    dups = incremental_near_duplicates(
+        base, incoming, k, n_hashes, bands, threshold
+    ).select("doc_id")
+    return incoming.join(dups, "doc_id", "left_anti")
 
 
 def near_duplicate_clusters(

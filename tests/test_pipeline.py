@@ -1051,3 +1051,38 @@ def test_domain_cap_exact_and_deterministic(spark, docs):
         for r in domain_cap(tied, 10).filter("source = 'hot'").collect()
     )
     assert kept_hot == list(range(10))
+
+
+def test_incremental_dedup_matches_cross_split_pairs(spark, docs):
+    """Incoming-vs-base dedup == the cross-split slice of the full
+    corpus near-dup pair set (same bands, same verification), and the
+    survivor frame is exactly incoming minus matched."""
+    from graphblas_algorithms_spark.pipeline.curation import _uniform
+    from graphblas_algorithms_spark.pipeline.dedup import (
+        dedup_incremental,
+        incremental_near_duplicates,
+        minhash_near_duplicates,
+    )
+    from pyspark.sql import functions as F
+
+    kw = dict(k=3, n_hashes=12, bands=4, threshold=0.5)
+    u = _uniform(F.col("doc_id"), "t")
+    base, incoming = docs.filter(u < 0.5), docs.filter(u >= 0.5)
+    got = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in incremental_near_duplicates(base, incoming, **kw).collect()
+    }
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    inc_ids = {r["doc_id"] for r in incoming.select("doc_id").collect()}
+    full = minhash_near_duplicates(docs, **kw).collect()
+    want = set()
+    for r in full:
+        a, b, j = r["doc_a"], r["doc_b"], r["jaccard"]
+        if a in inc_ids and b in base_ids:
+            want.add((a, b, j))
+        elif b in inc_ids and a in base_ids:
+            want.add((b, a, j))
+    assert got == want and len(want) > 0
+
+    survivors = {r["doc_id"] for r in dedup_incremental(base, incoming, **kw).collect()}
+    assert survivors == inc_ids - {d for d, _, _ in got}
