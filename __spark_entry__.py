@@ -872,6 +872,15 @@ def _q_mis(spark, sf_dir):
     return maximal_independent_set(_part_graph(spark, sf_dir))
 
 
+def _q_coarsen(spark, sf_dir):
+    """One multilevel-coarsening step: contract the maximal matching,
+    merge parallel edges into integer weights."""
+    from graphblas_algorithms_spark.operators.matching import coarsen_graph
+
+    coarse, _ = coarsen_graph(_part_graph(spark, sf_dir))
+    return coarse
+
+
 def _q_matching(spark, sf_dir):
     """Dominant-edge maximal matching with unique md5 edge priorities —
     deterministic in (graph, seed); oracle unrolls the same rounds
@@ -1489,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node2vec": _q_node2vec,
         "graph_mis": _q_mis,
         "graph_matching": _q_matching,
+        "graph_coarsen": _q_coarsen,
         "graph_vertex_cover": _q_vertex_cover,
         "graph_coloring": _q_coloring,
         "graph_isolates": _q_isolates,
@@ -2504,7 +2514,9 @@ u{r + 1} AS MATERIALIZED (
     return "\n".join(parts)
 
 
-def _sql_matching(rounds: int = 14, seed: int = 42, cover: bool = False) -> str:
+def _sql_matching(
+    rounds: int = 14, seed: int = 42, cover: bool = False, coarsen: bool = False
+) -> str:
     """Dominant-edge maximal matching unrolled (operators/matching.py):
     per round an edge wins when its globally-unique priority string
     (md5(seed|src|dst) || '|src|dst') is the min over live edges at BOTH
@@ -2550,6 +2562,18 @@ e{r + 1} AS MATERIALIZED (
         parts.append(
             "SELECT DISTINCT id FROM"
             " (SELECT src AS id FROM matched UNION ALL SELECT dst AS id FROM matched)"
+        )
+    elif coarsen:
+        parts.append(
+            """, nmap AS (SELECT dst AS id, src AS rep FROM matched),
+relabel AS (
+  SELECT coalesce(m1.rep, p.src) AS a, coalesce(m2.rep, p.dst) AS b
+  FROM part_pairs p
+  LEFT JOIN nmap m1 ON m1.id = p.src
+  LEFT JOIN nmap m2 ON m2.id = p.dst
+)
+SELECT least(a, b) AS src, greatest(a, b) AS dst, count(*)::BIGINT AS weight
+FROM relabel WHERE a <> b GROUP BY 1, 2"""
         )
     else:
         parts.append("SELECT src, dst FROM matched")
@@ -4200,6 +4224,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_node2vec": _sql_node2vec(),
         "graph_mis": _sql_mis(),
         "graph_matching": _sql_matching(),
+        "graph_coarsen": _sql_matching(coarsen=True),
         "graph_vertex_cover": _sql_matching(cover=True),
         "graph_coloring": _sql_coloring(),
         "graph_isolates": _SQL_ISOLATES,

@@ -128,3 +128,49 @@ def min_vertex_cover_2approx(G, seed: int = 42) -> DataFrame:
         .unionByName(m.select(F.col("dst").alias("id")))
         .distinct()
     )
+
+
+def coarsen_graph(G, seed: int = 42, max_rounds: int = 64):
+    """(coarse_edges, node_map) — one multilevel-coarsening step: contract
+    every edge of the deterministic maximal matching into a supernode
+    (the matched pair's lower id), relabel the edge list, and merge
+    parallel edges into an integer ``weight`` (the classic heavy-edge /
+    Metis-style V-cycle step, and Louvain's inter-level contraction).
+
+    ``coarse_edges``: (src, dst, weight) canonical, self-loops dropped;
+    ``node_map``: (id, rep) for EVERY node of G (unmatched nodes map to
+    themselves), so levels compose by joining maps.
+
+    Scale shape: the matching is O(log m) supersteps (see
+    ``maximal_matching``); contraction itself is two node-keyed hash
+    joins of the edge list against the <= n/2-row map plus one
+    map-side-combinable count agg — the same currency as one pagerank
+    superstep, and a matching contracts >= 1/2 of the non-isolated
+    nodes per level, so the level count to any target size is
+    logarithmic.  Deterministic in (G, seed): the map, the coarse edge
+    set, and the weights are pure functions of them (the DuckDB oracle
+    replays all of it)."""
+    m = maximal_matching(G, seed=seed, max_rounds=max_rounds)
+    mapping = m.select(F.col("dst").alias("id"), F.col("src").alias("rep"))
+    e = G.get_property("U_minus").select("src", "dst")
+    ma = mapping.select(F.col("id").alias("src"), F.col("rep").alias("_ra"))
+    mb = mapping.select(F.col("id").alias("dst"), F.col("rep").alias("_rb"))
+    rel = (
+        e.join(ma, "src", "left")
+        .join(mb, "dst", "left")
+        .select(
+            F.coalesce("_ra", F.col("src")).alias("a"),
+            F.coalesce("_rb", F.col("dst")).alias("b"),
+        )
+    )
+    coarse = (
+        rel.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    node_map = (
+        G.nodes.join(mapping, "id", "left")
+        .select("id", F.coalesce("rep", F.col("id")).alias("rep"))
+    )
+    return coarse, node_map

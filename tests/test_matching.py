@@ -122,3 +122,38 @@ def test_vertex_cover_2approx(spark):
     opt_matching = len(nx.max_weight_matching(nxg, maxcardinality=True))
     assert len(cover) <= 2 * opt_matching
     assert len(cover) == 2 * maximal_matching(G).count()
+
+
+def test_coarsen_graph_contracts_matching(spark):
+    """Coarse edges == python contraction of the engine's own matching;
+    node_map covers every node; no self-loops; weights preserve edge mass."""
+    from collections import Counter
+
+    from graphblas_algorithms_spark.operators.matching import (
+        coarsen_graph,
+        maximal_matching,
+    )
+
+    nxg = nx.gnp_random_graph(60, 0.12, seed=9)
+    G = from_networkx(spark, nxg)
+    m = {(r["src"], r["dst"]) for r in maximal_matching(G).collect()}
+    rep = {d: s for s, d in m}
+
+    want = Counter()
+    for u, v in nxg.edges():
+        u, v = min(u, v), max(u, v)
+        a, b = rep.get(u, u), rep.get(v, v)
+        if a != b:
+            want[(min(a, b), max(a, b))] += 1
+
+    coarse, node_map = coarsen_graph(G)
+    got = {(r["src"], r["dst"]): r["weight"] for r in coarse.collect()}
+    assert got == dict(want)
+    assert all(s != d for s, d in got)
+
+    nm = {r["id"]: r["rep"] for r in node_map.collect()}
+    assert set(nm) == set(nxg.nodes())
+    for u, v in m:
+        assert nm[v] == u and nm[u] == u
+    # in a simple graph the only edges contracted away are the matching's
+    assert sum(got.values()) + len(m) == nxg.number_of_edges()
