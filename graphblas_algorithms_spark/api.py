@@ -400,6 +400,26 @@ class KeyedGraph:
 
         return self._keyed_edges(_f(self.G, **kw))
 
+    def effective_size(self, **kw) -> DataFrame:
+        """(key, effective_size) — Burt's structural-holes metric."""
+        from .operators.structure import effective_size as _f
+
+        return self._keyed(_f(self.G, **kw))
+
+    def local_bridges(self, **kw) -> DataFrame:
+        """(src_key, dst_key) — edges on no triangle (span > 2)."""
+        from .operators.structure import local_bridges as _f
+
+        return self._keyed_edges(_f(self.G, **kw))
+
+    def coarsen(self, **kw) -> DataFrame:
+        """(src_key, dst_key, weight) — one matching-contraction level;
+        supernode keys are the representatives' original keys."""
+        from .operators.matching import coarsen_graph as _f
+
+        coarse, _ = _f(self.G, **kw)
+        return self._keyed_pairs(coarse, ["weight"])
+
     def min_vertex_cover(self, **kw) -> DataFrame:
         """(key) — 2-approx min vertex cover (matching endpoints)."""
         from .operators.matching import min_vertex_cover_2approx as _f

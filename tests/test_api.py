@@ -394,3 +394,27 @@ def test_keyed_sampling_wrappers(spark):
     }
     pos = {(rev[r["src_key"]], rev[r["dst_key"]]) for r in ts if r["label"] == 1}
     assert pos == {(min(u, v), max(u, v)) for u, v in nxg.edges}
+
+
+def test_keyed_structural_holes_and_coarsen(spark):
+    """effective_size / local_bridges / coarsen through the key-typed
+    shell: keys round-trip and values match the id-typed kernels."""
+    nxg = nx.gnp_random_graph(25, 0.15, seed=3)
+    key = {i: f"repo/{i:02d}" for i in nxg.nodes}
+    rows = [(key[u], key[v]) for u, v in nxg.edges]
+    raw = spark.createDataFrame(rows, "from_repo string, to_repo string")
+    kg = KeyedGraph(raw, "from_repo", "to_repo", directed=False)
+    rev = {v: k for k, v in key.items()}
+
+    es = {rev[r["key"]]: r["effective_size"] for r in kg.effective_size().collect()}
+    want = nx.effective_size(nxg)
+    assert all(es[n] == pytest.approx(want[n]) for n in es)
+    assert set(es) == {n for n, d in nxg.degree() if d > 0}
+
+    lb = {(rev[r["src_key"]], rev[r["dst_key"]]) for r in kg.local_bridges().collect()}
+    assert lb == {tuple(sorted(e)) for e in nx.local_bridges(nxg, with_span=False)}
+
+    co = kg.coarsen().collect()
+    assert co and set(co[0].asDict()) == {"src_key", "dst_key", "weight"}
+    ids = {rev[r["src_key"]] for r in co} | {rev[r["dst_key"]] for r in co}
+    assert ids <= set(nxg.nodes)
