@@ -1060,6 +1060,14 @@ def _q_token_budget_sample(spark, sf_dir):
     return token_budget_sample(_read(spark, sf_dir, "documents"), budget_tokens=700)
 
 
+def _q_shard_manifest(spark, sf_dir):
+    """Token-balanced training-shard assignment (docs never split),
+    reported as the per-shard (n_docs, tokens) manifest."""
+    from graphblas_algorithms_spark.pipeline.curation import shard_manifest
+
+    return shard_manifest(_read(spark, sf_dir, "documents"), shard_tokens=2000)
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Concat-and-chop sequence packing to 256-token training windows:
     deterministic shuffle order, distributed prefix-sum offsets (bucketed
@@ -1524,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_decontaminate": _q_decontaminate,
         "pipe_token_budget_sample": _q_token_budget_sample,
         "pipe_pack_sequences": _q_pack_sequences,
+        "pipe_shard_manifest": _q_shard_manifest,
         "pipe_weighted_sample": _q_weighted_sample,
         "pipe_chunk_documents": _q_chunk_documents,
         "pipe_langid": _q_langid,
@@ -3172,6 +3181,30 @@ SELECT doc_id, ws_tokens, begin_tok,
 FROM laid
 """
 
+# token-balanced shard manifest (mirrors pipeline/curation.py:
+# training_shards / shard_manifest; same tape as pack_sequences, salt
+# 'shard', shard = begin_tok div 2000)
+_SQL_SHARD_MANIFEST = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+         ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+           / 1152921504606846976.0 AS u
+  FROM documents
+),
+laid AS (
+  SELECT doc_id, ws_tokens,
+         coalesce(sum(ws_tokens) OVER (
+           ORDER BY u, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS begin_tok
+  FROM t
+)
+SELECT begin_tok // 2000 AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(ws_tokens)::BIGINT AS tokens
+FROM laid GROUP BY 1
+"""
+
 _SQL_WEIGHTED_SAMPLE = """
 WITH t AS (
   SELECT doc_id, source,
@@ -4250,6 +4283,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_decontaminate": _SQL_DECONTAMINATE,
         "pipe_token_budget_sample": _SQL_TOKEN_BUDGET_SAMPLE,
         "pipe_pack_sequences": _SQL_PACK_SEQUENCES,
+        "pipe_shard_manifest": _SQL_SHARD_MANIFEST,
         "pipe_weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "pipe_chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "pipe_langid": _sql_langid(),

@@ -354,3 +354,63 @@ def domain_cap(
         .select(*docs.columns)
     )
     return kept_full.unionByName(kept_boundary)
+
+
+def training_shards(
+    docs: DataFrame,
+    shard_tokens: int,
+    n_buckets: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """(doc_id, ws_tokens, shard) — assign every document to a
+    token-balanced training shard: documents are laid end-to-end in the
+    deterministic md5 pseudo-shuffle order (``pack_sequences``'s tape)
+    and a doc's shard is its start offset div ``shard_tokens``.  Docs are
+    never split, so shard sizes deviate from the target by at most one
+    document; the assignment is a pure function of (doc set, salt) —
+    re-runs, resumes, and the DuckDB oracle agree shard-for-shard.
+
+    Same scale currency as ``pack_sequences``: a bounded bucket-offset
+    window plus one per-bucket corpus window — never a global
+    single-task sort."""
+    laid = pack_sequences(docs, seq_len=shard_tokens, n_buckets=n_buckets, salt=salt)
+    return laid.select("doc_id", "ws_tokens", F.col("first_seq").alias("shard"))
+
+
+def shard_manifest(
+    docs: DataFrame,
+    shard_tokens: int,
+    n_buckets: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """(shard, n_docs, tokens) — the balance report for
+    ``training_shards``: one row per shard with its document count and
+    token mass (every shard lands within one straddling document of
+    ``shard_tokens``)."""
+    s = training_shards(docs, shard_tokens, n_buckets, salt)
+    return s.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("ws_tokens").alias("tokens")
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    shard_tokens: int,
+    n_buckets: int = 64,
+    salt: str = "shard",
+) -> None:
+    """Materialize the sharded corpus: one parquet directory per shard
+    (``shard=K/``), rows = the input columns.  ``repartition(shard)``
+    before ``partitionBy`` so each shard is written by one task as one
+    file — the layout training dataloaders expect — while the shard
+    count (corpus_tokens / shard_tokens) stays the parallelism unit at
+    any scale."""
+    s = training_shards(docs, shard_tokens, n_buckets, salt).select("doc_id", "shard")
+    (
+        docs.join(s, "doc_id")
+        .repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

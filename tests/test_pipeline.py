@@ -1086,3 +1086,33 @@ def test_incremental_dedup_matches_cross_split_pairs(spark, docs):
 
     survivors = {r["doc_id"] for r in dedup_incremental(base, incoming, **kw).collect()}
     assert survivors == inc_ids - {d for d, _, _ in got}
+
+
+def test_training_shards_balanced_and_written(spark, docs, tmp_path):
+    """Every shard within one straddling doc of the token target; docs
+    partitioned exactly once; the parquet sink lays out shard=K dirs that
+    read back to the same assignment."""
+    from graphblas_algorithms_spark.pipeline.curation import (
+        shard_manifest,
+        training_shards,
+        write_training_shards,
+    )
+
+    target = 1500
+    s = training_shards(docs, target).collect()
+    assert {r["doc_id"] for r in s} == {r["doc_id"] for r in docs.collect()}
+    man = {r["shard"]: (r["n_docs"], r["tokens"]) for r in shard_manifest(docs, target).collect()}
+    assert sum(n for n, _ in man.values()) == len(s)
+    max_doc = max(r["ws_tokens"] for r in s)
+    full_shards = [k for k in man if k < max(man)]
+    for k in full_shards:
+        # a shard stops growing only once its start passes the boundary:
+        # tokens >= what remains of the window, and < target + one doc
+        assert man[k][1] < target + max_doc
+    assert sum(t for _, t in man.values()) == sum(r["ws_tokens"] for r in s)
+
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, target)
+    back = spark.read.parquet(out)
+    got = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    assert got == {(r["doc_id"], r["shard"]) for r in s}
