@@ -404,6 +404,15 @@ def _q_triangles(spark, sf_dir):
     return triangles(_part_graph(spark, sf_dir))
 
 
+def _q_four_cliques(spark, sf_dir):
+    """Per-node 4-clique counts via the degree-ordered DAG extension of
+    the triangle join (kClist); the oracle replays an id-ordered
+    equivalent — per-corner counts are orientation-independent."""
+    from graphblas_algorithms_spark.operators.triangles import four_cliques
+
+    return four_cliques(_part_graph(spark, sf_dir))
+
+
 def _q_triangles_weighted(spark, sf_dir):
     from graphblas_algorithms_spark.operators.triangles import triangles
 
@@ -1463,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles_total": _q_triangles_total,
         "graph_triangles_incremental": _q_triangles_incremental,
         "graph_triangles": _q_triangles,
+        "graph_four_cliques": _q_four_cliques,
         "graph_triangles_weighted": _q_triangles_weighted,
         "graph_clustering": _q_clustering,
         "graph_transitivity": _q_transitivity,
@@ -1866,6 +1876,26 @@ FROM part_nodes n LEFT JOIN cnt ON n.id = cnt.id
 
 _SQL_DEG_MINUS = """
 deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM sym GROUP BY src)
+"""
+
+# per-node 4-clique counts: id-ordered triangle extension (mirrors
+# operators/triangles.py:four_cliques up to orientation)
+_SQL_FOUR_CLIQUES = f"""WITH {_SQL_TRI_LIST},
+quad AS (
+  SELECT t.a, t.b, t.c, p1.dst AS d
+  FROM tri t
+  JOIN part_pairs p1 ON p1.src = t.a
+  JOIN part_pairs p2 ON p2.src = t.b AND p2.dst = p1.dst
+  JOIN part_pairs p3 ON p3.src = t.c AND p3.dst = p1.dst
+),
+qc AS (
+  SELECT id, count(*)::BIGINT AS q FROM (
+    SELECT a AS id FROM quad UNION ALL SELECT b FROM quad
+    UNION ALL SELECT c FROM quad UNION ALL SELECT d FROM quad
+  ) GROUP BY id
+)
+SELECT n.id, coalesce(qc.q, 0)::BIGINT AS cliques4
+FROM part_nodes n LEFT JOIN qc ON n.id = qc.id
 """
 
 # Burt effective size: deg - 2*tri/deg per edge-having node (mirrors
@@ -4215,6 +4245,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles_total": _SQL_TRIANGLES_TOTAL,
         "graph_triangles_incremental": _SQL_TRIANGLES_TOTAL,
         "graph_triangles": _SQL_TRIANGLES,
+        "graph_four_cliques": _SQL_FOUR_CLIQUES,
         "graph_triangles_weighted": _SQL_TRIANGLES_WEIGHTED,
         "graph_clustering": _SQL_CLUSTERING,
         "graph_transitivity": _SQL_TRANSITIVITY,

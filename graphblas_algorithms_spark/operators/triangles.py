@@ -105,6 +105,52 @@ def triangle_list(G, weighted: bool = False) -> DataFrame:
     )
 
 
+def four_clique_list(G) -> DataFrame:
+    """(a, b, c, d) — one row per 4-clique, each exactly once.
+
+    kClist/Chiba-Nishizeki extension of the oriented triangle join: a
+    triangle (a→b→c) in the degree-ordered DAG extends to a 4-clique per
+    common out-neighbor d of all three corners, so every clique is
+    emitted at its unique DAG-ordered tuple.  Cost is bounded the same
+    way the triangle join is — out-degrees in the orientation are
+    O(arboricity), so hub skew never enumerates a hub's full
+    neighborhood squared; the three joins all key on the corner node.
+    Beyond the reference (its matrix algebra stops at triangles); the
+    driver oracle replays an id-ordered equivalent in SQL (counts are
+    orientation-independent)."""
+    tri = triangle_list(G)
+    eo = _oriented_edges(G).select("src", "dst")
+    return (
+        tri.join(eo.select(F.col("src").alias("a"), F.col("dst").alias("d")), "a")
+        .join(eo.select(F.col("src").alias("b"), F.col("dst").alias("d")), ["b", "d"])
+        .join(eo.select(F.col("src").alias("c"), F.col("dst").alias("d")), ["c", "d"])
+        .select("a", "b", "c", "d")
+    )
+
+
+def four_cliques(G, dense: bool = True) -> DataFrame:
+    """Per-vertex 4-clique participation count (id: long, cliques4: long);
+    ``dense`` fills zeros over all nodes (the ``triangles`` convention)."""
+    q = four_clique_list(G)
+    corners = (
+        q.select(F.col("a").alias("id"))
+        .unionByName(q.select(F.col("b").alias("id")))
+        .unionByName(q.select(F.col("c").alias("id")))
+        .unionByName(q.select(F.col("d").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count("*").alias("cliques4"))
+    if not dense:
+        return counts
+    return G.nodes.join(counts, "id", "left").select(
+        "id", F.coalesce("cliques4", F.lit(0)).alias("cliques4")
+    )
+
+
+def total_four_cliques(G) -> int:
+    """Total number of 4-cliques in G."""
+    return int(four_clique_list(G).count())
+
+
 def triangles(G, dense: bool = True, weighted: bool = False) -> DataFrame:
     """Per-vertex triangle count (id: long, triangles: long) — or, with
     ``weighted=True``, (id, triangles: double) where each triangle

@@ -63,3 +63,36 @@ def test_star_no_triangles(spark):
     G = from_networkx(spark, nxg)
     assert total_triangles(G) == 0
     assert average_clustering(G, count_zeros=True) == 0.0
+
+
+def test_four_cliques_vs_networkx(spark):
+    """Per-node and total 4-clique counts vs brute enumeration; each
+    clique emitted exactly once; K5 sanity (C(5,4)=5, each node in 4)."""
+    from itertools import combinations
+
+    from graphblas_algorithms_spark.operators.triangles import (
+        four_clique_list,
+        four_cliques,
+        total_four_cliques,
+    )
+
+    nxg = nx.gnp_random_graph(30, 0.3, seed=11)
+    G = from_networkx(spark, nxg)
+    want = {n: 0 for n in nxg.nodes}
+    total = 0
+    adj = {n: set(nxg[n]) for n in nxg.nodes}
+    for quad in combinations(sorted(nxg.nodes), 4):
+        if all(v in adj[u] for u, v in combinations(quad, 2)):
+            total += 1
+            for n in quad:
+                want[n] += 1
+    rows = four_clique_list(G).collect()
+    assert len(rows) == total
+    assert len({tuple(sorted((r["a"], r["b"], r["c"], r["d"]))) for r in rows}) == total
+    got = {r["id"]: r["cliques4"] for r in four_cliques(G).collect()}
+    assert got == want
+    assert total_four_cliques(G) == total
+
+    k5 = from_networkx(spark, nx.complete_graph(5))
+    assert total_four_cliques(k5) == 5
+    assert all(r["cliques4"] == 4 for r in four_cliques(k5).collect())
