@@ -400,6 +400,12 @@ class KeyedGraph:
 
         return self._keyed_edges(_f(self.G, **kw))
 
+    def four_cliques(self, **kw) -> DataFrame:
+        """(key, cliques4) — per-node 4-clique participation."""
+        from .operators.triangles import four_cliques as _f
+
+        return self._keyed(_f(self.G, **kw))
+
     def effective_size(self, **kw) -> DataFrame:
         """(key, effective_size) — Burt's structural-holes metric."""
         from .operators.structure import effective_size as _f

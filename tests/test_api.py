@@ -414,6 +414,16 @@ def test_keyed_structural_holes_and_coarsen(spark):
     lb = {(rev[r["src_key"]], rev[r["dst_key"]]) for r in kg.local_bridges().collect()}
     assert lb == {tuple(sorted(e)) for e in nx.local_bridges(nxg, with_span=False)}
 
+    q4 = {rev[r["key"]]: r["cliques4"] for r in kg.four_cliques().collect()}
+    from itertools import combinations
+    adj = {n: set(nxg[n]) for n in nxg.nodes}
+    want4 = {n: 0 for n in nxg.nodes}
+    for quad in combinations(sorted(nxg.nodes), 4):
+        if all(v in adj[u] for u, v in combinations(quad, 2)):
+            for n in quad:
+                want4[n] += 1
+    assert q4 == want4
+
     co = kg.coarsen().collect()
     assert co and set(co[0].asDict()) == {"src_key", "dst_key", "weight"}
     ids = {rev[r["src_key"]] for r in co} | {rev[r["dst_key"]] for r in co}
