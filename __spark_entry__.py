@@ -1039,6 +1039,22 @@ def _q_common_ngrams(spark, sf_dir):
     return common_ngrams(_read(spark, sf_dir, "documents"), n=3, min_docs=2, top=100)
 
 
+def _q_pmi_bigrams(spark, sf_dir):
+    """Top-100 adjacent-word collocations by PMI (min pair count 5):
+    dim-sized vocabulary joins after map-side-combinable count aggs."""
+    from graphblas_algorithms_spark.pipeline.text import pmi_bigrams
+
+    return pmi_bigrams(_read(spark, sf_dir, "documents"), min_count=5, top=100)
+
+
+def _q_doc_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy — the distributional
+    gibberish/repetition quality signal."""
+    from graphblas_algorithms_spark.pipeline.text import doc_entropy
+
+    return doc_entropy(_read(spark, sf_dir, "documents"))
+
+
 def _q_tfidf_topterms(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.text import tfidf_top_terms
 
@@ -1539,6 +1555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_domain_cap": _q_domain_cap,
         "pipe_common_ngrams": _q_common_ngrams,
         "pipe_tfidf_topterms": _q_tfidf_topterms,
+        "pipe_pmi_bigrams": _q_pmi_bigrams,
+        "pipe_doc_entropy": _q_doc_entropy,
         "pipe_decontaminate": _q_decontaminate,
         "pipe_token_budget_sample": _q_token_budget_sample,
         "pipe_pack_sequences": _q_pack_sequences,
@@ -3211,6 +3229,54 @@ SELECT doc_id, ws_tokens, begin_tok,
 FROM laid
 """
 
+# PMI collocations (mirrors pipeline/text.py:pmi_bigrams)
+_SQL_PMI_BIGRAMS = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT toks[x] AS w1, toks[x + 1] AS w2
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS x FROM w)
+),
+big AS (
+  SELECT w1, w2, count(*)::BIGINT AS n_pair FROM bg GROUP BY 1, 2
+  HAVING count(*) >= 5
+),
+uni AS (
+  SELECT tok, count(*)::BIGINT AS n_tok
+  FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY 1
+),
+tot AS (SELECT sum(greatest(len(toks) - 1, 0))::BIGINT AS n FROM w)
+SELECT b.w1, b.w2, b.n_pair,
+       round(ln(tot.n::DOUBLE * b.n_pair / (u1.n_tok * u2.n_tok)), 6) AS pmi
+FROM big b
+JOIN uni u1 ON u1.tok = b.w1
+JOIN uni u2 ON u2.tok = b.w2
+CROSS JOIN tot
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT 100
+"""
+
+# per-doc unigram entropy (mirrors pipeline/text.py:doc_entropy)
+_SQL_DOC_ENTROPY = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM w) GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens FROM cnt GROUP BY 1)
+SELECT cnt.doc_id, t.n_tokens,
+       round(-sum((c::DOUBLE / t.n_tokens) * ln(c::DOUBLE / t.n_tokens)), 6) AS entropy
+FROM cnt JOIN tot t ON cnt.doc_id = t.doc_id
+GROUP BY cnt.doc_id, t.n_tokens
+"""
+
 # token-balanced shard manifest (mirrors pipeline/curation.py:
 # training_shards / shard_manifest; same tape as pack_sequences, salt
 # 'shard', shard = begin_tok div 2000)
@@ -4311,6 +4377,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_domain_cap": _SQL_DOMAIN_CAP,
         "pipe_common_ngrams": _SQL_COMMON_NGRAMS,
         "pipe_tfidf_topterms": _SQL_TFIDF_TOPTERMS,
+        "pipe_pmi_bigrams": _SQL_PMI_BIGRAMS,
+        "pipe_doc_entropy": _SQL_DOC_ENTROPY,
         "pipe_decontaminate": _SQL_DECONTAMINATE,
         "pipe_token_budget_sample": _SQL_TOKEN_BUDGET_SAMPLE,
         "pipe_pack_sequences": _SQL_PACK_SEQUENCES,

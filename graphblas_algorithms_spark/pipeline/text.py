@@ -330,3 +330,98 @@ def lm_scores(docs: DataFrame, prefix_len: int | None = None) -> DataFrame:
             "lm_per_token"
         ),
     )
+
+
+def pmi_bigrams(docs: DataFrame, min_count: int = 5, top: int = 100) -> DataFrame:
+    """(w1, w2, n_pair, pmi) — the ``top`` adjacent-word collocations by
+    pointwise mutual information: pmi = ln(N * c(w1,w2) / (c(w1)*c(w2)))
+    with N = total bigram occurrences.  The classic collocation /
+    multiword-expression miner (Church-Hanks 1990) — at corpus-curation
+    time it surfaces glued boilerplate ("rights reserved", "click here")
+    that plain frequency ranking buries under stopword pairs.
+
+    100 TB shape: two scan-side explodes (bigrams, unigrams) each feeding
+    one map-side-combinable count agg; the PMI join runs on the
+    aggregated vocabulary tables (dim-sized, the bigram side already
+    filtered to ``min_count``), never on corpus rows; top-N is a
+    TakeOrdered over the scored vocabulary.  ``min_count`` also keeps the
+    estimator sane (PMI of singletons is noise).  Rounded to 6 dp and
+    totally ordered (pmi desc, w1, w2) so the set is deterministic and
+    engine-portable (the DuckDB oracle replays it verbatim)."""
+    w = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = (
+        docs.select(F.explode(grams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "n_pair",
+        )
+    )
+    uni = (
+        docs.select(F.explode(w).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    n_pairs_total = docs.select(
+        F.sum(F.greatest(F.size(w) - 1, F.lit(0))).alias("n")
+    ).collect()[0]["n"]
+    return (
+        big.join(uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("_c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("_c2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.lit(float(n_pairs_total))
+                    * F.col("n_pair")
+                    / (F.col("_c1") * F.col("_c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top)
+    )
+
+
+def doc_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, entropy) — per-document unigram Shannon entropy
+    (nats): H = -sum_w p_w ln p_w over the doc's own token distribution.
+    The cheap gibberish/repetition detector — near-zero entropy flags
+    keyword-stuffed or looping text, abnormally high entropy flags random
+    strings; quality filters cut both tails (complements
+    ``repetition_scores``'s positional signal with a distributional one).
+
+    One explode + one (doc_id, token) count agg + one per-doc sum —
+    every stage map-side combinable, keyed on doc_id, no corpus-wide
+    state.  Rounded to 6 dp for engine-portable comparison."""
+    w = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    tok = docs.select("doc_id", F.explode(w).alias("tok"))
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n_tokens"))
+                    * F.log(F.col("c") / F.col("n_tokens"))
+                ),
+                6,
+            ).alias("entropy"),
+        )
+    )

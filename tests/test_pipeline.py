@@ -1116,3 +1116,50 @@ def test_training_shards_balanced_and_written(spark, docs, tmp_path):
     back = spark.read.parquet(out)
     got = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
     assert got == {(r["doc_id"], r["shard"]) for r in s}
+
+
+def test_pmi_bigrams_and_doc_entropy(spark, docs, docs_pd):
+    """PMI values vs a python brute force on the same tokenization; doc
+    entropy vs collections.Counter per doc; determinism of the top set."""
+    import math
+    import re
+    from collections import Counter
+
+    from graphblas_algorithms_spark.pipeline.text import doc_entropy, pmi_bigrams
+
+    def toks(t):
+        return re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+
+    uni, big, total = Counter(), Counter(), 0
+    for t in docs_pd.values():
+        w = toks(t)
+        uni.update(w)
+        big.update(zip(w, w[1:]))
+        total += max(len(w) - 1, 0)
+
+    got = pmi_bigrams(docs, min_count=5, top=100).collect()
+    assert len(got) == 100
+    for r in got[:20]:
+        c12 = big[(r["w1"], r["w2"])]
+        assert c12 >= 5 and r["n_pair"] == c12
+        want = math.log(total * c12 / (uni[r["w1"]] * uni[r["w2"]]))
+        assert r["pmi"] == pytest.approx(want, abs=2e-6)
+    # the reported set is the true PMI top (up to round-6 boundary ties)
+    allpmi = sorted(
+        (
+            round(math.log(total * c / (uni[a] * uni[b])), 6), a, b
+        )
+        for (a, b), c in big.items()
+        if c >= 5
+    )
+    want_top = {(a, b) for _, a, b in sorted(allpmi, key=lambda x: (-x[0], x[1], x[2]))[:100]}
+    assert {(r["w1"], r["w2"]) for r in got} == want_top
+
+    ent = {r["doc_id"]: (r["n_tokens"], r["entropy"]) for r in doc_entropy(docs).collect()}
+    assert set(ent) == set(docs_pd)
+    for d, t in list(docs_pd.items())[:25]:
+        w = toks(t)
+        c = Counter(w)
+        h = -sum((k / len(w)) * math.log(k / len(w)) for k in c.values())
+        assert ent[d][0] == len(w)
+        assert ent[d][1] == pytest.approx(h, abs=2e-6)
