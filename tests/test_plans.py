@@ -195,3 +195,54 @@ def test_negative_sample_no_cartesian(spark):
 
     plan2 = _physical(khop_neighbor_sample(G, fanouts=(2, 2)))
     assert "CartesianProduct" not in plan2, plan2
+
+
+def test_domain_cap_corpus_never_shuffled(spark, docs):
+    """The cap's windows run over the per-(source, n_chars) HISTOGRAM,
+    not corpus rows: every windowspec in the plan sits above the
+    aggregated histogram or the tie band, and the kept_full corpus path
+    reaches its join through a broadcast exchange (no corpus hash
+    shuffle on the semi-join side)."""
+    from graphblas_algorithms_spark.pipeline.curation import domain_cap
+
+    plan = _physical(domain_cap(docs, cap=20))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # the histogram running-count window partitions by the group key
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert wins and all("windowspecdefinition(source" in ln for ln in wins), "\n".join(wins)
+
+
+def test_pmi_bigrams_joins_are_dim_sized(spark, docs):
+    """PMI joins run on aggregated vocabulary tables: both unigram joins
+    hash tiny aggregates, and the corpus contributes only two scan-side
+    explodes feeding partial aggs (no corpus-row join)."""
+    from graphblas_algorithms_spark.pipeline.text import pmi_bigrams
+
+    plan = _physical(pmi_bigrams(docs, min_count=5, top=20))
+    assert "CartesianProduct" not in plan
+    # every HashAggregate below the joins is preceded by a partial agg
+    assert "partial_count" in plan, plan
+
+
+def test_shard_manifest_no_global_window(spark, docs):
+    """Shard assignment inherits pack_sequences' two-phase prefix sum:
+    the corpus window must stay bucket-partitioned (a regression to a
+    global ORDER BY-only window would single-task the corpus)."""
+    from graphblas_algorithms_spark.pipeline.curation import shard_manifest
+
+    plan = _physical(shard_manifest(docs, shard_tokens=2000))
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert wins and any("windowspecdefinition(bucket" in ln for ln in wins), "\n".join(wins)
+
+
+def test_incremental_dedup_no_cartesian(spark, docs):
+    """Incoming-vs-base banding joins on (band, key) and verification on
+    doc ids — never a cross join."""
+    from graphblas_algorithms_spark.pipeline.curation import _uniform
+    from graphblas_algorithms_spark.pipeline.dedup import incremental_near_duplicates
+    from pyspark.sql import functions as F
+
+    u = _uniform(F.col("doc_id"), "t")
+    df = incremental_near_duplicates(docs.filter(u < 0.5), docs.filter(u >= 0.5))
+    _assert_no_cartesian(df, "incremental_near_duplicates")
