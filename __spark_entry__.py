@@ -1055,6 +1055,16 @@ def _q_doc_entropy(spark, sf_dir):
     return doc_entropy(_read(spark, sf_dir, "documents"))
 
 
+def _q_span_dedup(spark, sf_dir):
+    """CCNet-style span-level dedup: strip globally-repeated 8-token
+    windows (boilerplate) and reassemble the cleaned documents."""
+    from graphblas_algorithms_spark.pipeline.text import strip_repeated_spans
+
+    return strip_repeated_spans(
+        _read(spark, sf_dir, "documents"), span_tokens=8, min_docs=2
+    )
+
+
 def _q_tfidf_topterms(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.text import tfidf_top_terms
 
@@ -1557,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_tfidf_topterms": _q_tfidf_topterms,
         "pipe_pmi_bigrams": _q_pmi_bigrams,
         "pipe_doc_entropy": _q_doc_entropy,
+        "pipe_span_dedup": _q_span_dedup,
         "pipe_decontaminate": _q_decontaminate,
         "pipe_token_budget_sample": _q_token_budget_sample,
         "pipe_pack_sequences": _q_pack_sequences,
@@ -3277,6 +3288,40 @@ FROM cnt JOIN tot t ON cnt.doc_id = t.doc_id
 GROUP BY cnt.doc_id, t.n_tokens
 """
 
+# CCNet-style span dedup (mirrors pipeline/text.py::strip_repeated_spans:
+# non-overlapping 8-token windows, md5-keyed global duplicate set at
+# min_docs=2, in-order reassembly of surviving windows)
+_SQL_SPAN_DEDUP = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, toks, CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans FROM w
+),
+spans AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(toks[i*8+1 : i*8+8], ' ') AS span
+  FROM base, range(0, 4096) t(i)
+  WHERE i < n_spans
+),
+dup AS (
+  SELECT md5(span) AS h FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT * FROM spans WHERE md5(span) NOT IN (SELECT h FROM dup)),
+clean AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(c.clean_text, '') AS clean_text,
+       b.n_spans,
+       (b.n_spans - coalesce(c.n_kept, 0))::BIGINT AS n_spans_dropped
+FROM base b LEFT JOIN clean c ON b.doc_id = c.doc_id
+"""
+
 # token-balanced shard manifest (mirrors pipeline/curation.py:
 # training_shards / shard_manifest; same tape as pack_sequences, salt
 # 'shard', shard = begin_tok div 2000)
@@ -4379,6 +4424,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_tfidf_topterms": _SQL_TFIDF_TOPTERMS,
         "pipe_pmi_bigrams": _SQL_PMI_BIGRAMS,
         "pipe_doc_entropy": _SQL_DOC_ENTROPY,
+        "pipe_span_dedup": _SQL_SPAN_DEDUP,
         "pipe_decontaminate": _SQL_DECONTAMINATE,
         "pipe_token_budget_sample": _SQL_TOKEN_BUDGET_SAMPLE,
         "pipe_pack_sequences": _SQL_PACK_SEQUENCES,

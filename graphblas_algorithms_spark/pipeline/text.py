@@ -425,3 +425,71 @@ def doc_entropy(docs: DataFrame) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+def strip_repeated_spans(
+    docs: DataFrame, span_tokens: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """(doc_id, clean_text, n_spans, n_spans_dropped) — CCNet-style
+    span-level dedup: drop every non-overlapping ``span_tokens``-token
+    window whose exact text occurs in >= ``min_docs`` distinct documents
+    (license headers, site chrome, template boilerplate), then reassemble
+    each document from its surviving windows in order.  Complements
+    ``common_ngrams`` (which only MINES boilerplate) by actually removing
+    it; the line-level analog of ``exact_duplicates``'s doc-level pass.
+
+    Deterministic: windows are fixed offsets of the whitespace-normalized
+    token array, the duplicate test is exact text equality (keyed on md5
+    so the corpus-wide shuffle carries 16-byte keys, not span text), and
+    reassembly orders by window index — a pure function of the corpus.
+
+    100 TB shape: windows are a scan-side projection (sequence+transform,
+    no self-join); the global duplicate set is ONE groupBy(md5) with
+    map-side partial aggregation; removal is a left-anti hash join of the
+    exploded windows against that (much smaller) set; reassembly is ONE
+    groupBy(doc_id) — all exchanges keyed and combinable, no corpus-wide
+    broadcast or driver state.  A duplicated mega-span (every doc sharing
+    one window) lands on one reducer only in the dup-set agg, where the
+    partial count has already collapsed it to one row per partition.
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    w = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    n_spans = F.ceil(F.size(w) / F.lit(float(span_tokens)))
+    span_arr = F.transform(
+        F.sequence(F.lit(0), (n_spans - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(w, i * span_tokens + 1, span_tokens)),
+    )
+    base = docs.select("doc_id", n_spans.alias("n_spans"), span_arr.alias("spans"))
+    spans = base.select(
+        "doc_id", F.posexplode("spans").alias("idx", "span")
+    ).withColumn("h", F.md5("span"))
+    dup = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    kept = spans.join(dup, "h", "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", "n_spans")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            (F.col("n_spans") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_spans_dropped"),
+        )
+    )
