@@ -139,6 +139,42 @@ def main():
     }
     print(f"shards: {n_shards} x ~1M tokens (min {stats['mn']}, max {stats['mx']}) in {wall:.1f}s", flush=True)
 
+    # span-level dedup: plant a fixed 16-word boilerplate header on every
+    # 5th doc (2 aligned 8-token windows), run strip_repeated_spans, and
+    # check every planted header is fully removed
+    from graphblas_algorithms_spark.pipeline.text import strip_repeated_spans
+
+    header = " ".join(f"hdr{i}" for i in range(16))
+    spanned = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(header + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n_hdr = n_act // 5 + (1 if n_act % 5 else 0)
+    t0 = time.time()
+    cleaned = strip_repeated_spans(spanned, span_tokens=8, min_docs=2).persist()
+    n_cleaned = cleaned.count()
+    hdr_stripped = (
+        cleaned.filter(F.col("doc_id") % 5 == 0)
+        .filter(~F.col("clean_text").contains("hdr0"))
+        .filter(F.col("n_spans_dropped") >= 2)
+        .count()
+    )
+    wall = time.time() - t0
+    out["span_dedup"] = {
+        "docs": n_cleaned,
+        "planted_headers": n_hdr,
+        "headers_removed": hdr_stripped,
+        "wall_s": round(wall, 1),
+    }
+    print(
+        f"span dedup: {hdr_stripped}/{n_hdr} planted headers removed "
+        f"({n_cleaned} docs) in {wall:.1f}s",
+        flush=True,
+    )
+    cleaned.unpersist()
+
     with open("/tmp/corpus_scale.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out), flush=True)
