@@ -881,6 +881,15 @@ def _q_mis(spark, sf_dir):
     return maximal_independent_set(_part_graph(spark, sf_dir))
 
 
+def _q_wl(spark, sf_dir):
+    """Weisfeiler-Lehman node hashes at depth 2 — the structural-role
+    fingerprint layer (operators/wl.py); oracle replays the md5 +
+    commutative-fold arithmetic round by round."""
+    from graphblas_algorithms_spark.operators.wl import wl_node_hashes
+
+    return wl_node_hashes(_part_graph(spark, sf_dir), iterations=2)
+
+
 def _q_coarsen(spark, sf_dir):
     """One multilevel-coarsening step: contract the maximal matching,
     merge parallel edges into integer weights."""
@@ -1494,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wcc": _q_wcc,
         "graph_scc": _q_scc,
         "graph_labelprop": _q_labelprop,
+        "graph_wl": _q_wl,
         "graph_louvain": _q_louvain,
         "graph_triangles_total": _q_triangles_total,
         "graph_triangles_incremental": _q_triangles_incremental,
@@ -2580,6 +2590,55 @@ u{r + 1} AS MATERIALIZED (
     parts.append(f"mis AS ({union})")
     parts.append("SELECT id FROM mis")
     return "\n".join(parts)
+
+
+def _sql_wl(iters: int = 2) -> str:
+    """WL refinement unrolled: lab0 = md5(degree); per round the new
+    label digests (own label, commutative 60-bit fold sums of neighbor
+    labels, neighbor count) — DuckDB ('0x'||substr)::UBIGINT == Spark
+    conv(substr(md5),16,10), HUGEINT sums == DECIMAL(38,0) sums."""
+    parts = [
+        """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src),
+l0 AS MATERIALIZED (
+  SELECT n.id, md5(CAST(COALESCE(d.d, 0) AS VARCHAR)) AS wl
+  FROM part_nodes n LEFT JOIN deg d ON d.id = n.id
+),"""
+    ]
+    for r in range(iters):
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT e.src AS id,
+         SUM(CAST(('0x' || substring(l.wl, 1, 15))::UBIGINT AS HUGEINT)) AS s1,
+         SUM(CAST(('0x' || substring(l.wl, 17, 15))::UBIGINT AS HUGEINT)) AS s2,
+         COUNT(*) AS c
+  FROM sym e JOIN l{r} l ON l.id = e.dst
+  GROUP BY e.src
+),
+l{r + 1} AS MATERIALIZED (
+  SELECT l.id,
+         md5(concat_ws('|', l.wl,
+             COALESCE(CAST(g.s1 AS VARCHAR), '0'),
+             COALESCE(CAST(g.s2 AS VARCHAR), '0'),
+             COALESCE(CAST(g.c AS VARCHAR), '0'))) AS wl
+  FROM l{r} l LEFT JOIN g{r} g ON g.id = l.id
+),"""
+        )
+    # strip the trailing comma of the last CTE before the final SELECT
+    joined = "\n".join(parts)
+    if joined.endswith(","):
+        joined = joined[:-1]
+    return joined + f"\nSELECT id, wl FROM l{iters}"
 
 
 def _sql_matching(
@@ -4398,6 +4457,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks_weighted": _sql_walks(weighted=True),
         "graph_node2vec": _sql_node2vec(),
         "graph_mis": _sql_mis(),
+        "graph_wl": _sql_wl(),
         "graph_matching": _sql_matching(),
         "graph_coarsen": _sql_matching(coarsen=True),
         "graph_vertex_cover": _sql_matching(cover=True),
