@@ -890,6 +890,15 @@ def _q_wl(spark, sf_dir):
     return wl_node_hashes(_part_graph(spark, sf_dir), iterations=2)
 
 
+def _q_fiedler(spark, sf_dir):
+    """Fiedler vector (deflated power iteration, fixed 40 steps) — the
+    spectral bisection layer (operators/spectral.py); oracle unrolls the
+    same mean-deflate / B·x / normalize arithmetic per step."""
+    from graphblas_algorithms_spark.operators.spectral import fiedler_vector
+
+    return fiedler_vector(_part_graph(spark, sf_dir), iterations=40)
+
+
 def _q_coarsen(spark, sf_dir):
     """One multilevel-coarsening step: contract the maximal matching,
     merge parallel edges into integer weights."""
@@ -1504,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": _q_scc,
         "graph_labelprop": _q_labelprop,
         "graph_wl": _q_wl,
+        "graph_fiedler": _q_fiedler,
         "graph_louvain": _q_louvain,
         "graph_triangles_total": _q_triangles_total,
         "graph_triangles_incremental": _q_triangles_incremental,
@@ -2639,6 +2649,62 @@ l{r + 1} AS MATERIALIZED (
     if joined.endswith(","):
         joined = joined[:-1]
     return joined + f"\nSELECT id, wl FROM l{iters}"
+
+
+def _sql_fiedler(iters: int = 40, seed: int = 42) -> str:
+    """Deflated power iteration unrolled: x0 md5-uniform, per step
+    subtract the mean (deflate the all-ones eigenvector), apply
+    B = c·I − L as (c−d)·x + Σ_nbr x, L2-normalize."""
+    parts = [
+        """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+),
+deg AS MATERIALIZED (
+  SELECT src AS id, COUNT(*)::DOUBLE AS d FROM sym GROUP BY src
+),
+cc AS (SELECT 2.0 * MAX(d) AS c FROM deg),""",
+        f"""x0 AS MATERIALIZED (
+  SELECT n.id, COALESCE(dg.d, 0.0) AS d,
+         ('0x' || substr(md5('fiedler|{seed}|' || n.id::VARCHAR), 1, 15))::UBIGINT::DOUBLE
+           / 1152921504606846976.0 - 0.5 AS x
+  FROM part_nodes n LEFT JOIN deg dg ON dg.id = n.id
+),""",
+    ]
+    for r in range(iters):
+        parts.append(
+            f"""m{r} AS (SELECT AVG(x) AS mu FROM x{r}),
+c{r} AS MATERIALIZED (
+  SELECT id, d, x - (SELECT mu FROM m{r}) AS xc FROM x{r}
+),
+s{r} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(l.xc) AS s
+  FROM sym e JOIN c{r} l ON l.id = e.dst GROUP BY e.src
+),
+y{r} AS MATERIALIZED (
+  SELECT t.id, t.d,
+         ((SELECT c FROM cc) - t.d) * t.xc + COALESCE(s.s, 0.0) AS y
+  FROM c{r} t LEFT JOIN s{r} s ON s.id = t.id
+),
+n{r} AS (SELECT SQRT(SUM(y * y)) AS nrm FROM y{r}),
+x{r + 1} AS MATERIALIZED (
+  SELECT id, d,
+         CASE WHEN (SELECT nrm FROM n{r}) > 0
+              THEN y / (SELECT nrm FROM n{r}) ELSE y END AS x
+  FROM y{r}
+),"""
+        )
+    joined = "\n".join(parts)
+    if joined.endswith(","):
+        joined = joined[:-1]
+    return joined + f"\nSELECT id, x AS f FROM x{iters}"
 
 
 def _sql_matching(
@@ -4458,6 +4524,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_node2vec": _sql_node2vec(),
         "graph_mis": _sql_mis(),
         "graph_wl": _sql_wl(),
+        "graph_fiedler": _sql_fiedler(),
         "graph_matching": _sql_matching(),
         "graph_coarsen": _sql_matching(coarsen=True),
         "graph_vertex_cover": _sql_matching(cover=True),

@@ -217,6 +217,8 @@ def _sf_queries(spark) -> dict:
         "graph_coloring",
         # dominant-edge matching (the third symmetry-breaking primitive)
         "graph_matching",
+        # structural-role fingerprints (depth-2 WL label refinement)
+        "graph_wl",
         # community structure: multilevel Louvain + the densest-core peel
         "graph_louvain",
         "graph_densest",
