@@ -899,6 +899,24 @@ def _q_fiedler(spark, sf_dir):
     return fiedler_vector(_part_graph(spark, sf_dir), iterations=40)
 
 
+def _q_topo(spark, sf_dir):
+    """Topological generations (Kahn peel, operators/dag.py) over the
+    bucket-oriented part DAG: each canonical co-purchase pair is
+    directed from the lower (id % 8) bucket to the higher, so the graph
+    is acyclic with <= 8 generations at EVERY scale factor; layer =
+    longest path from any source.  Oracle: recursive longest-path CTE."""
+    from graphblas_algorithms_spark.classes.graph import DiGraph
+    from graphblas_algorithms_spark.operators.dag import topological_generations
+
+    p = _part_pairs(spark, sf_dir)
+    fwd = p.filter((F.col("src") % 8) < (F.col("dst") % 8)).select("src", "dst")
+    bwd = p.filter((F.col("dst") % 8) < (F.col("src") % 8)).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    G = DiGraph(fwd.unionByName(bwd), _part_nodes(spark, sf_dir), dedup=False)
+    return topological_generations(G)
+
+
 def _q_coarsen(spark, sf_dir):
     """One multilevel-coarsening step: contract the maximal matching,
     merge parallel edges into integer weights."""
@@ -1514,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop": _q_labelprop,
         "graph_wl": _q_wl,
         "graph_fiedler": _q_fiedler,
+        "graph_topo_generations": _q_topo,
         "graph_louvain": _q_louvain,
         "graph_triangles_total": _q_triangles_total,
         "graph_triangles_incremental": _q_triangles_incremental,
@@ -2649,6 +2668,31 @@ l{r + 1} AS MATERIALIZED (
     if joined.endswith(","):
         joined = joined[:-1]
     return joined + f"\nSELECT id, wl FROM l{iters}"
+
+
+def _sql_topo() -> str:
+    """Longest-path layers over the bucket-oriented part DAG via a
+    recursive CTE: seed every node with no incoming DAG edge at depth 0,
+    extend along edges, take max depth per node (UNION dedups (id, d)
+    pairs so the expansion is bounded by n * max_layer <= 8n)."""
+    return """WITH RECURSIVE part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+dag AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs WHERE (src % 8) < (dst % 8)
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs WHERE (dst % 8) < (src % 8)
+),
+reach(id, d) AS (
+  SELECT n.id, 0 FROM part_nodes n
+  WHERE NOT EXISTS (SELECT 1 FROM dag e WHERE e.dst = n.id)
+  UNION
+  SELECT e.dst, r.d + 1 FROM reach r JOIN dag e ON e.src = r.id
+)
+SELECT id, CAST(max(d) AS BIGINT) AS layer FROM reach GROUP BY id"""
 
 
 def _sql_fiedler(iters: int = 40, seed: int = 42) -> str:
@@ -4525,6 +4569,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mis": _sql_mis(),
         "graph_wl": _sql_wl(),
         "graph_fiedler": _sql_fiedler(),
+        "graph_topo_generations": _sql_topo(),
         "graph_matching": _sql_matching(),
         "graph_coarsen": _sql_matching(coarsen=True),
         "graph_vertex_cover": _sql_matching(cover=True),

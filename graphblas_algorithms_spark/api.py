@@ -394,6 +394,36 @@ class KeyedGraph:
 
         return self._keyed(_f(self.G, **kw))
 
+    def topological_generations(self, **kw) -> DataFrame:
+        """(key, layer) — Kahn generation = longest-path depth (DAG)."""
+        from .operators.dag import topological_generations as _f
+
+        return self._keyed(_f(self.G, **kw))
+
+    def topological_sort(self, **kw) -> DataFrame:
+        """(key, layer, pos) — deterministic topological order."""
+        from .operators.dag import topological_sort as _f
+
+        return self._keyed(_f(self.G, **kw))
+
+    def is_dag(self, **kw) -> bool:
+        """True iff no directed cycle (one Kahn peel)."""
+        from .operators.dag import is_directed_acyclic_graph as _f
+
+        return _f(self.G, **kw)
+
+    def dag_longest_path_length(self, **kw):
+        """Longest directed path length (edges, or weight-summed)."""
+        from .operators.dag import dag_longest_path_length as _f
+
+        return _f(self.G, **kw)
+
+    def cyclic_core(self, **kw) -> DataFrame:
+        """(key) — nodes on or between directed cycles."""
+        from .operators.dag import cyclic_core as _f
+
+        return self._keyed(_f(self.G, **kw))
+
     def maximal_matching(self, **kw) -> DataFrame:
         """(src_key, dst_key) — deterministic dominant-edge matching."""
         from .operators.matching import maximal_matching as _f
