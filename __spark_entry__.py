@@ -917,6 +917,18 @@ def _q_topo(spark, sf_dir):
     return topological_generations(G)
 
 
+def _q_hyperball(spark, sf_dir):
+    """HyperBall sketch centralities (operators/anf.py::hyperball) —
+    4 fixed ball-growing rounds, k=16 md5-seeded FM masks, on the part
+    co-purchase graph.  Approximate BY DESIGN yet value-oracled: the
+    sketch trajectory is a pure function of (graph, h, k, seed) and
+    every float op is correctly-rounded-reproducible, so the DuckDB
+    replay hashes identically."""
+    from graphblas_algorithms_spark.operators.anf import hyperball
+
+    return hyperball(_part_graph(spark, sf_dir), h=4, k=16, seed=42)
+
+
 def _q_coarsen(spark, sf_dir):
     """One multilevel-coarsening step: contract the maximal matching,
     merge parallel edges into integer weights."""
@@ -1533,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wl": _q_wl,
         "graph_fiedler": _q_fiedler,
         "graph_topo_generations": _q_topo,
+        "graph_hyperball": _q_hyperball,
         "graph_louvain": _q_louvain,
         "graph_triangles_total": _q_triangles_total,
         "graph_triangles_incremental": _q_triangles_incremental,
@@ -2668,6 +2681,59 @@ l{r + 1} AS MATERIALIZED (
     if joined.endswith(","):
         joined = joined[:-1]
     return joined + f"\nSELECT id, wl FROM l{iters}"
+
+
+def _sql_hyperball(h: int = 4, k: int = 16, seed: int = 42) -> str:
+    """HyperBall replay: identical sketch init (md5 geometric bits),
+    identical bit_or supersteps, identical reproducible-float ball
+    estimate (shared expression text from operators/anf.py)."""
+    from graphblas_algorithms_spark.operators.anf import hb_ball_sql, hb_mask_init_sql
+
+    ball = hb_ball_sql(k)
+    init = ", ".join(
+        f"{hb_mask_init_sql(i, seed, 'duckdb')} AS m{i}" for i in range(k)
+    )
+    mlist = ", ".join(f"m{i}" for i in range(k))
+    parts = [
+        """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+),""",
+        f"sm0 AS MATERIALIZED (SELECT id, {init} FROM part_nodes),",
+        f"s0 AS MATERIALIZED (SELECT id, {mlist}, {ball} AS ball, 0.0 AS harm, 0.0 AS sumd FROM sm0),",
+    ]
+    for r in range(1, h + 1):
+        gors = ", ".join(f"bit_or(s.m{i}) AS g{i}" for i in range(k))
+        merged = ", ".join(f"(s.m{i} | COALESCE(g.g{i}, 0)) AS m{i}" for i in range(k))
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT e.src AS id, {gors}
+  FROM sym e JOIN s{r - 1} s ON s.id = e.dst GROUP BY e.src
+),
+sm{r} AS MATERIALIZED (
+  SELECT s.id, {merged}, s.ball, s.harm, s.sumd
+  FROM s{r - 1} s LEFT JOIN g{r} g ON g.id = s.id
+),
+s{r} AS MATERIALIZED (
+  SELECT id, {mlist},
+         {ball} AS ball,
+         harm + ({ball} - ball) / {float(r)!r} AS harm,
+         sumd + ({ball} - ball) * {float(r)!r} AS sumd
+  FROM sm{r}
+),"""
+        )
+    parts.append(
+        f"fin AS (SELECT id, ball AS reachable, harm AS harmonic, sumd AS sum_dist FROM s{h})\n"
+        "SELECT id, reachable, harmonic, sum_dist FROM fin"
+    )
+    return "\n".join(parts)
 
 
 def _sql_topo() -> str:
@@ -4570,6 +4636,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _sql_wl(),
         "graph_fiedler": _sql_fiedler(),
         "graph_topo_generations": _sql_topo(),
+        "graph_hyperball": _sql_hyperball(),
         "graph_matching": _sql_matching(),
         "graph_coarsen": _sql_matching(coarsen=True),
         "graph_vertex_cover": _sql_matching(cover=True),

@@ -265,6 +265,25 @@ class KeyedGraph:
 
         return _f(self.G, **kw)
 
+    def hyperball(self, **kw) -> DataFrame:
+        """(key, reachable, harmonic, sum_dist) — sketch centralities
+        for every node from one O(nnz)-per-round HyperBall pass."""
+        from .operators.anf import hyperball as _f
+
+        return self._keyed(_f(self.G, **kw))
+
+    def hyperball_harmonic(self, **kw) -> DataFrame:
+        """(key, harmonic) — sketch harmonic centrality, all nodes."""
+        from .operators.anf import hyperball_harmonic as _f
+
+        return self._keyed(_f(self.G, **kw))
+
+    def hyperball_closeness(self, **kw) -> DataFrame:
+        """(key, closeness) — sketch closeness (wf_improved), all nodes."""
+        from .operators.anf import hyperball_closeness as _f
+
+        return self._keyed(_f(self.G, **kw))
+
     def effective_diameter(self, **kw) -> float:
         from .operators.anf import effective_diameter as _f
 

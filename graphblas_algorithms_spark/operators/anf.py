@@ -151,3 +151,170 @@ def effective_diameter(
             return point["h"] - 1 + (target - prev) / max(cur - prev, 1e-12)
         prev = cur
     return float(nf[-1]["h"])
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: per-node centralities from the same FM sketches
+# ---------------------------------------------------------------------------
+#
+# Boldi-Rosa-Vigna "HyperBall: four degrees of separation, twenty
+# billion edges" (2013): while running the ball-growing supersteps, the
+# per-hop DELTA |B(v,h)| - |B(v,h-1)| prices every newly-reached node at
+# distance exactly h, so harmonic centrality (sum 1/d), total distance
+# (sum d) and reachable-set size for EVERY node fall out of the same
+# O(nnz)-per-round sketch pass — the only per-node whole-graph
+# centrality that survives 10^12 files (exact closeness is one BFS per
+# node).  Engine extension: the reference stops at exact single/multi
+# source distances.
+#
+# Unlike ``neighborhood_function`` (xxhash64), these sketches are
+# md5-seeded and every float step is decomposed into operations that are
+# correctly rounded in IEEE double on BOTH Spark and DuckDB
+# (integer-exponent pow, a literal-constant table for the fractional
+# part, add/sub/mul/div) — so the approximate result is still EXACTLY
+# value-oracle-able: the driver oracle replays the identical sketch
+# trajectory in SQL and hashes must match bit-for-bit at 6dp.
+
+_HB_PHI = "0.77351"  # literal text shared by Spark exprs and the SQL oracle
+
+
+def hb_mask_init_sql(i: int, seed: int, engine: str) -> str:
+    """One geometric FM bit from md5(id|i|seed) — the engine-portable
+    sketch seed.  ``engine``: 'spark' | 'duckdb' (hex->int differs)."""
+    h = (
+        f"cast(conv(substr(md5(concat_ws('|', id, {i}, {seed})), 1, 15), 16, 10) as bigint)"
+        if engine == "spark"
+        else f"cast(('0x' || substring(md5(concat_ws('|', id, {i}, {seed})), 1, 15)) as BIGINT)"
+    )
+    tz = f"bit_count(~({h}) & (({h}) - 1))"
+    if engine == "spark":
+        return f"shiftleft(cast(1 as bigint), cast(least({tz}, 62) as int))"
+    return f"(cast(1 as BIGINT) << least({tz}, 62))"
+
+
+def hb_ball_sql(k: int) -> str:
+    """Reproducible-float ball estimate from mask columns m0..m{k-1}:
+    2^(rsum div k) * C[rsum % k] / phi with C[j] = 2^(j/k) embedded as
+    literal doubles — identical text runs on Spark SQL and DuckDB, and
+    every operation is correctly rounded, so both engines produce the
+    SAME double."""
+    # DuckDB's bit_count returns TINYINT — cast each term so the k-term
+    # sum (up to 62k) can't overflow; Spark parses the same cast
+    tones = " + ".join(
+        f"cast(bit_count(m{i} & ~(m{i} + 1)) as int)" for i in range(k)
+    )
+    consts = [repr(2.0 ** (j / k)) for j in range(k)]
+    whens = " ".join(f"WHEN {j} THEN {c}" for j, c in enumerate(consts))
+    rsum = f"({tones})"
+    # floor(rsum/k) instead of integer `div`: the same text parses on
+    # Spark SQL and DuckDB, and rsum <= 62k is exact in double
+    return (
+        f"(pow(2.0, floor({rsum} / cast({k} as double))) * "
+        f"(CASE {rsum} % {k} {whens} END) / {_HB_PHI})"
+    )
+
+
+def hyperball(
+    G,
+    h: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    mode: str = "in",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, reachable, harmonic, sum_dist) — HyperBall sketch
+    centralities after EXACTLY ``h`` ball-growing rounds (fixed
+    trajectory: deterministic in (G, h, k, seed) and replayable in SQL).
+
+    ``harmonic`` estimates nx ``harmonic_centrality`` (sum over u of
+    1/d(u,v)); ``sum_dist`` the total incoming distance; ``reachable``
+    the ball size |{u: d(u,v) <= h}| including v.  ``mode='in'``
+    (default) prices incoming distances — the nx convention for
+    harmonic/closeness on digraphs; ``'out'`` grows forward balls.
+    Undirected graphs use the symmetrized edges either way.  Relative
+    error ~1.06/sqrt(k) per ball (FM); pick h >= diameter for the
+    converged centrality."""
+    spark = G.spark
+    num_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if G.is_directed_flag:
+        edges = G.edges.select("src", "dst")
+        if mode == "in":
+            # gather masks from tail (src) into head (dst)
+            gather_key, group_key = "src", "dst"
+        else:
+            gather_key, group_key = "dst", "src"
+    else:
+        edges = G.get_property("sym_edges").select("src", "dst")
+        gather_key, group_key = "dst", "src"
+    edges = edges.repartition(num_part, gather_key).persist()
+
+    mcols = _mask_cols(k)
+    init = [F.expr(hb_mask_init_sql(i, seed, "spark")).alias(f"m{i}") for i in range(k)]
+    ball0 = F.expr(hb_ball_sql(k))
+    state = G.nodes.select("id", *init).select(
+        "id",
+        *mcols,
+        ball0.alias("ball"),
+        F.lit(0.0).alias("harm"),
+        F.lit(0.0).alias("sumd"),
+    )
+    state = state.repartition(num_part, "id").localCheckpoint(eager=True)
+
+    harness = Superstep(spark, checkpoint_dir, 1)
+    for r in range(1, h + 1):
+        gathered = (
+            edges.join(state.withColumnRenamed("id", gather_key), gather_key)
+            .groupBy(F.col(group_key).alias("id"))
+            .agg(*[F.bit_or(c).alias(f"_g{i}") for i, c in enumerate(mcols)])
+        )
+        merged = state.join(gathered, "id", "left").select(
+            "id",
+            *[
+                F.col(c).bitwiseOR(F.coalesce(F.col(f"_g{i}"), F.lit(0))).alias(c)
+                for i, c in enumerate(mcols)
+            ],
+            "ball",
+            "harm",
+            "sumd",
+        )
+        newball = F.expr(hb_ball_sql(k))
+        # masks only gain bits, so the delta is >= 0 by construction
+        state = merged.select(
+            "id",
+            *mcols,
+            newball.alias("ball"),
+            (F.col("harm") + (newball - F.col("ball")) / F.lit(float(r))).alias("harm"),
+            (F.col("sumd") + (newball - F.col("ball")) * F.lit(float(r))).alias("sumd"),
+        )
+        state = harness.materialize(state, r - 1, {"kernel": "hyperball", "h": r})
+    out = state.select("id", F.col("ball").alias("reachable"), "harm", "sumd").select(
+        "id",
+        "reachable",
+        F.col("harm").alias("harmonic"),
+        F.col("sumd").alias("sum_dist"),
+    )
+    edges.unpersist()
+    return out
+
+
+def hyperball_harmonic(G, h: int = 8, k: int = 32, seed: int = 42) -> DataFrame:
+    """(id, harmonic) — sketch harmonic centrality for every node."""
+    return hyperball(G, h=h, k=k, seed=seed).select("id", "harmonic")
+
+
+def hyperball_closeness(G, h: int = 8, k: int = 32, seed: int = 42) -> DataFrame:
+    """(id, closeness) — sketch closeness (nx ``wf_improved``
+    convention): ((r-1)/(n-1)) * ((r-1)/sum_dist), 0 when nothing
+    reaches the node."""
+    n = G.n
+    hb = hyperball(G, h=h, k=k, seed=seed)
+    r1 = F.col("reachable") - F.lit(1.0)
+    return hb.select(
+        "id",
+        F.when(
+            F.col("sum_dist") > 0.0,
+            r1 / F.lit(float(max(n - 1, 1))) * (r1 / F.col("sum_dist")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )
