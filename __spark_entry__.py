@@ -929,6 +929,34 @@ def _q_hyperball(spark, sf_dir):
     return hyperball(_part_graph(spark, sf_dir), h=4, k=16, seed=42)
 
 
+def _thinned_part_graph(spark, sf_dir) -> Graph:
+    """1/23-thinned co-purchase graph ((src*31+dst)%23==0): sparse
+    enough to have real cut structure (72 bridges, 26 components at
+    sf0.01) while staying deterministic and SQL-rebuildable."""
+    e = _part_pairs(spark, sf_dir).filter(
+        (F.col("src") * 31 + F.col("dst")) % 23 == 0
+    )
+    return Graph(e, _part_nodes(spark, sf_dir), canonicalize=False)
+
+
+def _q_bridges(spark, sf_dir):
+    """Cycle-space-sampling bridges (operators/bridges.py) on the
+    thinned part graph; the oracle rebuilds the identical closed-form
+    BFS forest (min-id roots, min-neighbor parents) and replays the
+    md5 XOR certificate in SQL."""
+    from graphblas_algorithms_spark.operators.bridges import bridges
+
+    return bridges(_thinned_part_graph(spark, sf_dir))
+
+
+def _q_2ecc(spark, sf_dir):
+    """2-edge-connected component labeling = engine CC over the thinned
+    graph minus its bridges."""
+    from graphblas_algorithms_spark.operators.bridges import two_edge_components
+
+    return two_edge_components(_thinned_part_graph(spark, sf_dir))
+
+
 def _q_coarsen(spark, sf_dir):
     """One multilevel-coarsening step: contract the maximal matching,
     merge parallel edges into integer weights."""
@@ -1546,6 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_fiedler": _q_fiedler,
         "graph_topo_generations": _q_topo,
         "graph_hyperball": _q_hyperball,
+        "graph_bridges": _q_bridges,
+        "graph_2ecc": _q_2ecc,
         "graph_louvain": _q_louvain,
         "graph_triangles_total": _q_triangles_total,
         "graph_triangles_incremental": _q_triangles_incremental,
@@ -2734,6 +2764,86 @@ s{r} AS MATERIALIZED (
         "SELECT id, reachable, harmonic, sum_dist FROM fin"
     )
     return "\n".join(parts)
+
+
+_SQL_BRIDGE_PREFIX = """part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+te AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs WHERE (src * 31 + dst) % 23 = 0
+),
+sym23 AS MATERIALIZED (
+  SELECT src, dst FROM te UNION ALL SELECT dst AS src, src AS dst FROM te
+),
+reach(id, comp) AS (
+  SELECT id, id FROM part_nodes
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym23 s ON s.src = r.id
+),
+comp AS MATERIALIZED (SELECT id, min(comp) AS root FROM reach GROUP BY id),
+lvl(id, d) AS (
+  SELECT id, 0 FROM comp WHERE id = root
+  UNION
+  SELECT s.dst, l.d + 1 FROM lvl l JOIN sym23 s ON s.src = l.id WHERE l.d < 64
+),
+lvl2 AS MATERIALIZED (SELECT id, min(d) AS level FROM lvl GROUP BY id),
+par AS MATERIALIZED (
+  SELECT e.dst AS id, min(e.src) AS parent
+  FROM sym23 e JOIN lvl2 a ON a.id = e.src JOIN lvl2 b ON b.id = e.dst
+  WHERE a.level = b.level - 1
+  GROUP BY e.dst
+),
+tree AS MATERIALIZED (
+  SELECT least(parent, id) AS src, greatest(parent, id) AS dst FROM par
+),
+nont AS MATERIALIZED (
+  SELECT t.src, t.dst FROM te t ANTI JOIN tree r ON r.src = t.src AND r.dst = t.dst
+),
+lab AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(CAST(('0x' || substring(md5(concat_ws('|', src, dst, 42)), 1, 15)) AS UBIGINT) AS BIGINT) AS lab
+  FROM nont
+),
+xv AS MATERIALIZED (
+  SELECT id, bit_xor(lab) AS x FROM (
+    SELECT src AS id, lab FROM lab UNION ALL SELECT dst AS id, lab FROM lab
+  ) GROUP BY id
+),
+anc(u, a) AS (
+  SELECT id, id FROM part_nodes
+  UNION
+  SELECT c.u, p.parent FROM anc c JOIN par p ON p.id = c.a
+),
+subx AS MATERIALIZED (
+  SELECT c.a AS id, bit_xor(COALESCE(x.x, 0)) AS sx
+  FROM anc c LEFT JOIN xv x ON x.id = c.u
+  GROUP BY c.a
+),
+bridge AS MATERIALIZED (
+  SELECT least(p.parent, p.id) AS src, greatest(p.parent, p.id) AS dst
+  FROM par p JOIN subx s ON s.id = p.id
+  WHERE s.sx = 0
+)"""
+
+_SQL_BRIDGES = f"""WITH RECURSIVE {_SQL_BRIDGE_PREFIX}
+SELECT src, dst FROM bridge"""
+
+_SQL_2ECC = f"""WITH RECURSIVE {_SQL_BRIDGE_PREFIX},
+kept AS MATERIALIZED (
+  SELECT t.src, t.dst FROM te t ANTI JOIN bridge b ON b.src = t.src AND b.dst = t.dst
+),
+ksym AS MATERIALIZED (
+  SELECT src, dst FROM kept UNION ALL SELECT dst AS src, src AS dst FROM kept
+),
+kreach(id, comp) AS (
+  SELECT id, id FROM part_nodes
+  UNION
+  SELECT s.dst, r.comp FROM kreach r JOIN ksym s ON s.src = r.id
+)
+SELECT id, min(comp) AS component FROM kreach GROUP BY id"""
 
 
 def _sql_topo() -> str:
@@ -4637,6 +4747,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_fiedler": _sql_fiedler(),
         "graph_topo_generations": _sql_topo(),
         "graph_hyperball": _sql_hyperball(),
+        "graph_bridges": _SQL_BRIDGES,
+        "graph_2ecc": _SQL_2ECC,
         "graph_matching": _sql_matching(),
         "graph_coarsen": _sql_matching(coarsen=True),
         "graph_vertex_cover": _sql_matching(cover=True),

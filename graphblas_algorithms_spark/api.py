@@ -413,6 +413,23 @@ class KeyedGraph:
 
         return self._keyed(_f(self.G, **kw))
 
+    def bridges(self, **kw) -> DataFrame:
+        """(src_key, dst_key) — true bridge edges (cycle-space XOR)."""
+        from .operators.bridges import bridges as _f
+
+        return self._keyed_edges(_f(self.G, **kw))
+
+    def two_edge_components(self, **kw) -> DataFrame:
+        """(key, component) — 2-edge-connected component labeling."""
+        from .operators.bridges import two_edge_components as _f
+
+        return self._keyed(_f(self.G, **kw))
+
+    def has_bridges(self, **kw) -> bool:
+        from .operators.bridges import has_bridges as _f
+
+        return _f(self.G, **kw)
+
     def topological_generations(self, **kw) -> DataFrame:
         """(key, layer) — Kahn generation = longest-path depth (DAG)."""
         from .operators.dag import topological_generations as _f
