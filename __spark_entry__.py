@@ -957,6 +957,14 @@ def _q_2ecc(spark, sf_dir):
     return two_edge_components(_thinned_part_graph(spark, sf_dir))
 
 
+def _q_eulerian(spark, sf_dir):
+    """Eulerian summary (degree parity + component count) on the
+    thinned part graph — nx is_eulerian/has_eulerian_path semantics."""
+    from graphblas_algorithms_spark.operators.structure import eulerian_summary
+
+    return eulerian_summary(_thinned_part_graph(spark, sf_dir))
+
+
 def _q_coarsen(spark, sf_dir):
     """One multilevel-coarsening step: contract the maximal matching,
     merge parallel edges into integer weights."""
@@ -1576,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hyperball": _q_hyperball,
         "graph_bridges": _q_bridges,
         "graph_2ecc": _q_2ecc,
+        "graph_eulerian": _q_eulerian,
         "graph_louvain": _q_louvain,
         "graph_triangles_total": _q_triangles_total,
         "graph_triangles_incremental": _q_triangles_incremental,
@@ -2830,6 +2839,37 @@ bridge AS MATERIALIZED (
 
 _SQL_BRIDGES = f"""WITH RECURSIVE {_SQL_BRIDGE_PREFIX}
 SELECT src, dst FROM bridge"""
+
+_SQL_EULERIAN = """WITH RECURSIVE part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+te AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs WHERE (src * 31 + dst) % 23 = 0
+),
+ends AS (SELECT src AS id FROM te UNION ALL SELECT dst AS id FROM te),
+deg AS (SELECT id, count(*) AS d FROM ends GROUP BY id),
+oddc AS (SELECT count(*) AS n_odd FROM deg WHERE d % 2 = 1),
+sym23 AS MATERIALIZED (
+  SELECT src, dst FROM te UNION ALL SELECT dst AS src, src AS dst FROM te
+),
+reach(id, comp) AS (
+  SELECT id, id FROM part_nodes
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym23 s ON s.src = r.id
+),
+comps AS (
+  SELECT count(DISTINCT mc) AS n_comp
+  FROM (SELECT id, min(comp) AS mc FROM reach GROUP BY id)
+)
+SELECT CAST(o.n_odd AS INT) AS odd_degree_nodes,
+       CAST(o.n_odd AS INT) AS unbalanced_nodes,
+       CAST(c.n_comp AS INT) AS spanning_components,
+       (o.n_odd = 0 AND c.n_comp <= 1) AS is_eulerian,
+       (o.n_odd IN (0, 2) AND c.n_comp <= 1) AS has_eulerian_path
+FROM oddc o, comps c"""
 
 _SQL_2ECC = f"""WITH RECURSIVE {_SQL_BRIDGE_PREFIX},
 kept AS MATERIALIZED (
@@ -4749,6 +4789,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hyperball": _sql_hyperball(),
         "graph_bridges": _SQL_BRIDGES,
         "graph_2ecc": _SQL_2ECC,
+        "graph_eulerian": _SQL_EULERIAN,
         "graph_matching": _sql_matching(),
         "graph_coarsen": _sql_matching(coarsen=True),
         "graph_vertex_cover": _sql_matching(cover=True),

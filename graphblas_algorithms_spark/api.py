@@ -430,6 +430,22 @@ class KeyedGraph:
 
         return _f(self.G, **kw)
 
+    def is_eulerian(self) -> bool:
+        from .operators.structure import is_eulerian as _f
+
+        return _f(self.G)
+
+    def has_eulerian_path(self) -> bool:
+        from .operators.structure import has_eulerian_path as _f
+
+        return _f(self.G)
+
+    def dominating_set(self, **kw) -> DataFrame:
+        """(key) — dominating (and independent) set via the Luby kernel."""
+        from .operators.mis import dominating_set as _f
+
+        return self._keyed(_f(self.G, **kw))
+
     def topological_generations(self, **kw) -> DataFrame:
         """(key, layer) — Kahn generation = longest-path depth (DAG)."""
         from .operators.dag import topological_generations as _f

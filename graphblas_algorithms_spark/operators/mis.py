@@ -172,3 +172,14 @@ def greedy_color(G, seed: int = 42, max_rounds: int = 256) -> DataFrame:
     if colored is None:
         return G.nodes.select("id", F.lit(0).cast("long").alias("color")).limit(0)
     return colored
+
+
+def dominating_set(G, seed: int = 42, max_rounds: int = 64) -> DataFrame:
+    """(id) — a dominating set: every node is in the set or adjacent to
+    it (nx ``dominating_set`` semantics, different witness).  A MAXIMAL
+    independent set is always dominating (a node with no neighbor in
+    the set could be added, contradicting maximality), so this is the
+    Luby kernel re-exported under its second guarantee — O(log n)
+    rounds, deterministic in (G, seed), and the set is simultaneously
+    independent, which the greedy nx witness is not."""
+    return maximal_independent_set(G, seed=seed, max_rounds=max_rounds)

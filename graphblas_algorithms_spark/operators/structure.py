@@ -332,3 +332,91 @@ def is_triad(G) -> bool:
     if G.n != 3:
         return False
     return not G.has_self_edges
+
+
+def eulerian_summary(G) -> DataFrame:
+    """One-row (odd_degree_nodes, unbalanced_nodes, spanning_components,
+    is_eulerian, has_eulerian_path) — the degree-parity / balance facts
+    behind nx ``is_eulerian`` / ``has_eulerian_path`` (engine extension;
+    the reference has no Eulerian predicates).
+
+    Undirected: eulerian iff no odd-degree node and the graph is ONE
+    component (isolates disconnect, matching nx); a path additionally
+    allows exactly two odd nodes.  Directed: eulerian iff every node balanced (in == out)
+    and one spanning component of the symmetrized graph restricted to
+    nonzero-degree nodes (nx requires STRONG connectivity for the
+    circuit — checked separately below); a path allows one +1 and one
+    -1 imbalance.  Computed as two degree aggregates + one CC labeling
+    restricted to non-isolated nodes — O(nnz), no per-node work."""
+    from .components import connected_components
+
+    spark = G.spark
+    if G.is_directed_flag:
+        outd = G.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("o")
+        )
+        ind = G.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("i")
+        )
+        bal = (
+            outd.join(ind, "id", "full")
+            .select(
+                "id",
+                (F.coalesce("o", F.lit(0)) - F.coalesce("i", F.lit(0))).alias("b"),
+            )
+        )
+        n_unbal = bal.filter(F.col("b") != 0).count()
+        n_plus1 = bal.filter(F.col("b") == 1).count()
+        n_minus1 = bal.filter(F.col("b") == -1).count()
+        n_odd = n_unbal  # parity unused for digraphs; report imbalance
+        path_deg_ok = (n_unbal == 0) or (
+            n_plus1 == 1 and n_minus1 == 1 and n_unbal == 2
+        )
+        circuit_deg_ok = n_unbal == 0
+    else:
+        # nx degree parity: a self-loop adds 2 (so never flips parity) —
+        # count both endpoints of every stored edge
+        deg = (
+            G.edges.select(F.col("src").alias("id"))
+            .unionByName(G.edges.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        n_odd = deg.filter(F.col("degree") % 2 == 1).count()
+        n_unbal = n_odd
+        path_deg_ok = n_odd in (0, 2)
+        circuit_deg_ok = n_odd == 0
+
+    # components over ALL nodes, nx convention: isolates disconnect
+    # (weak connectivity for digraphs; balance + weak => strong, since a
+    # weakly-connected balanced digraph is Eulerian hence strong, and an
+    # imbalanced one already fails the degree test)
+    comp = connected_components(G)
+    n_comps = comp.select("component").distinct().count()
+    connected_ok = n_comps <= 1
+
+    is_euler = bool(circuit_deg_ok and connected_ok)
+    has_path = bool(path_deg_ok and connected_ok)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_odd),
+                int(n_unbal),
+                int(n_comps),
+                is_euler,
+                has_path,
+            )
+        ],
+        "odd_degree_nodes int, unbalanced_nodes int, spanning_components int, "
+        "is_eulerian boolean, has_eulerian_path boolean",
+    )
+
+
+def is_eulerian(G) -> bool:
+    """nx ``is_eulerian``: an Eulerian circuit exists."""
+    return bool(eulerian_summary(G).collect()[0]["is_eulerian"])
+
+
+def has_eulerian_path(G) -> bool:
+    """nx ``has_eulerian_path``: an Eulerian path exists."""
+    return bool(eulerian_summary(G).collect()[0]["has_eulerian_path"])
