@@ -957,6 +957,15 @@ def _q_2ecc(spark, sf_dir):
     return two_edge_components(_thinned_part_graph(spark, sf_dir))
 
 
+def _q_butterflies(spark, sf_dir):
+    """Per-customer butterfly counts (2x2 bicliques) on the bipartite
+    customer->supplier graph — operators/bipartite.py; one codegree
+    self-join through the cheaper wedge side, no 4-cycle enumeration."""
+    from graphblas_algorithms_spark.operators.bipartite import butterfly_counts
+
+    return butterfly_counts(_cust_supp_edges(spark, sf_dir), side="src")
+
+
 def _q_eulerian(spark, sf_dir):
     """Eulerian summary (degree parity + component count) on the
     thinned part graph — nx is_eulerian/has_eulerian_path semantics."""
@@ -1585,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bridges": _q_bridges,
         "graph_2ecc": _q_2ecc,
         "graph_eulerian": _q_eulerian,
+        "graph_butterflies": _q_butterflies,
         "graph_louvain": _q_louvain,
         "graph_triangles_total": _q_triangles_total,
         "graph_triangles_incremental": _q_triangles_incremental,
@@ -2839,6 +2849,22 @@ bridge AS MATERIALIZED (
 
 _SQL_BRIDGES = f"""WITH RECURSIVE {_SQL_BRIDGE_PREFIX}
 SELECT src, dst FROM bridge"""
+
+_SQL_BUTTERFLIES = f"""WITH {_SQL_CUST_SUPP.strip()},
+cod AS (
+  SELECT e1.src AS a, e2.src AS b, count(*) AS t
+  FROM cs_edges e1 JOIN cs_edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+  GROUP BY e1.src, e2.src
+),
+pp AS (SELECT a, b, t * (t - 1) / 2 AS bf FROM cod),
+scored AS (
+  SELECT id, CAST(SUM(bf) AS BIGINT) AS butterflies FROM (
+    SELECT a AS id, bf FROM pp UNION ALL SELECT b AS id, bf FROM pp
+  ) GROUP BY id
+)
+SELECT s.src AS id, COALESCE(x.butterflies, 0) AS butterflies
+FROM (SELECT DISTINCT src FROM cs_edges) s
+LEFT JOIN scored x ON x.id = s.src"""
 
 _SQL_EULERIAN = """WITH RECURSIVE part_pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -4790,6 +4816,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bridges": _SQL_BRIDGES,
         "graph_2ecc": _SQL_2ECC,
         "graph_eulerian": _SQL_EULERIAN,
+        "graph_butterflies": _SQL_BUTTERFLIES,
         "graph_matching": _sql_matching(),
         "graph_coarsen": _sql_matching(coarsen=True),
         "graph_vertex_cover": _sql_matching(cover=True),

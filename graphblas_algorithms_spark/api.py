@@ -430,6 +430,18 @@ class KeyedGraph:
 
         return _f(self.G, **kw)
 
+    def butterfly_count(self, **kw) -> int:
+        """Total 2x2 bicliques (bipartite src/dst parts assumed)."""
+        from .operators.bipartite import butterfly_count as _f
+
+        return _f(self.G.edges, **kw)
+
+    def butterfly_counts(self, side: str = "src", **kw) -> DataFrame:
+        """(key, butterflies) — per-node butterfly participation."""
+        from .operators.bipartite import butterfly_counts as _f
+
+        return self._keyed(_f(self.G.edges, side=side, **kw))
+
     def is_eulerian(self) -> bool:
         from .operators.structure import is_eulerian as _f
 
