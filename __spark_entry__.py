@@ -966,6 +966,31 @@ def _q_butterflies(spark, sf_dir):
     return butterfly_counts(_cust_supp_edges(spark, sf_dir), side="src")
 
 
+def _q_landmarks(spark, sf_dir):
+    """Landmark distance oracle (operators/landmarks.py): top-8-degree
+    landmarks, batched multi-source BFS table, then triangle-inequality
+    bounds for a deterministic query batch u in 1..40, v = (u*37 % n)+1
+    over the thinned part graph (26 components at sf0.01 — exercises
+    the no-common-landmark NULL path too)."""
+    from graphblas_algorithms_spark.operators.landmarks import (
+        approx_distances,
+        landmark_distance_table,
+        select_landmarks,
+    )
+
+    G = _thinned_part_graph(spark, sf_dir)
+    n = G.n
+    pairs = (
+        G.nodes.filter(F.col("id") <= 40)
+        .select(
+            F.col("id").alias("u"),
+            ((F.col("id") * 37) % F.lit(n) + 1).alias("v"),
+        )
+    )
+    tbl = landmark_distance_table(G, select_landmarks(G, 8))
+    return approx_distances(tbl, pairs)
+
+
 def _q_eulerian(spark, sf_dir):
     """Eulerian summary (degree parity + component count) on the
     thinned part graph — nx is_eulerian/has_eulerian_path semantics."""
@@ -1595,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_2ecc": _q_2ecc,
         "graph_eulerian": _q_eulerian,
         "graph_butterflies": _q_butterflies,
+        "graph_landmarks": _q_landmarks,
         "graph_louvain": _q_louvain,
         "graph_triangles_total": _q_triangles_total,
         "graph_triangles_incremental": _q_triangles_incremental,
@@ -2865,6 +2891,43 @@ scored AS (
 SELECT s.src AS id, COALESCE(x.butterflies, 0) AS butterflies
 FROM (SELECT DISTINCT src FROM cs_edges) s
 LEFT JOIN scored x ON x.id = s.src"""
+
+_SQL_LANDMARKS = """WITH RECURSIVE part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+te AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs WHERE (src * 31 + dst) % 23 = 0
+),
+sym23 AS MATERIALIZED (
+  SELECT src, dst FROM te UNION ALL SELECT dst AS src, src AS dst FROM te
+),
+deg AS (SELECT src AS id, count(*) AS d FROM sym23 GROUP BY src),
+lms AS MATERIALIZED (
+  SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 8
+),
+dist(lm, id, dd) AS (
+  SELECT id, id, 0 FROM lms
+  UNION
+  SELECT r.lm, s.dst, r.dd + 1
+  FROM dist r JOIN sym23 s ON s.src = r.id WHERE r.dd < 64
+),
+ldist AS MATERIALIZED (
+  SELECT lm, id, min(dd) AS dist FROM dist GROUP BY lm, id
+),
+qpairs AS (
+  SELECT id AS u, ((id * 37) % (SELECT count(*) FROM part)) + 1 AS v
+  FROM part_nodes WHERE id <= 40
+)
+SELECT q.u, q.v,
+       min(du.dist + dv.dist) AS dist_upper,
+       max(abs(du.dist - dv.dist)) AS dist_lower
+FROM qpairs q
+LEFT JOIN ldist du ON du.id = q.u
+LEFT JOIN ldist dv ON dv.id = q.v AND dv.lm = du.lm
+GROUP BY q.u, q.v"""
 
 _SQL_EULERIAN = """WITH RECURSIVE part_pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -4817,6 +4880,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_2ecc": _SQL_2ECC,
         "graph_eulerian": _SQL_EULERIAN,
         "graph_butterflies": _SQL_BUTTERFLIES,
+        "graph_landmarks": _SQL_LANDMARKS,
         "graph_matching": _sql_matching(),
         "graph_coarsen": _sql_matching(coarsen=True),
         "graph_vertex_cover": _sql_matching(cover=True),
