@@ -970,15 +970,16 @@ def _q_landmarks(spark, sf_dir):
     """Landmark distance oracle (operators/landmarks.py): top-8-degree
     landmarks, batched multi-source BFS table, then triangle-inequality
     bounds for a deterministic query batch u in 1..40, v = (u*37 % n)+1
-    over the thinned part graph (26 components at sf0.01 — exercises
-    the no-common-landmark NULL path too)."""
+    over the part co-purchase graph (low diameter: the BFS precompute
+    is a handful of levels; the disconnected/NULL path is covered by
+    tests/test_landmarks.py on sparse fixtures)."""
     from graphblas_algorithms_spark.operators.landmarks import (
         approx_distances,
         landmark_distance_table,
         select_landmarks,
     )
 
-    G = _thinned_part_graph(spark, sf_dir)
+    G = _part_graph(spark, sf_dir)
     n = G.n
     pairs = (
         G.nodes.filter(F.col("id") <= 40)
@@ -989,6 +990,14 @@ def _q_landmarks(spark, sf_dir):
     )
     tbl = landmark_distance_table(G, select_landmarks(G, 8))
     return approx_distances(tbl, pairs)
+
+
+def _q_degree_hist(spark, sf_dir):
+    """Degree histogram + survival fraction (power-law tail view) on
+    the part graph — operators/metrics.py::degree_histogram."""
+    from graphblas_algorithms_spark.operators.metrics import degree_histogram
+
+    return degree_histogram(_part_graph(spark, sf_dir))
 
 
 def _q_eulerian(spark, sf_dir):
@@ -1619,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bridges": _q_bridges,
         "graph_2ecc": _q_2ecc,
         "graph_eulerian": _q_eulerian,
+        "graph_degree_hist": _q_degree_hist,
         "graph_butterflies": _q_butterflies,
         "graph_landmarks": _q_landmarks,
         "graph_louvain": _q_louvain,
@@ -2898,13 +2908,11 @@ _SQL_LANDMARKS = """WITH RECURSIVE part_pairs AS MATERIALIZED (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
 part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
-te AS MATERIALIZED (
-  SELECT src, dst FROM part_pairs WHERE (src * 31 + dst) % 23 = 0
+symq AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs
+  UNION ALL SELECT dst AS src, src AS dst FROM part_pairs
 ),
-sym23 AS MATERIALIZED (
-  SELECT src, dst FROM te UNION ALL SELECT dst AS src, src AS dst FROM te
-),
-deg AS (SELECT src AS id, count(*) AS d FROM sym23 GROUP BY src),
+deg AS (SELECT src AS id, count(*) AS d FROM symq GROUP BY src),
 lms AS MATERIALIZED (
   SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 8
 ),
@@ -2912,7 +2920,7 @@ dist(lm, id, dd) AS (
   SELECT id, id, 0 FROM lms
   UNION
   SELECT r.lm, s.dst, r.dd + 1
-  FROM dist r JOIN sym23 s ON s.src = r.id WHERE r.dd < 64
+  FROM dist r JOIN symq s ON s.src = r.id WHERE r.dd < 16
 ),
 ldist AS MATERIALIZED (
   SELECT lm, id, min(dd) AS dist FROM dist GROUP BY lm, id
@@ -2928,6 +2936,29 @@ FROM qpairs q
 LEFT JOIN ldist du ON du.id = q.u
 LEFT JOIN ldist dv ON dv.id = q.v AND dv.lm = du.lm
 GROUP BY q.u, q.v"""
+
+_SQL_DEGREE_HIST = """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+sym AS (
+  SELECT src, dst FROM part_pairs
+  UNION ALL SELECT dst AS src, src AS dst FROM part_pairs
+),
+deg AS (
+  SELECT n.id, COALESCE(d.d, 0) AS degree
+  FROM part_nodes n
+  LEFT JOIN (SELECT src AS id, count(*) AS d FROM sym GROUP BY src) d
+    ON d.id = n.id
+),
+hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree)
+SELECT degree, n_nodes,
+       round(SUM(n_nodes) OVER (ORDER BY degree DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / (SELECT count(*) FROM part_nodes), 6) AS frac_ge
+FROM hist"""
 
 _SQL_EULERIAN = """WITH RECURSIVE part_pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -4879,6 +4910,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bridges": _SQL_BRIDGES,
         "graph_2ecc": _SQL_2ECC,
         "graph_eulerian": _SQL_EULERIAN,
+        "graph_degree_hist": _SQL_DEGREE_HIST,
         "graph_butterflies": _SQL_BUTTERFLIES,
         "graph_landmarks": _SQL_LANDMARKS,
         "graph_matching": _sql_matching(),

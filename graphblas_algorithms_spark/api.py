@@ -442,6 +442,52 @@ class KeyedGraph:
 
         return self._keyed(_f(self.G.edges, side=side, **kw))
 
+    def landmark_distances(self, **kw) -> DataFrame:
+        """(key, landmark_key, dist) — precomputed landmark BFS table."""
+        from .operators.landmarks import landmark_distance_table as _f
+
+        out = _f(self.G, **kw)
+        dim = self._dim
+        keyed = (
+            out.join(dim, "id")
+            .withColumnRenamed("key", "node_key")
+            .join(dim.withColumnRenamed("id", "landmark"), "landmark")
+            .withColumnRenamed("key", "landmark_key")
+        )
+        extra = ["direction"] if "direction" in out.columns else []
+        return keyed.select("node_key", "landmark_key", "dist", *extra)
+
+    def approx_distances(self, pairs: DataFrame, **kw) -> DataFrame:
+        """(u_key, v_key, dist_upper, dist_lower) for key pairs
+        (columns u_key, v_key)."""
+        from .operators.landmarks import approx_distances as _f
+
+        dim = self._dim
+        idp = (
+            pairs.join(dim.withColumnRenamed("key", "u_key"), "u_key")
+            .withColumnRenamed("id", "u")
+            .join(dim.withColumnRenamed("key", "v_key").withColumnRenamed("id", "v"), "v_key")
+            .select("u", "v")
+        )
+        out = _f(self.G, idp, **kw)
+        return (
+            out.join(dim.withColumnRenamed("id", "u"), "u")
+            .withColumnRenamed("key", "u_key")
+            .join(dim.withColumnRenamed("id", "v"), "v")
+            .withColumnRenamed("key", "v_key")
+            .select("u_key", "v_key", "dist_upper", "dist_lower")
+        )
+
+    def degree_histogram(self) -> DataFrame:
+        from .operators.metrics import degree_histogram as _f
+
+        return _f(self.G)
+
+    def powerlaw_alpha(self, **kw) -> dict:
+        from .operators.metrics import powerlaw_alpha as _f
+
+        return _f(self.G, **kw)
+
     def is_eulerian(self) -> bool:
         from .operators.structure import is_eulerian as _f
 

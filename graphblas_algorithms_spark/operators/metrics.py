@@ -268,3 +268,56 @@ def density(G) -> float:
     if G.is_directed_flag:
         return m / (n * (n - 1))
     return 2.0 * m / (n * (n - 1))
+
+
+def degree_histogram(G) -> DataFrame:
+    """(degree, n_nodes, frac_ge) — degree distribution with the
+    survival fraction P(D >= degree): the power-law tail view a link
+    graph is triaged with (nx ``degree_histogram`` + the CCDF plotted
+    in every web-graph paper).  Zero-degree nodes included.  One degree
+    agg + one histogram agg + a window cumsum over the (tiny) distinct-
+    degree table — the only full-data pass is the degree count."""
+    from pyspark.sql import Window
+
+    deg = (
+        G.nodes.join(
+            G.get_property(
+                "total_degrees" if G.is_directed_flag else "degrees_plus"
+            ),
+            "id",
+            "left",
+        )
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    n = G.n
+    w = Window.orderBy(F.desc("degree")).rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        "degree",
+        "n_nodes",
+        F.round(F.sum("n_nodes").over(w) / F.lit(float(max(n, 1))), 6).alias(
+            "frac_ge"
+        ),
+    )
+
+
+def powerlaw_alpha(G, d_min: int = 2) -> dict:
+    """{'alpha': float, 'd_min': int, 'n_tail': int} — discrete
+    power-law exponent by the Clauset-Shalizi-Newman continuous
+    approximation MLE over degrees >= d_min:
+    alpha = 1 + n_tail / sum ln(d / (d_min - 0.5)).  The number that
+    decides whether hub salting is needed (SURVEY: power-law hubs) —
+    alpha < 2.5 means heavy hubs, plan the salted vxm."""
+    deg = G.get_property("total_degrees" if G.is_directed_flag else "degrees_plus")
+    row = (
+        deg.filter(F.col("degree") >= d_min)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.log(F.col("degree") / F.lit(d_min - 0.5))).alias("s"),
+        )
+        .collect()[0]
+    )
+    n_tail = int(row["n"] or 0)
+    if n_tail == 0 or not row["s"]:
+        return {"alpha": float("nan"), "d_min": d_min, "n_tail": n_tail}
+    return {"alpha": 1.0 + n_tail / float(row["s"]), "d_min": d_min, "n_tail": n_tail}
