@@ -315,6 +315,27 @@ def _q_pagerank_personalized(spark, sf_dir):
     return r.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_spam_mass(spark, sf_dir):
+    """TrustRank spam mass (operators/pagerank.py::spam_mass): trusted
+    seeds = the 4 lowest customer ids (the multi-seed PPR convention);
+    two fixed-iteration PageRank trajectories share the folded edges,
+    spam_mass = clamp((rank - trusted_rank)/rank).  Oracle: two unrolled
+    PR phases + the same clamp arithmetic."""
+    from graphblas_algorithms_spark.operators.pagerank import spam_mass
+
+    G = _cust_supp_graph(spark, sf_dir)
+    trusted = G.nodes.orderBy("id").limit(4).select(
+        "id", F.lit(1.0).alias("weight")
+    )
+    out = spam_mass(G, trusted, fixed_iters=PR_ITERS)
+    return out.select(
+        "id",
+        F.round("rank", 6).alias("rank"),
+        F.round("trusted_rank", 6).alias("trusted_rank"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
 def _q_pagerank_incremental(spark, sf_dir):
     """Incremental PageRank maintenance (streaming/pagerank.py), made
     value-hash-deterministic by pinning the superstep count per epoch:
@@ -1614,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr_multi": _q_ppr_multi,
         "graph_pagerank_weighted": _q_pagerank_weighted,
         "graph_pagerank_personalized": _q_pagerank_personalized,
+        "graph_spam_mass": _q_spam_mass,
         "graph_pagerank_incremental": _q_pagerank_incremental,
         "graph_components": _q_components,
         "graph_components_star": _q_components_star,
@@ -1904,6 +1926,34 @@ pers AS (SELECT id, praw / (SELECT sum(praw) FROM p0) AS p FROM p0)
         + prelude.strip()
         + _sql_pr_phase("cs_edges", "cs_nodes", "x", PR_ITERS, x0, pers="pers")
         + f"\nSELECT id, round(r, 6) AS rank FROM x{PR_ITERS}"
+    )
+
+
+def _sql_spam_mass() -> str:
+    """Two unrolled PR phases (uniform x, trusted-teleport y) over the
+    same cs_edges, composed exactly like the kernel's two runs."""
+    prelude = (
+        _SQL_CUST_SUPP.strip().rstrip(",").strip()
+        + """,
+tseed AS (SELECT id FROM cs_nodes ORDER BY id LIMIT 4),
+tpers AS (SELECT id, 0.25::DOUBLE AS p FROM tseed)
+"""
+    )
+    x0 = "SELECT id, 1.0/nn.cnt AS r FROM cs_nodes, nn_x nn"
+    y0 = "SELECT id, 1.0/nn.cnt AS r FROM cs_nodes, nn_y nn"
+    return (
+        "WITH "
+        + prelude.strip()
+        + _sql_pr_phase("cs_edges", "cs_nodes", "x", PR_ITERS, x0)
+        + _sql_pr_phase("cs_edges", "cs_nodes", "y", PR_ITERS, y0, pers="tpers")
+        + f"""
+SELECT x.id,
+       round(x.r, 6) AS rank,
+       round(y.r, 6) AS trusted_rank,
+       round(CASE WHEN x.r > 0
+             THEN greatest(0.0, least(1.0, (x.r - y.r) / x.r))
+             ELSE 0.0 END, 6) AS spam_mass
+FROM x{PR_ITERS} x JOIN y{PR_ITERS} y ON y.id = x.id"""
     )
 
 
@@ -4850,6 +4900,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr_multi": _sql_ppr_multi(),
         "graph_pagerank_weighted": _sql_pagerank_weighted(),
         "graph_pagerank_personalized": _sql_pagerank_personalized(),
+        "graph_spam_mass": _sql_spam_mass(),
         "graph_pagerank_incremental": _sql_pagerank_incremental(),
         "graph_components": _SQL_COMPONENTS,
         "graph_components_star": _SQL_COMPONENTS,

@@ -116,6 +116,14 @@ class KeyedGraph:
         h, a = _hits(self.G, **kw)
         return self._keyed(h), self._keyed(a)
 
+    def spam_mass(self, trusted_keys, **kw) -> DataFrame:
+        """(key, rank, trusted_rank, spam_mass) — TrustRank spam mass
+        from a trusted key set."""
+        from .operators.pagerank import spam_mass as _f
+
+        ids = [self._id_of(k) for k in trusted_keys]
+        return self._keyed(_f(self.G, ids, **kw))
+
     def personalized_pagerank_multi(self, seed_keys, **kw) -> DataFrame:
         """(seed_key, key, rank) — batched PPR, one shuffle per superstep
         for all seeds."""
