@@ -860,6 +860,21 @@ def _q_betweenness(spark, sf_dir):
     return b.select("id", F.round("betweenness", 6).alias("betweenness"))
 
 
+def _q_edge_betweenness(spark, sf_dir):
+    """Pivot-sampled EDGE betweenness (same 16 pivots as
+    graph_betweenness, unnormalized subset semantics; Girvan-Newman
+    edge scores); oracle = the shared unrolled Brandes chain + per-level
+    edge-credit aggregation."""
+    from graphblas_algorithms_spark.operators.betweenness import (
+        edge_betweenness_centrality,
+    )
+
+    G = _part_graph(spark, sf_dir)
+    srcs = [r["id"] for r in G.nodes.orderBy("id").limit(16).collect()]
+    b = edge_betweenness_centrality(G, sources=srcs, normalized=False)
+    return b.select("src", "dst", F.round("betweenness", 6).alias("betweenness"))
+
+
 def _q_walks(spark, sf_dir):
     """Deterministic random-walk corpus (DeepWalk input): 16 lowest-id
     starts x 2 walks x 8 hops, next step = md5-argmin over neighbors —
@@ -1696,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closeness": _q_closeness,
         "graph_harmonic": _q_harmonic,
         "graph_betweenness": _q_betweenness,
+        "graph_edge_betweenness": _q_edge_betweenness,
         "graph_walks": _q_walks,
         "graph_walks_weighted": _q_walks_weighted,
         "graph_node2vec": _q_node2vec,
@@ -2602,11 +2618,10 @@ reach(source, id, lvl) AS (
 SELECT source, id, min(lvl)::BIGINT AS level FROM reach GROUP BY source, id
 """
 
-def _sql_betweenness(n_src: int = 16, max_lvl: int = 12) -> str:
-    """Brandes unrolled in SQL: forward sigma-BFS levels f0..f{max_lvl}
-    (anti-join visited like the Spark kernel), then backward dependency
-    levels d{max_lvl}..d1; bc = 0.5 * sum of deltas (undirected halving,
-    matching betweenness_centrality(..., normalized=False))."""
+def _sql_brandes_levels(n_src: int, max_lvl: int) -> list:
+    """Shared Brandes CTE chain: forward sigma-BFS f0..f{max_lvl} +
+    backward dependency d{max_lvl}..d1 — consumed by both the node and
+    the edge betweenness oracles."""
     # every CTE is MATERIALIZED: the level chain references sym/f{l}/v{l}
     # repeatedly and DuckDB's default inlining would re-expand (and
     # re-open the parquet) once per reference — ~25 levels deep that
@@ -2655,17 +2670,53 @@ d{l} AS MATERIALIZED (
   FROM f{l} f LEFT JOIN c{l} c ON c.source = f.source AND c.id = f.id
 ),"""
         )
+    return parts
+
+
+def _sql_betweenness(n_src: int = 16, max_lvl: int = 12) -> str:
+    """Node Brandes unrolled (see _sql_brandes_levels); bc = 0.5 * sum
+    of deltas (undirected halving, matching
+    betweenness_centrality(..., normalized=False))."""
+    parts = _sql_brandes_levels(n_src, max_lvl)
     union = "\nUNION ALL ".join(
         f"SELECT source, id, delta FROM d{l}" for l in range(1, max_lvl + 1)
     )
-    parts.append(f"alldelta AS ({union}),")
-    parts.append(
-        "bc AS (SELECT id, 0.5 * sum(delta) AS b FROM alldelta GROUP BY id)"
-    )
-    parts.append(
+    parts = parts + [
+        f"alldelta AS ({union}),",
+        "bc AS (SELECT id, 0.5 * sum(delta) AS b FROM alldelta GROUP BY id)",
         """SELECT n.id, round(coalesce(bc.b, 0.0), 6) AS betweenness
-FROM part_nodes n LEFT JOIN bc ON n.id = bc.id"""
-    )
+FROM part_nodes n LEFT JOIN bc ON n.id = bc.id""",
+    ]
+    return "\n".join(parts)
+
+
+def _sql_edge_betweenness(n_src: int = 16, max_lvl: int = 12) -> str:
+    """Edge Brandes over the same level chain: a DAG edge (v at f_l,
+    w at f_{l+1}) earns sig_v/sig_w * (1 + delta_w) per source —
+    including l=0 (edges leaving the pivots), which the node recursion
+    never reads; canonicalized, halved (undirected), dense over the
+    canonical edge set."""
+    parts = _sql_brandes_levels(n_src, max_lvl)
+    creds = []
+    for l in range(0, max_lvl):
+        parts.append(
+            f"""ec{l} AS MATERIALIZED (
+  SELECT least(f.id, e.dst) AS src, greatest(f.id, e.dst) AS dst,
+         sum(f.sig / w.sig * (1 + w.delta)) AS b
+  FROM f{l} f
+  JOIN sym e ON e.src = f.id
+  JOIN d{l + 1} w ON w.source = f.source AND w.id = e.dst
+  GROUP BY 1, 2
+),"""
+        )
+        creds.append(f"SELECT src, dst, b FROM ec{l}")
+    union = "\nUNION ALL ".join(creds)
+    parts = parts + [
+        f"alle AS ({union}),",
+        "ebc AS (SELECT src, dst, 0.5 * sum(b) AS b FROM alle GROUP BY src, dst)",
+        """SELECT p.src, p.dst, round(coalesce(e.b, 0.0), 6) AS betweenness
+FROM part_pairs p LEFT JOIN ebc e ON e.src = p.src AND e.dst = p.dst""",
+    ]
     return "\n".join(parts)
 
 
@@ -4950,6 +5001,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_closeness": _SQL_CLOSENESS,
         "graph_harmonic": _SQL_HARMONIC,
         "graph_betweenness": _sql_betweenness(),
+        "graph_edge_betweenness": _sql_edge_betweenness(),
         "graph_walks": _sql_walks(),
         "graph_walks_weighted": _sql_walks(weighted=True),
         "graph_node2vec": _sql_node2vec(),

@@ -337,6 +337,16 @@ class KeyedGraph:
         srcs = self._pivot_ids(source_keys) if source_keys is not None else None
         return self._keyed(_f(self.G, sources=srcs, **kw))
 
+    def edge_betweenness_centrality(self, source_keys=None, **kw) -> DataFrame:
+        """(src_key, dst_key, betweenness) — Girvan-Newman edge scores
+        (exact, or pivot-sampled via source_keys)."""
+        from .operators.betweenness import edge_betweenness_centrality as _f
+
+        kw2 = dict(kw)
+        if source_keys is not None:
+            kw2["sources"] = self._pivot_ids(source_keys)
+        return self._keyed_pairs(_f(self.G, **kw2), ["betweenness"])
+
     def link_prediction(self, pairs=None, **kw) -> DataFrame:
         """(u_key, w_key, cn, jaccard, adamic_adar, resource_allocation,
         pref_attachment) — candidate generation when ``pairs`` is None,

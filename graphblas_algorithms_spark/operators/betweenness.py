@@ -178,3 +178,107 @@ def betweenness_centrality(
     return G.nodes.join(out, "id", "left").select(
         "id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
     )
+
+
+def edge_betweenness_centrality(
+    G,
+    sources: list[int] | None = None,
+    normalized: bool = True,
+    chunk_size: int | None = None,
+    dense: bool = True,
+) -> DataFrame:
+    """(src, dst, betweenness) — Brandes edge betweenness (the
+    Girvan-Newman edge score): for a BFS-DAG edge (v, w) the per-source
+    credit is sigma_v/sigma_w * (1 + delta_w), i.e. the fraction of
+    shortest paths through w that arrive via v — read straight off the
+    SAME forward sigma table and backward delta table the node kernel
+    builds, plus one three-way join per pivot chunk.  Undirected edges
+    are reported once, canonical (src < dst).
+
+    ``sources=None`` = exact (all pivots), matching
+    ``nx.edge_betweenness_centrality(G, normalized=)``; a pivot list
+    gives the subset sum (node-kernel convention: unnormalized = the
+    raw subset credit, halved for undirected; normalized additionally
+    applies nx's 1/(n(n-1)) and the sampled n/k rescale)."""
+    from .shortest_paths import _source_chunks
+
+    exact = sources is None
+    chunks = _source_chunks(G, sources, chunk_size)
+    edges_all = (
+        G.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+        if G.is_directed_flag
+        else G.get_property("sym_offdiag").filter(F.col("src") < F.col("dst"))
+    ).distinct()
+    if not chunks:
+        zero = edges_all.select("src", "dst", F.lit(0.0).alias("betweenness"))
+        return zero if dense else zero.limit(0)
+    adj = _adj(G).persist()
+    acc = None
+    for chunk in chunks:
+        visited, max_lvl = _forward(G, adj, chunk)
+        deltas = _backward(adj, visited, max_lvl)
+        vu = visited.select(
+            "source",
+            F.col("id").alias("src"),
+            F.col("lvl").alias("_lu"),
+            F.col("sigma").alias("_su"),
+        )
+        vw = visited.select(
+            "source",
+            F.col("id").alias("dst"),
+            F.col("lvl").alias("_lw"),
+            F.col("sigma").alias("_sw"),
+        )
+        dw = deltas.select(
+            "source", F.col("id").alias("dst"), F.col("delta").alias("_dw")
+        )
+        dag = (
+            adj.join(vu, "src")
+            .join(vw, ["source", "dst"])
+            .filter(F.col("_lw") == F.col("_lu") + 1)
+            .join(dw, ["source", "dst"], "left")
+        )
+        credit = F.col("_su") / F.col("_sw") * (1.0 + F.coalesce("_dw", F.lit(0.0)))
+        key = (
+            [F.col("src"), F.col("dst")]
+            if G.is_directed_flag
+            else [
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            ]
+        )
+        part = (
+            dag.groupBy(*key)
+            .agg(F.sum(credit).alias("betweenness"))
+            .transform(lineage_cut)
+        )
+        acc = part if acc is None else (
+            acc.unionByName(part)
+            .groupBy("src", "dst")
+            .agg(F.sum("betweenness").alias("betweenness"))
+            .transform(lineage_cut)
+        )
+        visited.unpersist()
+    adj.unpersist()
+    n = G.n
+    k = len([s for c in chunks for s in c])
+    scale = None
+    if normalized:
+        scale = 1.0 / (n * (n - 1)) if n > 1 else None
+        if scale is not None and not exact:
+            # sampled-estimator rescale, nx _rescale_e k branch
+            scale *= n / max(k, 1)
+    elif not G.is_directed_flag:
+        # raw subset sum, halved like the node kernel (nx subset
+        # semantics: no n/k rescale unless normalized)
+        scale = 0.5
+    out = acc
+    if scale is not None:
+        out = out.select(
+            "src", "dst", (F.col("betweenness") * F.lit(scale)).alias("betweenness")
+        )
+    if not dense:
+        return out
+    return edges_all.join(out, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )
