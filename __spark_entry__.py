@@ -1036,6 +1036,34 @@ def _q_degree_hist(spark, sf_dir):
     return degree_histogram(_part_graph(spark, sf_dir))
 
 
+def _q_temporal_reach(spark, sf_dir):
+    """Time-respecting reachability (operators/temporal.py) over the
+    events followed-by graph: edge (a -> b, t_b) when b's event of the
+    same type follows a's within 10 minutes; earliest arrival from
+    users 0..3 within 6 hops.  Static BFS overcounts here — an edge
+    firing before the information arrives can't carry it."""
+    from graphblas_algorithms_spark.operators.temporal import temporal_reachability
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    a = ev.toDF("ua", "et", "ta")
+    b = ev.toDF("ub", "et", "tb")
+    edges = (
+        a.join(b, "et")
+        .filter(
+            (F.col("tb") > F.col("ta"))
+            & (F.col("tb") <= F.col("ta") + 600_000_000)
+            & (F.col("ua") != F.col("ub"))
+        )
+        .select(F.col("ua").alias("src"), F.col("ub").alias("dst"), F.col("tb").alias("t"))
+        .distinct()
+    )
+    return temporal_reachability(edges, [0, 1, 2, 3], max_hops=6)
+
+
 def _q_eulerian(spark, sf_dir):
     """Eulerian summary (degree parity + component count) on the
     thinned part graph — nx is_eulerian/has_eulerian_path semantics."""
@@ -1666,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_2ecc": _q_2ecc,
         "graph_eulerian": _q_eulerian,
         "graph_degree_hist": _q_degree_hist,
+        "events_temporal_reach": _q_temporal_reach,
         "graph_butterflies": _q_butterflies,
         "graph_landmarks": _q_landmarks,
         "graph_louvain": _q_louvain,
@@ -3060,6 +3089,45 @@ SELECT degree, n_nodes,
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              / (SELECT count(*) FROM part_nodes), 6) AS frac_ge
 FROM hist"""
+
+def _sql_temporal_reach(hops: int = 6) -> str:
+    """Earliest-arrival relaxation unrolled: a{k} = min(a{k-1}, min t of
+    edges from a{k-1} with t >= arrival) — the same hop-bounded closure
+    the kernel computes (over-unrolled rounds past the fixpoint are
+    no-ops)."""
+    parts = [
+        """WITH ev AS MATERIALIZED (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+),
+te AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst, b.t
+  FROM ev a JOIN ev b ON a.event_type = b.event_type
+   AND b.t > a.t AND b.t <= a.t + 600000000 AND a.user_id <> b.user_id
+),
+a0 AS MATERIALIZED (
+  SELECT s AS source, s AS id, CAST(0 AS BIGINT) AS arrival
+  FROM (VALUES (0), (1), (2), (3)) v(s)
+),"""
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT p.source, e.dst AS id, min(e.t) AS arrival
+  FROM a{k - 1} p JOIN te e ON e.src = p.id AND e.t >= p.arrival
+  GROUP BY p.source, e.dst
+),
+a{k} AS MATERIALIZED (
+  SELECT source, id, min(arrival) AS arrival FROM (
+    SELECT source, id, arrival FROM a{k - 1}
+    UNION ALL SELECT source, id, arrival FROM p{k}
+  ) GROUP BY source, id
+),"""
+        )
+    last = parts[-1].rstrip()
+    parts[-1] = last[:-1] if last.endswith(",") else last
+    parts.append(f"SELECT source, id, arrival FROM a{hops}")
+    return "\n".join(parts)
+
 
 _SQL_EULERIAN = """WITH RECURSIVE part_pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -5014,6 +5082,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_2ecc": _SQL_2ECC,
         "graph_eulerian": _SQL_EULERIAN,
         "graph_degree_hist": _SQL_DEGREE_HIST,
+        "events_temporal_reach": _sql_temporal_reach(),
         "graph_butterflies": _SQL_BUTTERFLIES,
         "graph_landmarks": _SQL_LANDMARKS,
         "graph_matching": _sql_matching(),
