@@ -225,6 +225,11 @@ def _sf_queries(spark) -> dict:
         # whole-graph distance statistic (2 BFS passes) + triad census
         "graph_diameter",
         "graph_triad_census",
+        # r3 additions: whole-graph sketch centralities (4 HyperBall
+        # rounds), bipartite butterfly counts, time-respecting reach
+        "graph_hyperball",
+        "graph_butterflies",
+        "events_temporal_reach",
         # embedding-space curation: cluster-then-dedup (SemDeDup shape)
         "pipe_semdedup",
         "pipe_minhash_neardup",

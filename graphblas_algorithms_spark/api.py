@@ -460,6 +460,34 @@ class KeyedGraph:
 
         return self._keyed(_f(self.G.edges, side=side, **kw))
 
+    def temporal_reachability(
+        self, raw: DataFrame, src_col: str, dst_col: str, t_col: str,
+        source_keys, **kw
+    ) -> DataFrame:
+        """(source_key, key, arrival) — time-respecting earliest
+        arrival over a keyed timestamped edge DataFrame; keys are
+        resolved through this graph's dim table."""
+        from .operators.temporal import temporal_reachability as _f
+
+        dim = self._dim
+        edges = (
+            raw.join(dim.withColumnRenamed("key", src_col), src_col)
+            .withColumnRenamed("id", "src")
+            .join(
+                dim.withColumnRenamed("key", dst_col).withColumnRenamed("id", "dst"),
+                dst_col,
+            )
+            .select("src", "dst", F.col(t_col).alias("t"))
+        )
+        ids = [self._id_of(k) for k in source_keys]
+        out = _f(edges, ids, **kw)
+        return (
+            out.join(dim.withColumnRenamed("id", "source"), "source")
+            .withColumnRenamed("key", "source_key")
+            .join(dim, "id")
+            .select("source_key", "key", "arrival")
+        )
+
     def landmark_distances(self, **kw) -> DataFrame:
         """(key, landmark_key, dist) — precomputed landmark BFS table."""
         from .operators.landmarks import landmark_distance_table as _f
