@@ -1064,6 +1064,21 @@ def _q_temporal_reach(spark, sf_dir):
     return temporal_reachability(edges, [0, 1, 2, 3], max_hops=6)
 
 
+def _q_trussness(spark, sf_dir):
+    """Full truss decomposition (operators/ktruss.py::truss_decomposition)
+    on the 1/7-thinned part graph: per-edge trussness via 10 fixed
+    h-index rounds over the triangle membership table (converges in 8
+    at sf0.01; extra rounds are no-ops).  Oracle replays the identical
+    rounds with id-ordered triangle enumeration."""
+    from graphblas_algorithms_spark.operators.ktruss import truss_decomposition
+
+    e = _part_pairs(spark, sf_dir).filter(
+        (F.col("src") * 31 + F.col("dst")) % 7 == 0
+    )
+    G = Graph(e, _part_nodes(spark, sf_dir), canonicalize=False)
+    return truss_decomposition(G, fixed_rounds=10)
+
+
 def _q_eulerian(spark, sf_dir):
     """Eulerian summary (degree parity + component count) on the
     thinned part graph — nx is_eulerian/has_eulerian_path semantics."""
@@ -1726,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_effective_size": _q_effective_size,
         "graph_local_bridges": _q_local_bridges,
         "graph_ktruss": _q_ktruss,
+        "graph_trussness": _q_trussness,
         "graph_kcore": _q_kcore,
         "graph_core_number": _q_core_number,
         "graph_densest": _q_densest,
@@ -3126,6 +3142,66 @@ a{k} AS MATERIALIZED (
     last = parts[-1].rstrip()
     parts[-1] = last[:-1] if last.endswith(",") else last
     parts.append(f"SELECT source, id, arrival FROM a{hops}")
+    return "\n".join(parts)
+
+
+def _sql_trussness(rounds: int = 10) -> str:
+    """h-index truss rounds unrolled: membership table (3 rows per
+    triangle), per round join tau onto both other edges, windowed
+    h-index per edge, clamp non-increasing."""
+    parts = [
+        """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+te AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs WHERE (src * 31 + dst) % 7 = 0
+),
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM te e1
+  JOIN te e2 ON e2.src = e1.src AND e2.dst > e1.dst
+  JOIN te e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+mem AS MATERIALIZED (
+  SELECT a AS src, b AS dst, a AS o1s, c AS o1d, b AS o2s, c AS o2d FROM tri
+  UNION ALL
+  SELECT a, c, a, b, b, c FROM tri
+  UNION ALL
+  SELECT b, c, a, b, a, c FROM tri
+),
+tau0 AS MATERIALIZED (
+  SELECT src, dst, count(*) AS tau FROM mem GROUP BY src, dst
+),"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT m.src, m.dst, least(t1.tau, t2.tau) AS m
+  FROM mem m
+  JOIN tau{r - 1} t1 ON t1.src = m.o1s AND t1.dst = m.o1d
+  JOIN tau{r - 1} t2 ON t2.src = m.o2s AND t2.dst = m.o2d
+),
+h{r} AS MATERIALIZED (
+  SELECT src, dst, max(least(rk, m)) AS h FROM (
+    SELECT src, dst, m,
+           row_number() OVER (PARTITION BY src, dst ORDER BY m DESC) AS rk
+    FROM v{r}
+  ) GROUP BY src, dst
+),
+tau{r} AS MATERIALIZED (
+  SELECT t.src, t.dst, least(t.tau, coalesce(h.h, 0)) AS tau
+  FROM tau{r - 1} t LEFT JOIN h{r} h ON h.src = t.src AND h.dst = t.dst
+),"""
+        )
+    parts.append(
+        f"""fin AS (
+  SELECT e.src, e.dst, CAST(coalesce(t.tau, 0) + 2 AS BIGINT) AS trussness
+  FROM te e LEFT JOIN tau{rounds} t ON t.src = e.src AND t.dst = e.dst
+)
+SELECT src, dst, trussness FROM fin"""
+    )
     return "\n".join(parts)
 
 
@@ -5055,6 +5131,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_effective_size": _SQL_EFFECTIVE_SIZE,
         "graph_local_bridges": _SQL_LOCAL_BRIDGES,
         "graph_ktruss": _sql_ktruss(),
+        "graph_trussness": _sql_trussness(),
         "graph_kcore": _sql_kcore(),
         "graph_core_number": _sql_core_number(),
         "graph_densest": _sql_densest(),

@@ -241,6 +241,12 @@ class KeyedGraph:
             .select("src_key", "dst_key")
         )
 
+    def truss_decomposition(self, **kw) -> DataFrame:
+        """(src_key, dst_key, trussness) — per-edge trussness."""
+        from .operators.ktruss import truss_decomposition as _f
+
+        return self._keyed_pairs(_f(self.G, **kw), ["trussness"])
+
     def k_core(self, k: int) -> DataFrame:
         """Surviving edges of the k-core, keyed (src_key, dst_key)."""
         from .operators.kcore import k_core as _f
