@@ -494,6 +494,13 @@ class KeyedGraph:
             .select("source_key", "key", "arrival")
         )
 
+    def spectral_embedding(self, **kw) -> DataFrame:
+        """(key, f1, f2, ...) — deflated-power-iteration Laplacian
+        eigenvector coordinates (spectral layout / multiway partition)."""
+        from .operators.spectral import spectral_embedding as _f
+
+        return self._keyed(_f(self.G, **kw))
+
     def landmark_distances(self, **kw) -> DataFrame:
         """(key, landmark_key, dist) — precomputed landmark BFS table."""
         from .operators.landmarks import landmark_distance_table as _f

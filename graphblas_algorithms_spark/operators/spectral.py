@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.joins import edge_join
-from ..plans.superstep import Superstep
+from ..plans.superstep import Superstep, lineage_cut
 
 
 def _uniform(col, tag: str):
@@ -154,3 +154,86 @@ def algebraic_connectivity(G, iterations: int = 80, seed: int = 42) -> float:
     f.unpersist()
     # x·L·x = Σ d_i x_i² − Σ_i Σ_{j∈N(i)} x_i x_j
     return float(deg_term - cross)
+
+
+def spectral_embedding(
+    G, dims: int = 2, iterations: int = 80, seed: int = 42
+) -> DataFrame:
+    """(id, f1[, f2, ...]) — the first ``dims`` nontrivial Laplacian
+    eigenvector estimates (f1 = the Fiedler vector), computed one at a
+    time by power iteration on B = cI - L with deflation against the
+    all-ones direction AND every previously-found vector (classic
+    deflated power method; same fixed-iteration determinism as
+    :func:`fiedler_vector`).
+
+    This is the spectral LAYOUT / multiway-partition primitive: sign
+    patterns over (f1, f2) give 4-way spectral partitioning, and the
+    rows are 2-D drawing coordinates (nx ``spectral_layout`` analog).
+    Cost: dims x the fiedler cost — each extra dimension re-runs the
+    same one-shuffle superstep with one extra broadcast dot product per
+    prior vector."""
+    spark = G.spark
+    num_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = (
+        G.get_property("sym_offdiag")
+        .select("src", "dst")
+        .repartition(num_part, "src")
+        .persist()
+    )
+    deg = adj.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("double").alias("_d")
+    )
+    d_max = deg.agg(F.max("_d").alias("m")).collect()[0]["m"] or 0.0
+    c = 2.0 * float(d_max)
+
+    base = (
+        G.nodes.select("id")
+        .join(deg, "id", "left")
+        .select("id", F.coalesce("_d", F.lit(0.0)).alias("_d"))
+        .repartition(num_part, "id")
+        .persist()
+    )
+    found: list = []  # column names of committed vectors on `vecs`
+    vecs = base  # (id, _d, f1, f2, ...)
+    for k in range(1, dims + 1):
+        x = vecs.select(
+            "id", "_d", *found,
+            _uniform(F.col("id"), f"spect{k}|{int(seed)}").alias("x"),
+        ).localCheckpoint(eager=True)
+        for it in range(iterations):
+            aggs = [F.avg("x").alias("_mean")] + [
+                F.sum(F.col("x") * F.col(f)).alias(f"_dot{f}") for f in found
+            ]
+            coefs = x.agg(*aggs)
+            expr = F.col("x") - F.col("_mean")
+            for f in found:
+                expr = expr - F.col(f"_dot{f}") * F.col(f)
+            xc = x.crossJoin(F.broadcast(coefs)).select(
+                "id", "_d", *found, expr.alias("_xc")
+            )
+            nb = edge_join(xc.select("id", "_xc"), adj, payload=["_xc"])
+            contrib = nb.groupBy("id").agg(F.sum("_xc").alias("_s"))
+            y = xc.join(contrib, "id", "left").select(
+                "id", "_d", *found,
+                (
+                    (F.lit(c) - F.col("_d")) * F.col("_xc")
+                    + F.coalesce("_s", F.lit(0.0))
+                ).alias("_y"),
+            )
+            norm = y.agg(F.sqrt(F.sum(F.col("_y") * F.col("_y"))).alias("_n"))
+            x = y.crossJoin(F.broadcast(norm)).select(
+                "id", "_d", *found,
+                F.when(F.col("_n") > 0, F.col("_y") / F.col("_n"))
+                .otherwise(F.col("_y"))
+                .alias("x"),
+            )
+            # cut EVERY iteration like fiedler_vector: a lazy chain of
+            # broadcast crossJoins blows up Catalyst analysis memory
+            new_x = lineage_cut(x)
+            x.unpersist() if hasattr(x, "unpersist") else None
+            x = new_x.persist()
+        vecs = x.withColumnRenamed("x", f"f{k}").localCheckpoint(eager=True)
+        found.append(f"f{k}")
+    adj.unpersist()
+    base.unpersist()
+    return vecs.select("id", *found)
