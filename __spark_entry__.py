@@ -1079,6 +1079,26 @@ def _q_trussness(spark, sf_dir):
     return truss_decomposition(G, fixed_rounds=10)
 
 
+def _q_condensation(spark, sf_dir):
+    """SCC condensation layers (operators/dag.py::condensation_layers)
+    on the part digraph: each SCC (min-id label) placed at its longest-
+    chain depth in the quotient DAG — the macro build-order of a cyclic
+    dependency graph.  Runs on the 1/13-thinned digraph (the full part
+    digraph is one giant SCC — a 1-row condensation; the thinned one
+    has 137 SCCs at sf0.01).  Oracle: pairwise-reach SCC labels +
+    recursive longest-path over the quotient edges."""
+    from graphblas_algorithms_spark.classes.graph import DiGraph
+    from graphblas_algorithms_spark.operators.dag import condensation_layers
+
+    p = _part_pairs(spark, sf_dir).filter((F.col("src") * 31 + F.col("dst")) % 13 == 0)
+    fwd = p.filter((F.col("src") + F.col("dst")) % 2 == 0).select("src", "dst")
+    bwd = p.filter((F.col("src") + F.col("dst")) % 3 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    G = DiGraph(fwd.unionByName(bwd), _part_nodes(spark, sf_dir), dedup=True)
+    return condensation_layers(G)
+
+
 def _q_eulerian(spark, sf_dir):
     """Eulerian summary (degree parity + component count) on the
     thinned part graph — nx is_eulerian/has_eulerian_path semantics."""
@@ -1708,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bridges": _q_bridges,
         "graph_2ecc": _q_2ecc,
         "graph_eulerian": _q_eulerian,
+        "graph_condensation_layers": _q_condensation,
         "graph_degree_hist": _q_degree_hist,
         "events_temporal_reach": _q_temporal_reach,
         "graph_butterflies": _q_butterflies,
@@ -3204,6 +3225,47 @@ SELECT src, dst, trussness FROM fin"""
     )
     return "\n".join(parts)
 
+
+_SQL_CONDENSATION = """
+WITH RECURSIVE part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+t13 AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs WHERE (src * 31 + dst) % 13 = 0
+),
+dedges AS MATERIALIZED (
+  SELECT src, dst FROM t13 WHERE (src + dst) % 2 = 0
+  UNION
+  SELECT dst AS src, src AS dst FROM t13 WHERE (src + dst) % 3 = 0
+),
+reach(src, dst) AS (
+  SELECT id, id FROM part_nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN dedges e ON e.src = r.dst
+),
+scc AS MATERIALIZED (
+  SELECT a.src AS id, min(a.dst) AS component
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+  GROUP BY a.src
+),
+cedges AS MATERIALIZED (
+  SELECT DISTINCT s1.component AS src, s2.component AS dst
+  FROM dedges e
+  JOIN scc s1 ON s1.id = e.src
+  JOIN scc s2 ON s2.id = e.dst
+  WHERE s1.component <> s2.component
+),
+cnodes AS MATERIALIZED (SELECT DISTINCT component AS id FROM scc),
+lp(id, d) AS (
+  SELECT n.id, 0 FROM cnodes n
+  WHERE NOT EXISTS (SELECT 1 FROM cedges e WHERE e.dst = n.id)
+  UNION
+  SELECT e.dst, r.d + 1 FROM lp r JOIN cedges e ON e.src = r.id
+)
+SELECT id AS component, CAST(max(d) AS BIGINT) AS layer FROM lp GROUP BY id"""
 
 _SQL_EULERIAN = """WITH RECURSIVE part_pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -5158,6 +5220,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bridges": _SQL_BRIDGES,
         "graph_2ecc": _SQL_2ECC,
         "graph_eulerian": _SQL_EULERIAN,
+        "graph_condensation_layers": _SQL_CONDENSATION,
         "graph_degree_hist": _SQL_DEGREE_HIST,
         "events_temporal_reach": _sql_temporal_reach(),
         "graph_butterflies": _SQL_BUTTERFLIES,

@@ -587,6 +587,18 @@ class KeyedGraph:
 
         return _f(self.G, **kw)
 
+    def condensation_layers(self, **kw) -> DataFrame:
+        """(component_key, layer) — topological depth of each SCC in
+        the condensation DAG (component labeled by its min node key)."""
+        from .operators.dag import condensation_layers as _f
+
+        out = _f(self.G, **kw)
+        return (
+            out.join(self._dim.withColumnRenamed("id", "component"), "component")
+            .withColumnRenamed("key", "component_key")
+            .select("component_key", "layer")
+        )
+
     def cyclic_core(self, **kw) -> DataFrame:
         """(key) — nodes on or between directed cycles."""
         from .operators.dag import cyclic_core as _f

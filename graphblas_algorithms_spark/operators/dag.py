@@ -190,3 +190,42 @@ def cyclic_core(G, max_rounds: int = 100_000) -> DataFrame:
         .join(fwd.select("id"), "id", "left_anti")
         .join(bwd.select("id"), "id", "left_anti")
     )
+
+
+def condensation(G, scc: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
+    """(cond_edges, cond_nodes) — the SCC quotient digraph (nx
+    ``condensation``, but labeled by SCC min-node-id instead of nx's
+    arbitrary integers): cond_nodes = (component), cond_edges =
+    distinct (src_comp, dst_comp) for edges crossing SCCs.  Always a
+    DAG, so the whole DAG layer (topological generations, longest
+    path) applies to it — the standard way to read a cyclic graph's
+    macro-structure.  Pass a precomputed ``strongly_connected_components``
+    labeling to skip recomputation."""
+    if scc is None:
+        from .components import strongly_connected_components
+
+        scc = strongly_connected_components(G)
+    lab_src = scc.select(F.col("id").alias("src"), F.col("component").alias("_cs"))
+    lab_dst = scc.select(F.col("id").alias("dst"), F.col("component").alias("_cd"))
+    cond_edges = (
+        G.edges.select("src", "dst")
+        .join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .filter(F.col("_cs") != F.col("_cd"))
+        .select(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
+        .distinct()
+    )
+    cond_nodes = scc.select(F.col("component").alias("id")).distinct()
+    return cond_edges, cond_nodes
+
+
+def condensation_layers(G, scc: DataFrame | None = None) -> DataFrame:
+    """(component, layer) — topological generation of each SCC in the
+    condensation DAG: layer 0 = source SCCs (nothing upstream), and
+    layer(v) is the longest chain of SCCs above it.  The macro "build
+    order" of a cyclic dependency graph."""
+    cond_edges, cond_nodes = condensation(G, scc)
+    cls = type(G)
+    quotient = cls(cond_edges, cond_nodes, dedup=False)
+    gens = topological_generations(quotient)
+    return gens.select(F.col("id").alias("component"), "layer")

@@ -94,3 +94,24 @@ def test_cyclic_core(spark):
     assert got == {1, 2, 3, 4, 5, 6, 7}
     dag = from_networkx(spark, _random_dag(n=30, p=0.1, seed=5))
     assert cyclic_core(dag).count() == 0
+
+
+def test_condensation_matches_networkx(spark):
+    from graphblas_algorithms_spark.operators.dag import (
+        condensation,
+        condensation_layers,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6), (0, 1), (6, 7)]
+    nxg = nx.DiGraph(edges)
+    G = from_networkx(spark, nxg)
+    ce, cn = condensation(G)
+    got_edges = {(r["src"], r["dst"]) for r in ce.collect()}
+    # SCC min-id labels: {1,2,3}->1, {4,5}->4, singletons 0,6,7
+    assert got_edges == {(1, 4), (4, 6), (0, 1), (6, 7)}
+    assert {r["id"] for r in cn.collect()} == {0, 1, 4, 6, 7}
+    layers = {r["component"]: r["layer"] for r in condensation_layers(G).collect()}
+    assert layers == {0: 0, 1: 1, 4: 2, 6: 3, 7: 4}
+    # cross-check against nx condensation structure
+    C = nx.condensation(nxg)
+    assert len(C) == 5 and C.number_of_edges() == 4
