@@ -229,9 +229,9 @@ def spectral_embedding(
             )
             # cut EVERY iteration like fiedler_vector: a lazy chain of
             # broadcast crossJoins blows up Catalyst analysis memory
-            new_x = lineage_cut(x)
-            x.unpersist() if hasattr(x, "unpersist") else None
-            x = new_x.persist()
+            prev = x
+            x = lineage_cut(x).persist()
+            prev.unpersist()
         vecs = x.withColumnRenamed("x", f"f{k}").localCheckpoint(eager=True)
         found.append(f"f{k}")
     adj.unpersist()
