@@ -1049,13 +1049,30 @@ def _q_temporal_reach(spark, sf_dir):
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
     )
-    a = ev.toDF("ua", "et", "ta")
-    b = ev.toDF("ub", "et", "tb")
+    # range-join bucketing: joining on event_type alone is 4 hot keys ->
+    # a quadratic hash join; adding the 10-minute time bucket to the key
+    # bounds each probe to the 2 buckets that can satisfy dt <= 600s
+    # (the standard interval-join decomposition a 100 TB run needs)
+    win = 600_000_000
+    a = ev.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_type").alias("et"),
+        F.col("t").alias("ta"),
+        F.explode(
+            F.array(F.floor(F.col("t") / win), F.floor(F.col("t") / win) + 1)
+        ).alias("jb"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("et"),
+        F.col("t").alias("tb"),
+        F.floor(F.col("t") / win).alias("jb"),
+    )
     edges = (
-        a.join(b, "et")
+        a.join(b, ["et", "jb"])
         .filter(
             (F.col("tb") > F.col("ta"))
-            & (F.col("tb") <= F.col("ta") + 600_000_000)
+            & (F.col("tb") <= F.col("ta") + win)
             & (F.col("ua") != F.col("ub"))
         )
         .select(F.col("ua").alias("src"), F.col("ub").alias("dst"), F.col("tb").alias("t"))
