@@ -88,3 +88,34 @@ def test_reachable_counts(spark):
     assert rows[0]["n_reachable"] == 4  # {0,1,2,3}
     assert rows[0]["earliest_last"] == 20
     assert rows[5]["n_reachable"] == 2
+
+
+def test_incremental_matches_batch_closure(spark):
+    import random
+
+    from graphblas_algorithms_spark.operators.temporal import temporal_reachability
+    from graphblas_algorithms_spark.streaming.temporal import merge_temporal_batch
+
+    rng = random.Random(31)
+    all_edges = [
+        (rng.randrange(15), rng.randrange(15), rng.randrange(500))
+        for _ in range(150)
+    ]
+    all_edges = [(u, v, t) for u, v, t in all_edges if u != v]
+    sources = [0, 4]
+    batches = [all_edges[:50], all_edges[50:90], all_edges[90:]]
+    arrival = None
+    seen: list = []
+    for batch in batches:
+        seen = seen + batch
+        arrival = merge_temporal_batch(
+            arrival, _df(spark, seen), _df(spark, batch), sources
+        )
+        got = {(r["source"], r["id"]): r["arrival"] for r in arrival.collect()}
+        want = {
+            (r["source"], r["id"]): r["arrival"]
+            for r in temporal_reachability(
+                _df(spark, seen), sources, max_hops=64
+            ).collect()
+        }
+        assert got == want, f"after {len(seen)} edges"
