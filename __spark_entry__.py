@@ -1036,14 +1036,9 @@ def _q_degree_hist(spark, sf_dir):
     return degree_histogram(_part_graph(spark, sf_dir))
 
 
-def _q_temporal_reach(spark, sf_dir):
-    """Time-respecting reachability (operators/temporal.py) over the
-    events followed-by graph: edge (a -> b, t_b) when b's event of the
-    same type follows a's within 10 minutes; earliest arrival from
-    users 0..3 within 6 hops.  Static BFS overcounts here — an edge
-    firing before the information arrives can't carry it."""
-    from graphblas_algorithms_spark.operators.temporal import temporal_reachability
-
+def _temporal_edges(spark, sf_dir):
+    """Followed-by temporal edges from the events table (shared by the
+    driver query and the plan-regression test)."""
     ev = _read(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -1078,7 +1073,20 @@ def _q_temporal_reach(spark, sf_dir):
         .select(F.col("ua").alias("src"), F.col("ub").alias("dst"), F.col("tb").alias("t"))
         .distinct()
     )
-    return temporal_reachability(edges, [0, 1, 2, 3], max_hops=6)
+    return edges
+
+
+def _q_temporal_reach(spark, sf_dir):
+    """Time-respecting reachability (operators/temporal.py) over the
+    events followed-by graph: edge (a -> b, t_b) when b's event of the
+    same type follows a's within 10 minutes; earliest arrival from
+    users 0..3 within 6 hops.  Static BFS overcounts here — an edge
+    firing before the information arrives can't carry it."""
+    from graphblas_algorithms_spark.operators.temporal import temporal_reachability
+
+    return temporal_reachability(
+        _temporal_edges(spark, sf_dir), [0, 1, 2, 3], max_hops=6
+    )
 
 
 def _q_trussness(spark, sf_dir):
