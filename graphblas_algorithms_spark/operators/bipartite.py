@@ -52,10 +52,27 @@ def _wedge_volumes(edges: DataFrame) -> tuple[int, int]:
     return int(v_dst or 0), int(v_src or 0)
 
 
-def _codegrees(edges: DataFrame, pivot: str) -> DataFrame:
+def _codegrees(
+    edges: DataFrame, pivot: str, max_pivot_degree: int | None = None
+) -> DataFrame:
     """(a, b, codeg) for same-side pairs a<b sharing >= 1 pivot-side
-    neighbor.  ``pivot``: 'dst' pairs src nodes, 'src' pairs dst."""
+    neighbor.  ``pivot``: 'dst' pairs src nodes, 'src' pairs dst.
+
+    ``max_pivot_degree`` drops pivot nodes above the cap from the wedge
+    join (the bipartite analog of the n-gram ``max_df`` hot-shingle cap
+    and the link-prediction hub cap): counts become exact on the
+    hub-filtered subgraph — the documented trade that makes the join
+    feasible on power-law sides where one hub's C(d,2) alone exceeds
+    the cluster (cap c bounds wedge volume by #pivots * C(c,2))."""
     other = "src" if pivot == "dst" else "dst"
+    if max_pivot_degree is not None:
+        keep = (
+            edges.groupBy(pivot)
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") <= max_pivot_degree)
+            .select(pivot)
+        )
+        edges = edges.join(keep, pivot, "left_semi")
     e1 = edges.select(F.col(pivot).alias("p"), F.col(other).alias("a"))
     e2 = edges.select(F.col(pivot).alias("p"), F.col(other).alias("b"))
     return (
@@ -66,24 +83,32 @@ def _codegrees(edges: DataFrame, pivot: str) -> DataFrame:
     )
 
 
-def butterfly_count(G_or_edges, pivot: str | None = None) -> int:
+def butterfly_count(
+    G_or_edges, pivot: str | None = None, max_pivot_degree: int | None = None
+) -> int:
     """Total number of butterflies (unordered 2x2 bicliques).  The
     graph must be bipartite with parts = (src ids, dst ids) — the shape
     ``build_link_graph`` / the customer->supplier extraction produce.
     ``pivot`` forces the wedge side; default picks the cheaper one from
-    the degree tables."""
+    the degree tables.  ``max_pivot_degree`` excludes hub pivots (see
+    ``_codegrees`` — exact on the filtered subgraph)."""
     edges = _edges_of(G_or_edges).distinct()
     if pivot is None:
         v_dst, v_src = _wedge_volumes(edges)
         pivot = "dst" if v_dst <= v_src else "src"
-    cod = _codegrees(edges, pivot)
+    cod = _codegrees(edges, pivot, max_pivot_degree)
     row = cod.agg(
         F.sum(F.col("codeg") * (F.col("codeg") - 1) / 2).alias("bf")
     ).collect()[0]
     return int(row["bf"] or 0)
 
 
-def butterfly_counts(G_or_edges, side: str = "src", pivot: str | None = None) -> DataFrame:
+def butterfly_counts(
+    G_or_edges,
+    side: str = "src",
+    pivot: str | None = None,
+    max_pivot_degree: int | None = None,
+) -> DataFrame:
     """(id, butterflies) — per-node butterfly participation for every
     node of ``side`` ('src' or 'dst').  Each node of a pair (a, b) with
     codegree t lies in C(t, 2) butterflies through that pair, so
@@ -95,7 +120,7 @@ def butterfly_counts(G_or_edges, side: str = "src", pivot: str | None = None) ->
     edges = _edges_of(G_or_edges).distinct()
     want_pairs_on = side  # the paired side is the scored side
     pivot = "dst" if want_pairs_on == "src" else "src"
-    cod = _codegrees(edges, pivot)
+    cod = _codegrees(edges, pivot, max_pivot_degree)
     per_pair = cod.select(
         "a", "b", (F.col("codeg") * (F.col("codeg") - 1) / 2).alias("bf")
     )

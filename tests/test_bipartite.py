@@ -96,3 +96,21 @@ def test_butterfly_empty_and_star(spark):
     grid = _make_edges(spark, [(a, 100 + b) for a in range(3) for b in range(3)])
     # K_{3,3}: C(3,2)^2 = 9 butterflies
     assert butterfly_count(grid) == 9
+
+
+def test_max_pivot_degree_cap(spark, bip):
+    from graphblas_algorithms_spark.operators.bipartite import butterfly_count
+
+    e = _make_edges(spark, bip)
+    # cap below the max right-side degree: counts equal brute force on
+    # the hub-filtered subgraph
+    from collections import Counter
+
+    rdeg = Counter(b for _, b in bip)
+    cap = sorted(rdeg.values())[len(rdeg) // 2]
+    kept = [(a, b) for a, b in bip if rdeg[b] <= cap]
+    want, _, _ = _brute(kept)
+    got = butterfly_count(e, pivot="dst", max_pivot_degree=cap)
+    assert got == want
+    # uncapped is an upper bound
+    assert butterfly_count(e, pivot="dst") >= got
