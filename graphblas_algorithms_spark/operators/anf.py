@@ -221,6 +221,7 @@ def hyperball(
     seed: int = 42,
     mode: str = "in",
     checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """(id, reachable, harmonic, sum_dist) — HyperBall sketch
     centralities after EXACTLY ``h`` ball-growing rounds (fixed
@@ -258,10 +259,18 @@ def hyperball(
         F.lit(0.0).alias("harm"),
         F.lit(0.0).alias("sumd"),
     )
-    state = state.repartition(num_part, "id").localCheckpoint(eager=True)
+    state = state.repartition(num_part, "id")
 
     harness = Superstep(spark, checkpoint_dir, 1)
-    for r in range(1, h + 1):
+    start_round = 1
+    if resume and checkpoint_dir is not None:
+        got = harness.latest()
+        if got is not None:
+            # checkpoints are written as round r-1 -> resume at r+1
+            start_round, state = got[0] + 2, got[1]
+    if start_round == 1:
+        state = state.localCheckpoint(eager=True)
+    for r in range(start_round, h + 1):
         gathered = (
             edges.join(state.withColumnRenamed("id", gather_key), gather_key)
             .groupBy(F.col(group_key).alias("id"))

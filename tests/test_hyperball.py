@@ -86,3 +86,16 @@ def test_disconnected_and_isolates(spark):
     assert got[99]["harmonic"] == 0.0
     # balls never cross components: reachable(component of 5) ~ 5
     assert got[0]["reachable"] == pytest.approx(5, rel=0.35)
+
+
+def test_checkpoint_resume_bit_identical(spark, tmp_path):
+    nxg = nx.gnp_random_graph(50, 0.1, seed=8)
+    G = from_networkx(spark, nxg)
+    ck = str(tmp_path / "hb_ck")
+    full = sorted(map(tuple, hyperball(G, h=4, k=8, checkpoint_dir=ck).collect()))
+    # resume from the persisted rounds: must be bit-identical, and the
+    # sketch trajectory deterministic, so == a fresh run too
+    resumed = sorted(
+        map(tuple, hyperball(G, h=4, k=8, checkpoint_dir=ck, resume=True).collect())
+    )
+    assert resumed == full
