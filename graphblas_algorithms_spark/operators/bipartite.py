@@ -106,7 +106,6 @@ def butterfly_count(
 def butterfly_counts(
     G_or_edges,
     side: str = "src",
-    pivot: str | None = None,
     max_pivot_degree: int | None = None,
 ) -> DataFrame:
     """(id, butterflies) — per-node butterfly participation for every
