@@ -236,6 +236,27 @@ def _q_ppr_multi(spark, sf_dir):
     return r.select("seed", "id", F.round("rank", 6).alias("rank"))
 
 
+def _q_ppr_push(spark, sf_dir):
+    """Forward-push PPR (Andersen-Chung-Lang), the many-seed scale path
+    (operators/ppr.py:111): sparse (seed,id) state only on TOUCHED
+    pairs.  Fixed deterministic trajectory — bulk-synchronous pushes,
+    no sampling, md5-free — so the oracle replays the rounds verbatim;
+    extra replay rounds past convergence are exact no-ops (nothing is
+    above threshold), so the unroll depth only needs to be >= the
+    observed convergence (10 rounds at sf0.01, 24 unrolled)."""
+    from graphblas_algorithms_spark.operators.ppr import forward_push_ppr
+
+    G = _part_graph(spark, sf_dir)
+    seeds = [r["id"] for r in G.nodes.orderBy("id").limit(4).collect()]
+    r = forward_push_ppr(G, seeds, alpha=0.15, eps=1e-3, max_rounds=40)
+    return r.select(
+        "seed",
+        "id",
+        F.round("p", 6).alias("p"),
+        F.round("residual", 6).alias("residual"),
+    )
+
+
 def _q_components(spark, sf_dir):
     from graphblas_algorithms_spark.operators.components import connected_components
 
@@ -603,16 +624,19 @@ def _q_ego(spark, sf_dir):
 
 def _q_neighborhood_function(spark, sf_dir):
     """ANF distance-distribution sketch (operators/anf.py): estimated
-    #pairs within h hops per h, over the part graph.  Approximate by
-    nature (FM bitmasks, ~1/sqrt(k) rel. error) — no SQL oracle;
-    accuracy is pytest-gated differentially vs exact networkx closures
-    (tests/test_anf.py), like the IVF-ANN entries.  Deterministic:
-    hash-seeded init + OR propagation, so rows are stable run to run."""
+    #pairs within h hops per h, over the part graph.  Fixed trajectory
+    (md5-seeded masks, exactly 6 supersteps, scaled-integer ball sums),
+    so the DuckDB oracle replays the identical sketch and the row VALUES
+    hash-match — r4 closed the last graph-side rows-only oracle.
+    Estimator ACCURACY stays pytest-gated vs exact networkx closures
+    (tests/test_anf.py)."""
     from graphblas_algorithms_spark.operators.anf import neighborhood_function
 
-    nf = neighborhood_function(_part_graph(spark, sf_dir), k=32, seed=42)
+    nf = neighborhood_function(
+        _part_graph(spark, sf_dir), max_h=6, k=16, seed=42, stop_early=False
+    )
     return spark.createDataFrame(
-        [(int(p["h"]), float(round(p["reachable_pairs"], 3))) for p in nf],
+        [(int(p["h"]), float(p["reachable_pairs"])) for p in nf],
         "h int, reachable_pairs double",
     )
 
@@ -1736,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_pagerank": _q_pagerank,
         "graph_ppr_multi": _q_ppr_multi,
+        "graph_ppr_push": _q_ppr_push,
         "graph_pagerank_weighted": _q_pagerank_weighted,
         "graph_pagerank_personalized": _q_pagerank_personalized,
         "graph_spam_mass": _q_spam_mass,
@@ -2958,6 +2983,121 @@ l{r + 1} AS MATERIALIZED (
     if joined.endswith(","):
         joined = joined[:-1]
     return joined + f"\nSELECT id, wl FROM l{iters}"
+
+
+def _sql_ppr_push(rounds: int = 24, alpha: float = 0.15, eps: float = 1e-3) -> str:
+    """Forward-push PPR replay (r4): same bulk-synchronous push rounds
+    over the symmetrized part graph, same literals (0.15 / 0.85 / 0.001
+    parse to identical doubles in both engines), same full-outer merge
+    of spread into state.  Rounds past convergence are no-ops, so a
+    fixed unroll >= the sf0.01 convergence depth reproduces the kernel's
+    early-stopped state exactly."""
+    one_m = repr(1.0 - alpha)
+    a = repr(alpha)
+    e = repr(eps)
+    parts = [
+        """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+seeds AS MATERIALIZED (SELECT p_partkey AS id FROM part ORDER BY 1 LIMIT 4),
+st0 AS MATERIALIZED (
+  SELECT s.id AS seed, s.id AS id, 0.0 AS p, 1.0 AS r,
+         COALESCE(d.deg, 0) AS deg
+  FROM seeds s LEFT JOIN deg d ON d.id = s.id
+),""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""sp{k} AS MATERIALIZED (
+  SELECT s.seed, e.dst AS id, sum({one_m} * s.r / s.deg) AS _in
+  FROM st{k - 1} s JOIN sym e ON e.src = s.id
+  WHERE s.r > {e} * s.deg AND s.deg > 0
+  GROUP BY s.seed, e.dst
+),
+mg{k} AS MATERIALIZED (
+  SELECT COALESCE(a.seed, b.seed) AS seed, COALESCE(a.id, b.id) AS id,
+         COALESCE(a.p, 0) + CASE WHEN COALESCE(a.r, 0) > {e} * COALESCE(a.deg, 0)
+                                      AND COALESCE(a.deg, 0) > 0
+                                 THEN {a} * a.r ELSE 0 END AS p,
+         CASE WHEN COALESCE(a.r, 0) > {e} * COALESCE(a.deg, 0)
+                   AND COALESCE(a.deg, 0) > 0
+              THEN 0.0 ELSE COALESCE(a.r, 0) END + COALESCE(b._in, 0) AS r,
+         a.deg AS olddeg
+  FROM st{k - 1} a FULL OUTER JOIN sp{k} b ON a.seed = b.seed AND a.id = b.id
+),
+st{k} AS MATERIALIZED (
+  SELECT m.seed, m.id, m.p, m.r,
+         COALESCE(m.olddeg, COALESCE(d.deg, 0)) AS deg
+  FROM mg{k} m LEFT JOIN deg d ON d.id = m.id
+),"""
+        )
+    parts.append(
+        f"fin AS (SELECT seed, id, round(p, 6) AS p, round(r, 6) AS residual FROM st{rounds})\n"
+        "SELECT seed, id, p, residual FROM fin"
+    )
+    return "\n".join(parts)
+
+
+def _sql_neighborhood_function(h: int = 6, k: int = 16, seed: int = 42) -> str:
+    """ANF replay (r4): identical md5 geometric-bit init, identical
+    bit_or supersteps over the symmetrized part graph, and the same
+    2^-20-dyadic scaled-integer ball sum per h — BIGINT-exact and
+    order-independent, so the cross-node sum is engine-identical
+    (operators/anf.py neighborhood_function, stop_early=False)."""
+    from graphblas_algorithms_spark.operators.anf import hb_ball_sql, hb_mask_init_sql
+
+    ball = hb_ball_sql(k)
+    init = ", ".join(
+        f"{hb_mask_init_sql(i, seed, 'duckdb')} AS m{i}" for i in range(k)
+    )
+    mlist = ", ".join(f"m{i}" for i in range(k))
+    est = f"sum(cast(floor(({ball}) * 1048576.0 + 0.5) AS BIGINT)) / 1048576.0"
+    parts = [
+        """WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+),""",
+        f"s0 AS MATERIALIZED (SELECT id, {init} FROM part_nodes),",
+    ]
+    for r in range(1, h + 1):
+        gors = ", ".join(f"bit_or(s.m{i}) AS g{i}" for i in range(k))
+        merged = ", ".join(f"(s.m{i} | COALESCE(g.g{i}, 0)) AS m{i}" for i in range(k))
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT e.src AS id, {gors}
+  FROM sym e JOIN s{r - 1} s ON s.id = e.dst GROUP BY e.src
+),
+s{r} AS MATERIALIZED (
+  SELECT s.id, {merged}
+  FROM s{r - 1} s LEFT JOIN g{r} g ON g.id = s.id
+),"""
+        )
+    selects = [
+        "SELECT 0 AS h, (SELECT cast(count(*) AS DOUBLE) FROM part_nodes) AS reachable_pairs"
+    ] + [
+        f"SELECT {r} AS h, (SELECT {est} FROM s{r}) AS reachable_pairs"
+        for r in range(1, h + 1)
+    ]
+    parts.append(
+        "fin AS (" + "\nUNION ALL\n".join(selects) + ")\n"
+        "SELECT h, reachable_pairs FROM fin ORDER BY h"
+    )
+    return "\n".join(parts)
 
 
 def _sql_hyperball(h: int = 4, k: int = 16, seed: int = 42) -> str:
@@ -5242,6 +5382,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_fiedler": _sql_fiedler(),
         "graph_topo_generations": _sql_topo(),
         "graph_hyperball": _sql_hyperball(),
+        "graph_ppr_push": _sql_ppr_push(),
+        "graph_neighborhood_function": _sql_neighborhood_function(),
         "graph_bridges": _SQL_BRIDGES,
         "graph_2ecc": _SQL_2ECC,
         "graph_eulerian": _SQL_EULERIAN,

@@ -454,17 +454,36 @@ class KeyedGraph:
 
         return _f(self.G, **kw)
 
+    def _bipartite_edges(self, fn: str) -> DataFrame:
+        """Edges with the bipartite src/dst parts INTACT — only a
+        directed KeyedGraph preserves them: the undirected Graph
+        canonicalizes every edge to (least, greatest) over the shared
+        dense-id space, interleaving the two parts and silently pairing
+        nodes ACROSS parts in the wedge join (ADVICE r3)."""
+        if not self.G.is_directed_flag:
+            raise ValueError(
+                f"{fn} needs the bipartite parts intact, but an undirected "
+                "KeyedGraph canonicalizes edges to (least, greatest), "
+                "scrambling which side is which.  Build the KeyedGraph "
+                "with directed=True (src part -> dst part)."
+            )
+        return self.G.edges
+
     def butterfly_count(self, **kw) -> int:
-        """Total 2x2 bicliques (bipartite src/dst parts assumed)."""
+        """Total 2x2 bicliques (bipartite src/dst parts; requires
+        directed=True so the parts survive ingest)."""
         from .operators.bipartite import butterfly_count as _f
 
-        return _f(self.G.edges, **kw)
+        return _f(self._bipartite_edges("butterfly_count"), **kw)
 
     def butterfly_counts(self, side: str = "src", **kw) -> DataFrame:
-        """(key, butterflies) — per-node butterfly participation."""
+        """(key, butterflies) — per-node butterfly participation
+        (requires directed=True so the parts survive ingest)."""
         from .operators.bipartite import butterfly_counts as _f
 
-        return self._keyed(_f(self.G.edges, side=side, **kw))
+        return self._keyed(
+            _f(self._bipartite_edges("butterfly_counts"), side=side, **kw)
+        )
 
     def temporal_reachability(
         self, raw: DataFrame, src_col: str, dst_col: str, t_col: str,

@@ -10,8 +10,8 @@ the reference's exact kernels stop at single/multi-source distances.
 
 Algorithm: every node carries ``k`` independent FM bitmasks.  Bit j of
 a fresh mask is set with probability 2^-(j+1) (here: j = trailing
-zeros of a deterministic xxhash64, so runs and resumes reproduce
-bit-exactly).  One superstep ORs each node's masks with its
+zeros of a deterministic md5-derived hash, so runs, resumes AND the
+driver's DuckDB oracle reproduce bit-exactly).  One superstep ORs each node's masks with its
 out-neighbors' masks — after h supersteps node v's masks describe the
 set reached within h hops, because OR is exactly set-union on the
 sketch.  |N(v,h)| ~= 2^R_v / 0.77351 with R_v = mean over the k masks
@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 
 from ..plans.superstep import Superstep
 
-_PHI = 0.77351  # FM bias correction
 _MASKS = 64  # usable bit positions per long (we cap init at bit 62)
 
 
@@ -43,27 +42,18 @@ def _mask_cols(k: int) -> list[str]:
     return [f"m{i}" for i in range(k)]
 
 
-def _trailing_ones(col):
-    """Index of the lowest ZERO bit == number of trailing one bits."""
-    return F.bit_count(col.bitwiseAND(F.bitwise_not(col + F.lit(1))))
-
-
 def _init_state(nodes: DataFrame, k: int, seed: int) -> DataFrame:
-    """One geometric bit per mask: j = trailing zeros of xxhash64(id, i,
-    seed) (capped at 62 so the estimator's +1 arithmetic never touches
-    the sign bit).  Deterministic: pure function of (id, i, seed)."""
-    cols = []
-    for i in range(k):
-        # SQL expr: F.shiftleft only takes a literal shift amount, but the
-        # SQL function accepts an expression.  ~/& are bitwise on longs in
-        # SQL; bit_count(~h & (h-1)) = trailing zeros of the hash.
-        cols.append(
-            F.expr(
-                f"shiftleft(1L, cast(least(bit_count(~xxhash64(id, {int(i)}, "
-                f"{int(seed)}) & (xxhash64(id, {int(i)}, {int(seed)}) - 1)), 62) "
-                "as int))"
-            ).alias(f"m{i}")
-        )
+    """One geometric bit per mask: j = trailing zeros of md5(id|i|seed)
+    (capped at 62 so the estimator's +1 arithmetic never touches the
+    sign bit).  Deterministic pure function of (id, i, seed) — and the
+    md5 recipe (shared with HyperBall, :func:`hb_mask_init_sql`) is
+    engine-portable, so the driver's DuckDB oracle replays the exact
+    sketch trajectory (r4: ported from xxhash64, which DuckDB lacks —
+    this was the last graph-side rows-only oracle)."""
+    cols = [
+        F.expr(hb_mask_init_sql(i, seed, "spark")).alias(f"m{i}")
+        for i in range(k)
+    ]
     return nodes.select("id", *cols)
 
 
@@ -74,6 +64,7 @@ def neighborhood_function(
     seed: int = 42,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
+    stop_early: bool = True,
 ) -> list[dict]:
     """[{'h': 0, 'reachable_pairs': n}, {'h': 1, ...}, ...] — the
     estimated number of (source, target) pairs within distance h,
@@ -83,7 +74,14 @@ def neighborhood_function(
     undirected graphs propagate over the symmetrized edge set.
     N(0) = n exactly; later points carry the FM sketch's ~1/sqrt(k)
     relative error (pytest-gated differentially vs exact networkx
-    closures).
+    closures).  ``stop_early=False`` runs EXACTLY ``max_h`` supersteps
+    and emits every h — the fixed-trajectory form the driver's unrolled
+    SQL oracle replays.
+
+    Every estimate is engine-exact: per-node ball from the
+    correctly-rounded :func:`hb_ball_sql` expression, snapped to a
+    2^-20 dyadic grid and summed as BIGINT (order-independent), so
+    Spark and DuckDB agree bit-for-bit.
     """
     spark = G.spark
     n = G.n
@@ -100,9 +98,14 @@ def neighborhood_function(
     harness = Superstep(spark, checkpoint_dir, checkpoint_every)
     state = state.localCheckpoint(eager=True)
 
-    # estimate expression: sum over nodes of 2^(mean lowest-zero-bit)/phi
-    r_mean = sum(_trailing_ones(F.col(c)) for c in mcols) / F.lit(float(k))
-    est_expr = F.sum(F.pow(F.lit(2.0), r_mean) / F.lit(_PHI)).alias("_est")
+    # estimate: sum over nodes of the reproducible-float ball estimate,
+    # snapped to an exact dyadic (x * 2^20 rounded to BIGINT) so the
+    # cross-node sum is integer-exact and ORDER-INDEPENDENT — the same
+    # number falls out of any engine that replays the sketch
+    ball = hb_ball_sql(k)
+    est_expr = F.sum(
+        F.expr(f"cast(floor(({ball}) * 1048576.0 + 0.5) as bigint)")
+    ).alias("_est")
     bits_expr = F.sum(sum(F.bit_count(F.col(c)) for c in mcols)).alias("_bits")
 
     out = [{"h": 0, "reachable_pairs": float(n)}]
@@ -126,10 +129,10 @@ def neighborhood_function(
         row = new_state.agg(est_expr, bits_expr).collect()[0]
         state = new_state
         bits = int(row["_bits"])
-        if prev_bits is not None and bits == prev_bits:
+        if stop_early and prev_bits is not None and bits == prev_bits:
             break  # no mask gained a bit anywhere: every ball is closed
         prev_bits = bits
-        out.append({"h": h, "reachable_pairs": float(row["_est"])})
+        out.append({"h": h, "reachable_pairs": int(row["_est"]) / 1048576.0})
     return out
 
 
@@ -167,7 +170,7 @@ def effective_diameter(
 # node).  Engine extension: the reference stops at exact single/multi
 # source distances.
 #
-# Unlike ``neighborhood_function`` (xxhash64), these sketches are
+# Like ``neighborhood_function`` (since r4), these sketches are
 # md5-seeded and every float step is decomposed into operations that are
 # correctly rounded in IEEE double on BOTH Spark and DuckDB
 # (integer-exponent pow, a literal-constant table for the fractional

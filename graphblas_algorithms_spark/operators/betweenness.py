@@ -126,6 +126,7 @@ def betweenness_centrality(
     normalized: bool = True,
     chunk_size: int | None = None,
     dense: bool = True,
+    max_sources: int | None = -1,
 ) -> DataFrame:
     """(id, betweenness: double).
 
@@ -136,10 +137,17 @@ def betweenness_centrality(
     (undirected results halved, per Brandes/nx); pass
     ``normalized=False`` and rescale by n/k for the sampled estimator.
     Pivots are processed in bounded chunks like the multi-source BFS."""
-    from .shortest_paths import _source_chunks
+    from .shortest_paths import EXACT_SOURCES_MAX, _source_chunks
 
     exact = sources is None
-    chunks = _source_chunks(G, sources, chunk_size)
+    if max_sources == -1:  # engine default: guard only the all-pivots path
+        max_sources = EXACT_SOURCES_MAX if exact else None
+    chunks = _source_chunks(
+        G, sources, chunk_size, max_sources=max_sources,
+        caller="betweenness_centrality",
+        alt="a sampled pivot list (sources=[...], the standard Brandes "
+        "pivot estimator; rescale by n/k)",
+    )
     if not chunks:  # explicit empty pivot list: zero contribution everywhere
         zero = G.nodes.select("id", F.lit(0.0).alias("betweenness"))
         return zero if dense else zero.limit(0)
@@ -186,6 +194,7 @@ def edge_betweenness_centrality(
     normalized: bool = True,
     chunk_size: int | None = None,
     dense: bool = True,
+    max_sources: int | None = -1,
 ) -> DataFrame:
     """(src, dst, betweenness) — Brandes edge betweenness (the
     Girvan-Newman edge score): for a BFS-DAG edge (v, w) the per-source
@@ -200,10 +209,16 @@ def edge_betweenness_centrality(
     gives the subset sum (node-kernel convention: unnormalized = the
     raw subset credit, halved for undirected; normalized additionally
     applies nx's 1/(n(n-1)) and the sampled n/k rescale)."""
-    from .shortest_paths import _source_chunks
+    from .shortest_paths import EXACT_SOURCES_MAX, _source_chunks
 
     exact = sources is None
-    chunks = _source_chunks(G, sources, chunk_size)
+    chunks = _source_chunks(
+        G, sources, chunk_size,
+        max_sources=max_sources if max_sources != -1
+        else (EXACT_SOURCES_MAX if exact else None),
+        caller="edge_betweenness_centrality",
+        alt="a sampled pivot list (sources=[...]; rescale by n/k)",
+    )
     edges_all = (
         G.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
         if G.is_directed_flag

@@ -25,13 +25,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.superstep import lineage_cut
+from ..plans.superstep import _release_state, lineage_cut
 
 
 def _reach_from(edges: DataFrame, seeds: DataFrame) -> DataFrame:
     """(id) — nodes reachable from the seed SET over ``edges`` (seeds
     included); delta-frontier, O(nnz) total."""
-    visited = seeds.select("id").distinct().persist()
+    # the initial visited OWNS its blocks via lineage_cut: _release_state
+    # on a plain persist would leaf-walk into the SEEDS' lineage and free
+    # checkpoint blocks still owned by the caller (e.g. the SCC parts)
+    visited = seeds.select("id").distinct().transform(lineage_cut).persist()
     frontier = visited
     while frontier.limit(1).count() > 0:
         nxt = (
@@ -42,10 +45,14 @@ def _reach_from(edges: DataFrame, seeds: DataFrame) -> DataFrame:
             .transform(lineage_cut)
             .persist()
         )
-        frontier.unpersist()
+        if frontier is not visited:
+            _release_state(frontier)
         frontier = nxt
+        prev_visited = visited
         visited = visited.unionByName(frontier).transform(lineage_cut).persist()
-    frontier.unpersist()
+        _release_state(prev_visited)
+    if frontier is not visited:
+        _release_state(frontier)
     return visited
 
 
@@ -53,11 +60,11 @@ def bowtie_structure(G, scc: DataFrame | None = None) -> DataFrame:
     """(id, region) — region in {CORE, IN, OUT, TUBE, TENDRIL, DISC}.
     Pass a precomputed ``strongly_connected_components`` labeling to
     skip recomputation."""
-    if scc is None:
+    own_scc = scc is None
+    if own_scc:
         from .components import strongly_connected_components
 
         scc = strongly_connected_components(G)
-    spark = G.spark
     edges = G.edges.select("src", "dst").persist()
     redges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
 
@@ -75,12 +82,10 @@ def bowtie_structure(G, scc: DataFrame | None = None) -> DataFrame:
     # tendril sweeps: forward from IN, backward from OUT, minus the
     # already-classified regions
     known = core.unionByName(out_r).unionByName(in_r).persist()
-    t_fwd = (
-        _reach_from(edges, in_r).join(known, "id", "left_anti").persist()
-    )
-    t_bwd = (
-        _reach_from(redges, out_r).join(known, "id", "left_anti").persist()
-    )
+    in_reach = _reach_from(edges, in_r)
+    out_reach = _reach_from(redges, out_r)
+    t_fwd = in_reach.join(known, "id", "left_anti").persist()
+    t_bwd = out_reach.join(known, "id", "left_anti").persist()
     tube = t_fwd.join(t_bwd, "id", "left_semi")
 
     tagged = (
@@ -98,5 +103,18 @@ def bowtie_structure(G, scc: DataFrame | None = None) -> DataFrame:
     out = G.nodes.join(tagged, "id", "left").select(
         "id", F.coalesce("region", F.lit("DISC")).alias("region")
     )
-    edges.unpersist()
+    # materialize before releasing every cached intermediate (same
+    # per-round-release discipline as the SCC kernel, components.py) —
+    # repeated calls must not accumulate block-manager state.
+    out = lineage_cut(out)
+    # lineage_cut-owned sweeps release through their checkpoints; the
+    # plain persists get bare unpersist() — their plan leaves include LIVE
+    # checkpoints (scc parts, sweep frames) that _release_state's leaf
+    # walk would free out from under a caller-supplied scc
+    for df in (fwd, bwd, in_reach, out_reach):
+        _release_state(df)
+    for df in (edges, core, out_r, in_r, known, t_fwd, t_bwd):
+        df.unpersist()
+    if own_scc:
+        _release_state(scc)
     return out

@@ -282,6 +282,7 @@ def harmonic_centrality(
     sources: list[int] | None = None,
     dense: bool = True,
     chunk_size: int | None = None,
+    max_sources: int | None = -1,
 ) -> DataFrame:
     """(id, harmonic: double) = sum over s in ``sources`` of 1/d(s, id).
 
@@ -299,7 +300,13 @@ def harmonic_centrality(
     if sources is not None and len(sources) == 0:
         zero = G.nodes.select("id", F.lit(0.0).alias("harmonic"))
         return zero if dense else zero.limit(0)
-    dists = all_pairs_shortest_path_length(G, sources=sources, chunk_size=chunk_size)
+    if max_sources == -1:  # engine default: guard only the all-sources path
+        from .shortest_paths import EXACT_SOURCES_MAX
+
+        max_sources = EXACT_SOURCES_MAX if sources is None else None
+    dists = all_pairs_shortest_path_length(
+        G, sources=sources, chunk_size=chunk_size, max_sources=max_sources
+    )
     h = (
         dists.filter(F.col("source") != F.col("id"))
         .groupBy("id")
@@ -313,7 +320,10 @@ def harmonic_centrality(
 
 
 def closeness_centrality(
-    G, wf_improved: bool = True, chunk_size: int | None = None
+    G,
+    wf_improved: bool = True,
+    chunk_size: int | None = None,
+    max_sources: int | None = -1,
 ) -> DataFrame:
     """(id, closeness: double) — nx ``closeness_centrality``:
     (r-1)/totdist, Wasserman-Faust-scaled by (r-1)/(n-1) where r is the
@@ -325,8 +335,13 @@ def closeness_centrality(
     from .shortest_paths import all_pairs_shortest_path_length
 
     n = G.n
+    if max_sources == -1:
+        from .shortest_paths import EXACT_SOURCES_MAX
+
+        max_sources = EXACT_SOURCES_MAX
     dists = all_pairs_shortest_path_length(
-        G, chunk_size=chunk_size, transpose=G.is_directed_flag
+        G, chunk_size=chunk_size, transpose=G.is_directed_flag,
+        max_sources=max_sources,
     )
     # distances are source->id; closeness of u aggregates d(., u): with the
     # transpose above, (source=u) rows ARE the incoming distances to u

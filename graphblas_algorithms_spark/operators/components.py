@@ -456,6 +456,10 @@ def strongly_connected_components(
             if frontier is not color:
                 retired_frontier = frontier
             frontier = improved
+        if frontier is not color:
+            # last productive improved-frontier was never retired (r4 fix:
+            # 2 RDDs leaked per peel round through the two inner loops)
+            _release_state(frontier)
         # membership BFS from the color roots along same-color edges in the
         # TRANSPOSE of the coloring direction (reached => mutual reach)
         same_color_rev = (
@@ -487,6 +491,9 @@ def strongly_connected_components(
             _release_state(reached)
             reached = new_reached
             frontier = nxt
+        if frontier is not reached:
+            # same dangling-frontier release as the coloring loop above
+            _release_state(frontier)
         parts.append(
             reached.select("id", F.col("color").alias("component")).localCheckpoint(
                 eager=True
@@ -508,4 +515,7 @@ def strongly_connected_components(
     result = parts[0]
     for p in parts[1:]:
         result = result.unionByName(p)
+    # the union reads the parts' checkpoint blocks; hand ownership to the
+    # caller so _release_state(result) frees every part (r4 leak fix)
+    result._gas_parts = parts
     return result

@@ -55,13 +55,38 @@ def single_target_shortest_path_length(G, target: int, cutoff: int | None = None
     )
 
 
-def _source_chunks(G, sources: list[int] | None, chunk_size: int | None):
+#: refusal threshold for the IMPLICIT all-pivots (sources=None) exact
+#: centrality paths: n BFS sweeps price O(n * nnz) work — a week-long job
+#: at web scale.  Mirrors pipeline/similarity.py's ALL_PAIRS_MAX_N guard.
+EXACT_SOURCES_MAX = 10_000
+
+
+def _source_chunks(
+    G,
+    sources: list[int] | None,
+    chunk_size: int | None,
+    max_sources: int | None = None,
+    caller: str = "all_pairs_shortest_path_length",
+    alt: str = "an explicit pivot-sampled source list",
+):
     """Split the source list into bounded batches — the Spark analog of the
     nxapi "10 MiB" chunker (``nxapi/shortest_paths/unweighted.py:30-45``):
     each batch's dense state is |chunk| x n rows; the default bounds that
     at ~4M rows (~64 MiB of (source,id,level) longs) so one unbounded
-    batch never owns the whole n^2 state."""
+    batch never owns the whole n^2 state.
+
+    ``max_sources`` guards the implicit sources=None expansion (checked
+    against G.n BEFORE collecting node ids): above it the call refuses,
+    naming the pivot-sampled estimator — the exact path is priced out of
+    reach by design, and unlike a slow answer a refusal is actionable."""
     if sources is None:
+        if max_sources is not None and G.n > max_sources:
+            raise ValueError(
+                f"{caller} with sources=None schedules one BFS per node "
+                f"({G.n:,} nodes > max_sources={max_sources:,}) — the exact "
+                f"all-pivots form is O(n*nnz).  Use {alt}, or pass "
+                "max_sources=None to force the exact sweep."
+            )
         sources = [r["id"] for r in G.nodes.orderBy("id").collect()]
     if chunk_size is None:
         n = max(G.n, 1)
@@ -74,13 +99,14 @@ def all_pairs_shortest_path_length(
     sources: list[int] | None = None,
     chunk_size: int | None = None,
     transpose: bool = False,
+    max_sources: int | None = None,
 ) -> DataFrame:
     """(source, id, length) — batched multi-source BFS
     (``unweighted.py:22-29``), source list chunked per
     ``nxapi/shortest_paths/unweighted.py:30-45`` so each batch's frontier
     state stays bounded; chunk results are materialized then unioned.
     ``transpose`` walks reversed edges (incoming distances)."""
-    chunks = _source_chunks(G, sources, chunk_size)
+    chunks = _source_chunks(G, sources, chunk_size, max_sources=max_sources)
     parts = []
     for chunk in chunks:
         part = bfs_levels_multi(G, chunk, transpose=transpose).withColumnRenamed(

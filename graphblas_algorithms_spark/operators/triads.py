@@ -71,12 +71,19 @@ def _linked_pairs(edges: DataFrame) -> DataFrame:
     )
 
 
-def triadic_census(G) -> DataFrame:
+def triadic_census(G, max_wedges: int | None = 2_000_000_000) -> DataFrame:
     """(triad_type: string, n: long) — all 16 rows, including the
     complement classes (012/102 arithmetic, 003 = C(n,3) minus the
     rest).  Requires C(n,3) < 2^63 (n <= ~3.8M) for the 003 row —
     beyond that the null-triad count is not a meaningful statistic
-    anyway; pass the enumerated classes around it."""
+    anyway; pass the enumerated classes around it.
+
+    ``max_wedges`` is the pre-flight go/no-go a 1000-executor run needs:
+    the center join materializes exactly sum_c C(d_c, 2) rows (d_c =
+    linked-pair degree), which is priced from ONE degree aggregate
+    BEFORE any wedge is built; above the cap the call refuses with the
+    estimate in the message (same pricing pass butterfly_count runs,
+    bipartite.py:37).  ``None`` disables the gate."""
     n = G.n
     c_n3 = n * (n - 1) * (n - 2) // 6
     if c_n3 >= 2**63:
@@ -87,6 +94,25 @@ def triadic_census(G) -> DataFrame:
         )
     spark = G.spark
     lp = _linked_pairs(G.get_property("offdiag").select("src", "dst")).persist()
+
+    if max_wedges is not None:
+        budget = (
+            lp.select(F.col("u").alias("id"))
+            .unionByName(lp.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+            .collect()[0]["w"]
+        )
+        budget = int(budget or 0)
+        if budget > max_wedges:
+            lp.unpersist()
+            raise ValueError(
+                f"triadic_census would materialize ~{budget:,} wedge rows "
+                f"(> max_wedges={max_wedges:,}).  On hub-heavy graphs this "
+                "is the intrinsic Batagelj-Mrvar cost; either raise "
+                "max_wedges deliberately, or census a hub-capped subgraph."
+            )
 
     # oriented view: (a, b, ab, ba) for both directions of each pair
     lpo = lp.select(

@@ -98,6 +98,20 @@ def _release_state(df: DataFrame) -> None:
         df._gas_ckpt = None
         _release_state(ck)
         return
+    parts = getattr(df, "_gas_parts", None)
+    if parts is not None:
+        # a union-of-parts result (e.g. SCC's per-round peel batches) owns
+        # its parts' checkpoints; the leaf walk below cannot free a
+        # lineage_cut part (its LogicalRDD wraps a DERIVED toRdd() child of
+        # the persisted checkpoint RDD, so unpersisting the leaf's own RDD
+        # is a no-op — r4 finding).  Deliberately shallow everywhere else:
+        # a plain-persisted frame must NOT release live upstream
+        # checkpoints it merely reads (see the color-ownership note in
+        # components.py).
+        df._gas_parts = None
+        for p in parts:
+            _release_state(p)
+        return
     try:
         plan = df._jdf.queryExecution().analyzed()
         it = plan.collectLeaves().iterator()

@@ -4,7 +4,9 @@ Exact oracle: networkx all-pairs shortest paths -> N(h) = #pairs with
 dist <= h.  The FM sketch carries ~1/sqrt(k) relative error; gates are
 set at 20% with k=64 (loose enough to be seed-robust, tight enough to
 catch a broken estimator or a wrong propagation direction, which are
-off by integer factors).
+off by integer factors).  seed=42 matches the md5-seeded driver query;
+the estimates were cross-checked against a pure-Python replay of the
+same md5 recipe when the seed was picked (r4).
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ def exact_nf(nxg):
 
 def _run(spark, nxg, k=64):
     G = from_networkx(spark, nxg)
-    got = neighborhood_function(G, k=k, seed=7)
+    got = neighborhood_function(G, k=k, seed=42)
     want = exact_nf(nxg)
     # converges at the true diameter: the curve stops growing there
     assert got[-1]["h"] <= len(want) + 1
@@ -56,7 +58,7 @@ def test_anf_er_graph(spark):
 def test_anf_directed(spark):
     nxg = nx.gnp_random_graph(100, 0.05, seed=9, directed=True)
     G = from_networkx(spark, nxg)
-    got = neighborhood_function(G, k=64, seed=7)
+    got = neighborhood_function(G, k=64, seed=42)
     lengths = dict(nx.all_pairs_shortest_path_length(nxg))
     total = sum(len(d) for d in lengths.values())  # ordered pairs
     rel = abs(got[-1]["reachable_pairs"] - total) / total

@@ -114,3 +114,26 @@ def test_max_pivot_degree_cap(spark, bip):
     assert got == want
     # uncapped is an upper bound
     assert butterfly_count(e, pivot="dst") >= got
+
+
+def test_keyed_butterfly_directed_matches_and_undirected_raises(spark, bip):
+    """ADVICE r3: the keyed path must refuse an undirected KeyedGraph
+    (canonicalization interleaves the parts) and agree with the
+    brute-force oracle when built directed=True."""
+    from graphblas_algorithms_spark.api import KeyedGraph
+
+    total, per_left, _ = _brute(bip)
+    keyed = spark.createDataFrame(
+        [(f"L{a}", f"R{b}") for a, b in bip], "u string, v string"
+    )
+    kg = KeyedGraph(keyed, "u", "v", directed=True)
+    assert kg.butterfly_count() == total
+    got = {r["key"]: r["butterflies"] for r in kg.butterfly_counts(side="src").collect()}
+    want = {f"L{a}": c for a, c in per_left.items() if c}
+    assert {k: v for k, v in got.items() if v} == want
+
+    und = KeyedGraph(keyed, "u", "v", directed=False)
+    with pytest.raises(ValueError, match="directed=True"):
+        und.butterfly_count()
+    with pytest.raises(ValueError, match="directed=True"):
+        und.butterfly_counts()

@@ -1,0 +1,102 @@
+"""Bow-tie decomposition vs a networkx-composed oracle (nx SCC +
+reachability sweeps), plus a cache-hygiene check: repeated calls must not
+accumulate block-manager state (the r3 verdict's one unverified file)."""
+
+from __future__ import annotations
+
+import networkx as nx
+
+from graphblas_algorithms_spark import from_networkx
+from graphblas_algorithms_spark.operators.bowtie import bowtie_structure
+
+
+def _nx_bowtie(nxg):
+    """Region map via the same Broder-et-al definitions, composed from
+    networkx primitives.  Assumes a unique largest SCC (test graphs are
+    built that way)."""
+    sccs = sorted(nx.strongly_connected_components(nxg), key=len)
+    core = sccs[-1]
+    assert len(sccs) < 2 or len(sccs[-2]) < len(core), "ambiguous core"
+    anchor = next(iter(core))
+    fwd = nx.descendants(nxg, anchor) | core
+    bwd = nx.ancestors(nxg, anchor) | core
+    out_r = fwd - core
+    in_r = bwd - core
+    known = core | out_r | in_r
+
+    def reach(g, seeds):
+        seen = set(seeds)
+        for s in seeds:
+            seen |= nx.descendants(g, s)
+        return seen
+
+    t_fwd = reach(nxg, in_r) - known
+    t_bwd = reach(nxg.reverse(copy=True), out_r) - known
+    tube = t_fwd & t_bwd
+    tendril = (t_fwd | t_bwd) - tube
+    region = {}
+    for n in nxg.nodes():
+        if n in core:
+            region[n] = "CORE"
+        elif n in in_r:
+            region[n] = "IN"
+        elif n in out_r:
+            region[n] = "OUT"
+        elif n in tube:
+            region[n] = "TUBE"
+        elif n in tendril:
+            region[n] = "TENDRIL"
+        else:
+            region[n] = "DISC"
+    return region
+
+
+def _spark_bowtie(spark, nxg):
+    G = from_networkx(spark, nxg)
+    return {r["id"]: r["region"] for r in bowtie_structure(G).collect()}
+
+
+def test_bowtie_canonical(spark):
+    # one hand-built graph exercising all six regions
+    nxg = nx.DiGraph(
+        [
+            (0, 1), (1, 2), (2, 0),          # CORE 3-cycle
+            (3, 0), (4, 3),                  # IN
+            (2, 5), (5, 6),                  # OUT
+            (3, 7), (7, 5),                  # TUBE via 7
+            (3, 8),                          # fwd TENDRIL 8
+            (9, 5),                          # bwd TENDRIL 9
+            (10, 11),                        # DISC pair
+        ]
+    )
+    got = _spark_bowtie(spark, nxg)
+    want = _nx_bowtie(nxg)
+    assert want[7] == "TUBE" and want[8] == "TENDRIL" and want[10] == "DISC"
+    assert got == want
+
+
+def test_bowtie_random(spark):
+    for seed in (3, 11):
+        nxg = nx.gnp_random_graph(60, 0.04, seed=seed, directed=True)
+        got = _spark_bowtie(spark, nxg)
+        want = _nx_bowtie(nxg)
+        assert got == want, f"seed={seed}"
+
+
+def test_bowtie_no_cache_leak(spark):
+    """Repeated calls must leave the block manager where they found it
+    (the r3 finding: 8+ leaked persists per call)."""
+    from graphblas_algorithms_spark.plans.superstep import _release_state
+
+    nxg = nx.gnp_random_graph(40, 0.06, seed=7, directed=True)
+    G = from_networkx(spark, nxg)
+    res = bowtie_structure(G)  # warm any lazily-cached graph state
+    res.collect()
+    _release_state(res)
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    for _ in range(2):
+        res = bowtie_structure(G)
+        res.collect()
+        _release_state(res)  # caller-owned result checkpoint
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before, (before, after)
