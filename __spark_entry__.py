@@ -3174,9 +3174,18 @@ comp AS MATERIALIZED (SELECT id, min(comp) AS root FROM reach GROUP BY id),
 lvl(id, d) AS (
   SELECT id, 0 FROM comp WHERE id = root
   UNION
-  SELECT s.dst, l.d + 1 FROM lvl l JOIN sym23 s ON s.src = l.id WHERE l.d < 64
+  SELECT s.dst, l.d + 1 FROM lvl l JOIN sym23 s ON s.src = l.id WHERE l.d < 512
 ),
 lvl2 AS MATERIALIZED (SELECT id, min(d) AS level FROM lvl GROUP BY id),
+-- ADVICE r3: the depth bound exists only because a cyclic (id, d) BFS
+-- CTE never terminates; 512 is far above any plausible eccentricity of
+-- the 1/23-thinned graph at every sf.  If truncation EVER bites, this
+-- canary emits an impossible (-1, -1) edge so parity breaks loudly
+-- instead of silently building a different forest.
+trunc_canary AS MATERIALIZED (
+  SELECT CAST(-1 AS BIGINT) AS src, CAST(-1 AS BIGINT) AS dst
+  FROM lvl2 WHERE level >= 511 LIMIT 1
+),
 par AS MATERIALIZED (
   SELECT e.dst AS id, min(e.src) AS parent
   FROM sym23 e JOIN lvl2 a ON a.id = e.src JOIN lvl2 b ON b.id = e.dst
@@ -3216,7 +3225,8 @@ bridge AS MATERIALIZED (
 )"""
 
 _SQL_BRIDGES = f"""WITH RECURSIVE {_SQL_BRIDGE_PREFIX}
-SELECT src, dst FROM bridge"""
+SELECT src, dst FROM bridge
+UNION ALL SELECT src, dst FROM trunc_canary"""
 
 _SQL_BUTTERFLIES = f"""WITH {_SQL_CUST_SUPP.strip()},
 cod AS (
@@ -3475,7 +3485,8 @@ kreach(id, comp) AS (
   UNION
   SELECT s.dst, r.comp FROM kreach r JOIN ksym s ON s.src = r.id
 )
-SELECT id, min(comp) AS component FROM kreach GROUP BY id"""
+SELECT id, min(comp) AS component FROM kreach GROUP BY id
+UNION ALL SELECT src AS id, dst AS component FROM trunc_canary"""
 
 
 def _sql_topo() -> str:

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.superstep import lineage_cut
+from ..plans.superstep import _release_state, lineage_cut
 
 
 def topological_generations(
@@ -156,11 +156,16 @@ def dag_longest_path_length(G, weight: bool = False) -> int | float:
         (F.col(wcol) if wcol else F.lit(1.0)).cast("double").alias("w"),
     ).repartition(num_part, "src")
     layers = [r["layer"] for r in gens.select("layer").distinct().orderBy("layer").collect()]
-    dist = gens.filter(F.col("layer") == 0).select(
-        "id", F.lit(0.0).alias("dist")
-    )
+    # seed EVERY node at 0, not just layer 0: nx floors each node's dist
+    # at (0, v), so with negative edge weights a maximal path may start
+    # mid-graph (ADVICE r3).  Keeping the 0-row per node alongside the
+    # relaxed rows realizes exactly that floor — the per-id max of acc
+    # rows is max(0, max_pred(dist+w)), and successors reading ALL rows
+    # through the max aggregate see the floored value.
+    dist = gens.select("id", F.lit(0.0).alias("dist"))
     best = 0.0
-    acc = dist.persist()
+    # lineage-cut the seed so releases never walk into gens' live blocks
+    acc = dist.transform(lineage_cut).persist()
     for layer in layers[1:]:
         tgt = gens.filter(F.col("layer") == layer).select("id")
         step = (
@@ -169,10 +174,12 @@ def dag_longest_path_length(G, weight: bool = False) -> int | float:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.max(F.col("dist") + F.col("w")).alias("dist"))
         )
+        prev = acc
         acc = acc.unionByName(step).transform(lineage_cut).persist()
+        _release_state(prev)  # ADVICE r3: one pinned frame per layer
     row = acc.agg(F.max("dist").alias("m")).collect()[0]
     best = float(row["m"] or 0.0)
-    acc.unpersist()
+    _release_state(acc)
     return best
 
 

@@ -342,12 +342,16 @@ def eulerian_summary(G) -> DataFrame:
 
     Undirected: eulerian iff no odd-degree node and the graph is ONE
     component (isolates disconnect, matching nx); a path additionally
-    allows exactly two odd nodes.  Directed: eulerian iff every node balanced (in == out)
-    and one spanning component of the symmetrized graph restricted to
-    nonzero-degree nodes (nx requires STRONG connectivity for the
-    circuit — checked separately below); a path allows one +1 and one
-    -1 imbalance.  Computed as two degree aggregates + one CC labeling
-    restricted to non-isolated nodes — O(nnz), no per-node work."""
+    allows exactly two odd nodes.  Directed: eulerian iff every node
+    balanced (in == out) and ONE component of the symmetrized graph
+    over ALL nodes — isolates disconnect here too, matching installed
+    networkx (3.6.x: "graphs with isolated vertices are not considered
+    to have an Eulerian path"; ADVICE r3 flagged the old docstring's
+    nonzero-degree claim, which described a different nx lineage —
+    the CODE matches nx, the docstring was wrong).  Balance + weak
+    connectivity => strong, so no separate SCC pass is needed for the
+    circuit.  A path allows one +1 and one -1 imbalance.  Two degree
+    aggregates + one CC labeling — O(nnz), no per-node work."""
     from .components import connected_components
 
     spark = G.spark

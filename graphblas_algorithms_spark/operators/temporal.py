@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.superstep import lineage_cut
+from ..plans.superstep import _release_state, lineage_cut
 
 
 def temporal_reachability(
@@ -75,6 +75,7 @@ def temporal_reachability(
                 F.col("arrival").alias("_old"),
             )
         )
+        prev_frontier, prev_arrival = frontier, arrival
         frontier = (
             merged.filter(
                 F.col("_old").isNull() | (F.col("arrival") < F.col("_old"))
@@ -84,9 +85,14 @@ def temporal_reachability(
             .persist()
         )
         arrival = merged.select("source", "id", "arrival").transform(lineage_cut).persist()
+        # ADVICE r3: long relaxation chains pinned one frame per round
+        if prev_frontier is not prev_arrival:
+            _release_state(prev_frontier)
+        _release_state(prev_arrival)
         if frontier.limit(1).count() == 0:
             break
     e.unpersist()
+    _release_state(frontier)
     return arrival
 
 

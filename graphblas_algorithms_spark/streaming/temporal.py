@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.superstep import lineage_cut
+from ..plans.superstep import _release_state, lineage_cut
 
 
 def _relax_to_fixpoint(
@@ -30,6 +30,7 @@ def _relax_to_fixpoint(
     ``edges``: (src, dst, t); ``arrival``/``frontier``: (source, id,
     arrival).  Returns the new arrival table."""
     rounds = 0
+    owned = False  # round-0 arrival/frontier belong to the CALLER
     while frontier.limit(1).count() > 0:
         rounds += 1
         if rounds > max_rounds:
@@ -51,6 +52,7 @@ def _relax_to_fixpoint(
             F.least("arrival", "_new").alias("arrival"),
             F.col("arrival").alias("_old"),
         )
+        prev_frontier, prev_arrival = frontier, arrival
         frontier = (
             merged.filter(F.col("_old").isNull() | (F.col("arrival") < F.col("_old")))
             .select("source", "id", "arrival")
@@ -60,6 +62,16 @@ def _relax_to_fixpoint(
         arrival = (
             merged.select("source", "id", "arrival").transform(lineage_cut).persist()
         )
+        # ADVICE r3: release the superseded round's frames — the batch
+        # maintenance path accumulates relaxation chains across batches.
+        # Round-0 inputs are caller-owned and never touched.
+        if owned:
+            if prev_frontier is not prev_arrival:
+                _release_state(prev_frontier)
+            _release_state(prev_arrival)
+        owned = True
+    if owned:
+        _release_state(frontier)
     return arrival
 
 

@@ -115,3 +115,22 @@ def test_condensation_matches_networkx(spark):
     # cross-check against nx condensation structure
     C = nx.condensation(nxg)
     assert len(C) == 5 and C.number_of_edges() == 4
+
+
+def test_dag_longest_path_negative_weights(spark):
+    """ADVICE r3: with negative edge weights a maximal path may start
+    mid-graph; the all-node 0-seed realizes nx's per-node (0, v) floor."""
+    nxg = nx.DiGraph()
+    nxg.add_weighted_edges_from(
+        [(0, 1, -5.0), (1, 2, -1.0), (2, 3, 4.0), (3, 4, 2.0), (0, 5, 1.0)]
+    )
+    from graphblas_algorithms_spark.operators.dag import dag_longest_path_length
+
+    G = from_networkx(spark, nxg)
+    got = dag_longest_path_length(G, weight=True)
+    want = nx.dag_longest_path_length(nxg)
+    assert got == want, (got, want)
+    # nonnegative regression: unchanged agreement
+    nxg2 = nx.DiGraph()
+    nxg2.add_weighted_edges_from([(0, 1, 2.0), (1, 2, 3.0), (0, 2, 1.0)])
+    assert dag_longest_path_length(from_networkx(spark, nxg2), weight=True) == 5.0

@@ -39,6 +39,17 @@ def test_eulerian_directed_cases(spark):
     _check(spark, nx.DiGraph([(0, 1), (2, 3)]))                     # disconnected
 
 
+def test_eulerian_isolates_disconnect(spark):
+    """nx 3.6.x: isolated vertices disqualify both the circuit and the
+    path, directed or not (ADVICE r3 follow-up pinned differentially)."""
+    g = nx.DiGraph([(0, 1), (1, 2), (2, 0)]); g.add_node(5)
+    _check(spark, g)
+    g = nx.DiGraph([(0, 1), (1, 2)]); g.add_node(7)
+    _check(spark, g)
+    g = nx.Graph([(0, 1), (1, 2)]); g.add_node(9)
+    _check(spark, g)
+
+
 def test_eulerian_self_loop_parity(spark):
     g = nx.Graph([(0, 1), (1, 2), (2, 0)])
     g.add_edge(1, 1)  # self-loop adds 2 to degree: still eulerian in nx
