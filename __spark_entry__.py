@@ -389,6 +389,17 @@ def _q_wcc(spark, sf_dir):
     return connected_components(_part_digraph(spark, sf_dir))
 
 
+def _q_bowtie(spark, sf_dir):
+    """Bow-tie macro-structure (operators/bowtie.py): every node in one
+    of CORE / IN / OUT / TUBE / TENDRIL / DISC relative to the largest
+    SCC (Broder et al. 2000) — THE whole-graph summary for a web-scale
+    link graph.  Deterministic: largest SCC, min-label tie-break; the
+    oracle composes the SCC closure with set-algebra reachability."""
+    from graphblas_algorithms_spark.operators.bowtie import bowtie_structure
+
+    return bowtie_structure(_part_digraph(spark, sf_dir))
+
+
 def _q_scc(spark, sf_dir):
     from graphblas_algorithms_spark.operators.components import (
         strongly_connected_components,
@@ -1513,7 +1524,7 @@ def _q_ann_ivf_pq(spark, sf_dir):
     from graphblas_algorithms_spark.pipeline.similarity import ivf_pq_topk
 
     return ivf_pq_topk(
-        _read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=8, m_sub=8, k_codes=16
+        _read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=8, m_sub=8, k_codes=256
     )
 
 
@@ -1758,9 +1769,58 @@ def _q_rich_club(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "graph_ppr_push": _q_ppr_push,
+        "graph_bowtie": _q_bowtie,
+        "graph_effective_size": _q_effective_size,
+        "graph_local_bridges": _q_local_bridges,
+        "graph_trussness": _q_trussness,
+        "graph_kcore": _q_kcore,
+        "graph_core_number": _q_core_number,
+        "graph_densest": _q_densest,
+        "graph_diameter": _q_diameter,
+        "graph_triad_census": _q_triad_census,
+        "graph_onion": _q_onion,
+        "graph_linkpred": _q_linkpred,
+        "graph_negative_sample": _q_negative_sample,
+        "graph_linkpred_trainset": _q_linkpred_trainset,
+        "graph_khop_sample": _q_khop_sample,
+        "graph_feature_prop": _q_feature_prop,
+        "graph_closeness": _q_closeness,
+        "graph_harmonic": _q_harmonic,
+        "graph_betweenness": _q_betweenness,
+        "graph_edge_betweenness": _q_edge_betweenness,
+        "graph_walks": _q_walks,
+        "graph_node2vec": _q_node2vec,
+        "graph_mis": _q_mis,
+        "graph_matching": _q_matching,
+        "graph_coloring": _q_coloring,
+        "graph_assortativity": _q_assortativity,
+        "graph_modularity": _q_modularity,
+        "pipe_lm_score": _q_lm_score,
+        "pipe_repetition": _q_repetition,
+        "pipe_source_mix": _q_source_mix,
+        "pipe_domain_cap": _q_domain_cap,
+        "pipe_common_ngrams": _q_common_ngrams,
+        "pipe_tfidf_topterms": _q_tfidf_topterms,
+        "pipe_pmi_bigrams": _q_pmi_bigrams,
+        "pipe_doc_entropy": _q_doc_entropy,
+        "pipe_span_dedup": _q_span_dedup,
+        "pipe_decontaminate": _q_decontaminate,
+        "pipe_token_budget_sample": _q_token_budget_sample,
+        "pipe_pack_sequences": _q_pack_sequences,
+        "pipe_shard_manifest": _q_shard_manifest,
+        "pipe_weighted_sample": _q_weighted_sample,
+        "pipe_chunk_documents": _q_chunk_documents,
+        "pipe_dedup_incremental": _q_dedup_incremental,
+        "pipe_dedup_clusters": _q_dedup_clusters,
+        "pipe_semdedup": _q_semdedup,
+        "events_funnel": _q_events_funnel,
+        "events_windowed_closed": _q_events_windowed_closed,
+        "events_sessions_closed": _q_events_sessions_closed,
+        "graph_keyed_pagerank": _q_keyed_pagerank,
+        "graph_neighborhood_function": _q_neighborhood_function,
         "graph_pagerank": _q_pagerank,
         "graph_ppr_multi": _q_ppr_multi,
-        "graph_ppr_push": _q_ppr_push,
         "graph_pagerank_weighted": _q_pagerank_weighted,
         "graph_pagerank_personalized": _q_pagerank_personalized,
         "graph_spam_mass": _q_spam_mass,
@@ -1804,89 +1864,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_parent": _q_bfs_parent,
         "graph_bfs_multi": _q_bfs_multi,
         "graph_ego": _q_ego,
-        "graph_neighborhood_function": _q_neighborhood_function,
         "graph_square_clustering": _q_square_clustering,
         "graph_clustering_directed": _q_clustering_directed,
         "graph_generalized_degree": _q_generalized_degree,
         "graph_edge_support": _q_edge_support,
-        "graph_effective_size": _q_effective_size,
-        "graph_local_bridges": _q_local_bridges,
         "graph_ktruss": _q_ktruss,
-        "graph_trussness": _q_trussness,
-        "graph_kcore": _q_kcore,
-        "graph_core_number": _q_core_number,
-        "graph_densest": _q_densest,
-        "graph_diameter": _q_diameter,
-        "graph_triad_census": _q_triad_census,
-        "graph_onion": _q_onion,
-        "graph_linkpred": _q_linkpred,
-        "graph_negative_sample": _q_negative_sample,
-        "graph_linkpred_trainset": _q_linkpred_trainset,
-        "graph_khop_sample": _q_khop_sample,
-        "graph_feature_prop": _q_feature_prop,
-        "graph_closeness": _q_closeness,
-        "graph_harmonic": _q_harmonic,
-        "graph_betweenness": _q_betweenness,
-        "graph_edge_betweenness": _q_edge_betweenness,
-        "graph_walks": _q_walks,
         "graph_walks_weighted": _q_walks_weighted,
-        "graph_node2vec": _q_node2vec,
-        "graph_mis": _q_mis,
-        "graph_matching": _q_matching,
         "graph_coarsen": _q_coarsen,
         "graph_vertex_cover": _q_vertex_cover,
-        "graph_coloring": _q_coloring,
         "graph_isolates": _q_isolates,
         "graph_smetric": _q_smetric,
         "graph_reciprocity": _q_reciprocity,
         "graph_conductance": _q_conductance,
         "graph_node_boundary": _q_node_boundary,
         "graph_laplacian": _q_laplacian,
-        "graph_assortativity": _q_assortativity,
         "graph_avg_neighbor_degree": _q_avg_neighbor_degree,
-        "graph_modularity": _q_modularity,
         "graph_rich_club": _q_rich_club,
         "pipe_token_counts": _q_token_counts,
-        "pipe_lm_score": _q_lm_score,
         "pipe_fingerprints": _q_fingerprints,
         "pipe_exact_dups": _q_exact_dups,
         "pipe_quality": _q_quality,
-        "pipe_repetition": _q_repetition,
-        "pipe_source_mix": _q_source_mix,
-        "pipe_domain_cap": _q_domain_cap,
-        "pipe_common_ngrams": _q_common_ngrams,
-        "pipe_tfidf_topterms": _q_tfidf_topterms,
-        "pipe_pmi_bigrams": _q_pmi_bigrams,
-        "pipe_doc_entropy": _q_doc_entropy,
-        "pipe_span_dedup": _q_span_dedup,
-        "pipe_decontaminate": _q_decontaminate,
-        "pipe_token_budget_sample": _q_token_budget_sample,
-        "pipe_pack_sequences": _q_pack_sequences,
-        "pipe_shard_manifest": _q_shard_manifest,
-        "pipe_weighted_sample": _q_weighted_sample,
-        "pipe_chunk_documents": _q_chunk_documents,
         "pipe_langid": _q_langid,
         "pipe_clean_corpus": _q_clean_corpus,
         "pipe_ngram_jaccard": _q_ngram_jaccard,
         "pipe_minhash_neardup": _q_minhash_neardup,
-        "pipe_dedup_incremental": _q_dedup_incremental,
-        "pipe_dedup_clusters": _q_dedup_clusters,
         "pipe_simhash": _q_simhash,
         "pipe_embedding_neardup": _q_embedding_neardup,
         "pipe_embedding_lsh": _q_embedding_lsh,
-        "pipe_semdedup": _q_semdedup,
         "pipe_ann_topk": _q_ann_topk,
         "pipe_ann_ivf": _q_ann_ivf,
         "pipe_ann_ivf_pandas": _q_ann_ivf_pandas,
         "pipe_ann_ivf_pq": _q_ann_ivf_pq,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
-        "events_funnel": _q_events_funnel,
-        "events_windowed_closed": _q_events_windowed_closed,
-        "events_sessions_closed": _q_events_sessions_closed,
         "olap_pricing": _q_olap_pricing,
         "olap_top_customers": _q_olap_top_customers,
-        "graph_keyed_pagerank": _q_keyed_pagerank,
         "pipe_multimodal_features": _q_multimodal_features,
         "pipe_frame_sample": _q_frame_sample,
     }
@@ -2162,6 +2174,64 @@ reach(id, comp) AS (
   SELECT s.dst, r.comp FROM reach r JOIN dsym s ON s.src = r.id
 )
 SELECT id, min(comp) AS component FROM reach GROUP BY id
+"""
+
+_SQL_BOWTIE = f"""
+WITH RECURSIVE {_SQL_PART_DIGRAPH.strip()},
+reach(src, dst) AS (
+  SELECT id, id FROM part_nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN dedges e ON e.src = r.dst
+),
+scc AS MATERIALIZED (
+  SELECT a.src AS id, min(a.dst) AS component
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+  GROUP BY a.src
+),
+core_label AS MATERIALIZED (
+  SELECT component FROM (
+    SELECT component, count(*) AS n FROM scc GROUP BY component
+  ) ORDER BY n DESC, component ASC LIMIT 1
+),
+core AS MATERIALIZED (
+  SELECT id FROM scc WHERE component = (SELECT component FROM core_label)
+),
+fwd AS MATERIALIZED (
+  SELECT DISTINCT r.dst AS id FROM reach r SEMI JOIN core c ON c.id = r.src
+),
+bwd AS MATERIALIZED (
+  SELECT DISTINCT r.src AS id FROM reach r SEMI JOIN core c ON c.id = r.dst
+),
+out_r AS MATERIALIZED (SELECT id FROM fwd ANTI JOIN core c ON c.id = fwd.id),
+in_r AS MATERIALIZED (SELECT id FROM bwd ANTI JOIN core c ON c.id = bwd.id),
+known AS MATERIALIZED (
+  SELECT id FROM core UNION ALL SELECT id FROM out_r UNION ALL SELECT id FROM in_r
+),
+t_fwd AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT DISTINCT r.dst AS id FROM reach r SEMI JOIN in_r s ON s.id = r.src
+  ) x ANTI JOIN known k ON k.id = x.id
+),
+t_bwd AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT DISTINCT r.src AS id FROM reach r SEMI JOIN out_r s ON s.id = r.dst
+  ) x ANTI JOIN known k ON k.id = x.id
+),
+tube AS MATERIALIZED (SELECT id FROM t_fwd SEMI JOIN t_bwd b ON b.id = t_fwd.id),
+tendril AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT id FROM t_fwd UNION SELECT id FROM t_bwd
+  ) x ANTI JOIN tube t ON t.id = x.id
+),
+tagged AS MATERIALIZED (
+  SELECT id, 'CORE' AS region FROM core
+  UNION ALL SELECT id, 'IN' FROM in_r
+  UNION ALL SELECT id, 'OUT' FROM out_r
+  UNION ALL SELECT id, 'TUBE' FROM tube
+  UNION ALL SELECT id, 'TENDRIL' FROM tendril
+)
+SELECT n.id, COALESCE(t.region, 'DISC') AS region
+FROM part_nodes n LEFT JOIN tagged t ON t.id = n.id
 """
 
 _SQL_SCC = f"""
@@ -5340,6 +5410,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_components_incremental": _SQL_COMPONENTS,
         "graph_wcc": _SQL_WCC,
         "graph_scc": _SQL_SCC,
+        "graph_bowtie": _SQL_BOWTIE,
         "graph_labelprop": _sql_labelprop(),
         "graph_louvain": _sql_louvain(),
         "graph_triangles_total": _SQL_TRIANGLES_TOTAL,

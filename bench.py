@@ -246,6 +246,15 @@ def _sf_queries(spark) -> dict:
         "pipe_tfidf_topterms",
         "events_sessions",
         "olap_pricing",
+        # r4 rotation (VERDICT r3 #9): queries never benched before get
+        # wall numbers at least once — k-core peel, the sequence packer's
+        # distributed prefix-sum, benchmark decontamination, plus the two
+        # new kernels (forward-push PPR, bow-tie decomposition)
+        "graph_kcore",
+        "pipe_pack_sequences",
+        "pipe_decontaminate",
+        "graph_ppr_push",
+        "graph_bowtie",
     ]
     qs = em.queries()
     out = {}

@@ -341,9 +341,10 @@ def cosine_topk_pandas(
 def pq_train(
     emb: DataFrame,
     m_sub: int = 8,
-    k_codes: int = 16,
-    iters: int = 3,
+    k_codes: int = 256,
+    iters: int = 10,
     train_max: int = 100_000,
+    rotation_seed: int | None = None,
 ) -> DataFrame:
     """(sub_id, code_id, code_vec) — per-subspace k-means codebooks.
 
@@ -354,9 +355,21 @@ def pq_train(
     standard PQ recipe — the codebook is a tiny model, the corpus is
     not).  Each subspace trains independently inside one
     ``applyInPandas`` group: per-task memory is O(train_max * d/m_sub),
-    bounded regardless of corpus size.  Init = the k_codes
-    lowest-vector-id sample rows per subspace; no RNG anywhere, so
-    resumes and re-runs rebuild the identical codebook.
+    bounded regardless of corpus size.  Init = deterministic
+    farthest-point (greedy maxmin from the lowest-id sample row); no
+    RNG anywhere, so resumes and re-runs rebuild the identical codebook.
+
+    r4 defaults: ``k_codes=256`` (8-bit codes, the standard PQ setting)
+    and ``iters=10`` — measured on isotropic d=64 data, 8x16 codes are
+    a resolution floor (recall .28 vs the .55 IVF probe ceiling) while
+    8x256 reaches .48 and 16x256 the ceiling itself; codebook INIT and
+    iteration count move recall by <.02, and an OPQ-style rotation
+    cannot help at all on isotropic corpora (the distribution is
+    rotation-invariant — measured, scripts/pq_recall.py).
+    ``rotation_seed`` applies a seeded orthonormal rotation before the
+    subspace split — the OPQ-lite lever for ANISOTROPIC corpora whose
+    correlated dimensions straddle subspace boundaries; pass the same
+    seed to ``pq_encode``/``ivf_pq_topk``.
     """
     import numpy as np
 
@@ -374,6 +387,17 @@ def pq_train(
     )
     sample = vecs.filter(u < rate)
 
+    if rotation_seed is not None:
+        R = _pq_rotation(d, rotation_seed)
+
+        def _rot_batch(batches):
+            for pdf in batches:
+                X = np.vstack(pdf["v"].to_numpy()) @ R.T
+                yield pd.DataFrame({"id": pdf["id"].to_numpy(), "v": [x.tolist() for x in X]})
+
+        sample = sample.select("id", "v").mapInPandas(
+            _rot_batch, schema="id long, v array<double>"
+        )
     subs = sample.select(
         "id",
         F.posexplode(
@@ -387,7 +411,16 @@ def pq_train(
         pdf = pdf.sort_values("id")
         X = np.vstack(pdf["sv"].to_numpy())  # (t, d_sub)
         kk = min(k_codes, len(X))
-        C = X[:kk].copy()
+        # deterministic farthest-point init: max-min-distance greedy from
+        # the lowest-id row — spreads centers over the sample's support
+        # (head-of-sample init wastes codes on near-duplicate rows)
+        chosen = [0]
+        dist = ((X - X[0]) ** 2).sum(axis=1)
+        for _ in range(kk - 1):
+            nxt = int(np.argmax(dist))
+            chosen.append(nxt)
+            dist = np.minimum(dist, ((X - X[nxt]) ** 2).sum(axis=1))
+        C = X[chosen].copy()
         for _ in range(iters):
             # argmin ||x-c||^2 = argmax x.c - 0.5||c||^2
             scores = X @ C.T - 0.5 * (C * C).sum(axis=1)
@@ -411,6 +444,23 @@ def pq_train(
     )
 
 
+def _pq_rotation(d: int, seed: int):
+    """Deterministic orthonormal d x d rotation: product of d seeded
+    Householder reflections (numpy PCG64 with a fixed seed — bit-stable
+    across runs and hosts for a given numpy).  OPQ-lite: decorrelates
+    dimensions across the subspace split for anisotropic corpora; a
+    no-op statistically on isotropic data (rotation-invariant)."""
+    import numpy as np
+
+    rng = np.random.default_rng(int(seed))
+    R = np.eye(d)
+    for _ in range(d):
+        v = rng.normal(size=d)
+        v /= np.linalg.norm(v)
+        R = R - 2.0 * np.outer(v, v @ R)
+    return R
+
+
 def _codebook_np(codebooks: DataFrame):
     """Collect the tiny (m_sub*k_codes)-row codebook to a dense numpy
     (m_sub, k_codes, d_sub) tensor for closure-shipping to executors."""
@@ -426,7 +476,9 @@ def _codebook_np(codebooks: DataFrame):
     return cb
 
 
-def pq_encode(vecs: DataFrame, codebooks: DataFrame) -> DataFrame:
+def pq_encode(
+    vecs: DataFrame, codebooks: DataFrame, rotation_seed: int | None = None
+) -> DataFrame:
     """(id, codes: array<int>) — each vector compressed to m_sub code
     ids (argmin L2 per subspace).  One Arrow-batched numpy pass; the
     codebook rides in the UDF closure (KBs).  At d=768 float64 -> 8
@@ -440,10 +492,13 @@ def pq_encode(vecs: DataFrame, codebooks: DataFrame) -> DataFrame:
     m_sub, k_codes, d_sub = cb.shape
     flat = cb.reshape(m_sub * k_codes, d_sub)
     half_norm = 0.5 * (flat * flat).sum(axis=1).reshape(m_sub, k_codes)
+    R = _pq_rotation(m_sub * d_sub, rotation_seed) if rotation_seed is not None else None
 
     def encode(batches):
         for pdf in batches:
             X = np.vstack(pdf["v"].to_numpy())  # (b, d)
+            if R is not None:
+                X = X @ R.T
             Xs = X.reshape(len(X), m_sub, d_sub)  # (b, s, ds)
             # scores[b, s, k] = x_bs . c_sk - 0.5||c_sk||^2
             scores = np.einsum("bsd,skd->bsk", Xs, cb) - half_norm
@@ -461,8 +516,9 @@ def ivf_pq_topk(
     m: int = 16,
     n_probe: int = 4,
     m_sub: int = 8,
-    k_codes: int = 16,
+    k_codes: int = 256,
     rerank: int = 4,
+    rotation_seed: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cosine) — IVF + product quantization.
 
@@ -481,11 +537,12 @@ def ivf_pq_topk(
     import numpy as np
 
     assigned, probes = _ivf_parts(emb, m, n_probe)
-    codebooks = pq_train(emb, m_sub=m_sub, k_codes=k_codes)
+    codebooks = pq_train(emb, m_sub=m_sub, k_codes=k_codes, rotation_seed=rotation_seed)
     cb = _codebook_np(codebooks)
     ms, kc, d_sub = cb.shape
+    R = _pq_rotation(ms * d_sub, rotation_seed) if rotation_seed is not None else None
 
-    codes = pq_encode(assigned.select("id", "v"), codebooks)
+    codes = pq_encode(assigned.select("id", "v"), codebooks, rotation_seed=rotation_seed)
     members = assigned.select(
         F.col("centroid_id").alias("cell"), F.col("id").alias("neighbor_id")
     ).join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
@@ -496,6 +553,8 @@ def ivf_pq_topk(
         if qpdf.empty or mpdf.empty:
             return pd.DataFrame(columns=["query_id", "neighbor_id", "approx"])
         Q = np.vstack(qpdf["vq"].to_numpy())  # (q, d)
+        if R is not None:
+            Q = Q @ R.T  # rotated LUT vs rotated codes: q.x == Rq.Rx
         Qs = Q.reshape(len(Q), ms, d_sub)
         lut = np.einsum("qsd,skd->qsk", Qs, cb)  # (q, s, k_codes)
         C = np.vstack(mpdf["codes"].to_numpy())  # (c, s) int

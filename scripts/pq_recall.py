@@ -69,6 +69,10 @@ def bench_corpus(spark, emb, k, label, results):
          dict(m=16, n_probe=8, m_sub=8, k_codes=32, rerank=4)),
         ("ivf_pq m=16 np=8 ksub=8x16 rr=8", ivf_pq_topk,
          dict(m=16, n_probe=8, m_sub=8, k_codes=16, rerank=8)),
+        ("ivf_pq m=16 np=8 ksub=8x256 rr=4 (r4 default)", ivf_pq_topk,
+         dict(m=16, n_probe=8, m_sub=8, k_codes=256, rerank=4)),
+        ("ivf_pq m=16 np=8 ksub=8x256 rr=4 rot", ivf_pq_topk,
+         dict(m=16, n_probe=8, m_sub=8, k_codes=256, rerank=4, rotation_seed=42)),
     ]:
         t0 = time.time()
         approx = topk_sets(fn(emb, k=k, **kwargs))
