@@ -63,12 +63,7 @@ def _walk_inputs(G, starts, weighted):
             .select("src", "dst", *wcols)
             .filter(F.col("src") != F.col("dst"))
         )
-    # pin the hop-join partitioning ONCE: every hop joins states on
-    # node == src, so a src-hash-partitioned cached adjacency satisfies
-    # the join's required distribution and the per-hop exchange touches
-    # only the (much smaller) frontier side
-    num_part = int(G.spark.conf.get("spark.sql.shuffle.partitions"))
-    return sdf, adj.repartition(num_part, "src").persist(), weighted
+    return sdf, adj.persist(), weighted
 
 
 def random_walks(
@@ -174,19 +169,8 @@ def node2vec_walks(
     number of shuffles per superstep with all chains batched.
     """
     sdf, adj, use_w = _walk_inputs(G, starts, weighted)
-    # the second-order membership probe joins on (prev, dst) — partition
-    # the pair set ONCE and keep it pinned so the 111M-edge side never
-    # re-exchanges per hop (r3 measured 120.5 s/hop with the unbucketed
-    # join vs 14.4 first-order; the prev-adjacency exchange was the gap).
-    # In-session this is the same co-location write_edges_bucketed gives
-    # across sessions; feed a bucketed table for the restartable form.
-    num_part = int(G.spark.conf.get("spark.sql.shuffle.partitions"))
-    nbr = (
-        adj.select(
-            F.col("src").alias("_np"), F.col("dst").alias("_nd"), F.lit(1).alias("_is_nbr")
-        )
-        .repartition(num_part, "_np", "_nd")
-        .persist()
+    nbr = adj.select(
+        F.col("src").alias("_np"), F.col("dst").alias("_nd"), F.lit(1).alias("_is_nbr")
     )
     walks = G.spark.range(num_walks).select(F.col("id").alias("walk"))
     cur = sdf.select(F.col("id").alias("start")).crossJoin(walks).select(
@@ -241,7 +225,6 @@ def node2vec_walks(
         cur = nxt.transform(lineage_cut)
         steps.append(cur.select("start", "walk", F.lit(step).alias("step"), "node"))
     adj.unpersist()
-    nbr.unpersist()
     out = steps[0]
     for s in steps[1:]:
         out = out.unionByName(s)
