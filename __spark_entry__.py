@@ -839,8 +839,11 @@ def _q_feature_prop(spark, sf_dir):
     """SGC-style feature smoothing: 2 rounds of self-loop neighborhood
     mean over 64-dim embeddings mapped onto the part graph (vec_id =
     id % 500).  Long-format (id, pos, val) so the aggregation is a plain
-    codegen groupBy at any dimension; oracle replays both rounds as
-    materialized sum/deg CTEs (round-6 absorbs sum-order float drift)."""
+    codegen groupBy at any dimension; dyadic_bits=20 carries the sums as
+    exact BIGINTs on the 2^-20 grid (the ANF contract) so the values are
+    bit-identical across run orders, core counts, and engines — no
+    rounding needed; the oracle replays both rounds as materialized
+    scaled-integer sum/deg CTEs."""
     from graphblas_algorithms_spark.operators.features import propagate_features
 
     G = _part_graph(spark, sf_dir)
@@ -850,8 +853,7 @@ def _q_feature_prop(spark, sf_dir):
         .join(emb, F.col("id") % 500 == F.col("vec_id"))
         .select("id", F.col("embedding").alias("vec"))
     )
-    out = propagate_features(G, feats, iters=2)
-    return out.select("id", "pos", F.round("val", 6).alias("val"))
+    return propagate_features(G, feats, iters=2, dyadic_bits=20)
 
 
 def _q_closeness(spark, sf_dir):
@@ -3931,19 +3933,24 @@ SELECT hop, src, dst FROM h2
 """
 
 #: pos is 0-based in Spark's posexplode; generate_subscripts is 1-based.
+#: Dyadic scaled-integer replay (the ANF contract): vals snapped to the
+#: 2^-20 grid as BIGINT, sums exact (cast sum back to BIGINT — DuckDB's
+#: sum(BIGINT) widens to HUGEINT), per-round mean = floor of the IEEE
+#: quotient (identical in both engines for |s| << 2^53), final /2^20
+#: exact — bit-identical to Spark with no rounding.
 _SQL_FEATURE_PROP = f"""
 WITH {_SQL_PART.strip()},
 f0 AS MATERIALIZED (
   SELECT n.id,
          generate_subscripts(e.embedding, 1) - 1 AS pos,
-         unnest(e.embedding)::DOUBLE AS val
+         floor(unnest(e.embedding)::DOUBLE * 1048576.0)::BIGINT AS val
   FROM part_nodes n JOIN embeddings e ON e.vec_id = n.id % 500
 ),
 deg AS MATERIALIZED (SELECT dst AS id, count(*) + 1 AS d FROM sym GROUP BY dst),
 it1 AS MATERIALIZED (
-  SELECT s.id, s.pos, s.s / coalesce(g.d, 1) AS val
+  SELECT s.id, s.pos, floor(s.s / coalesce(g.d, 1))::BIGINT AS val
   FROM (
-    SELECT id, pos, sum(val) AS s FROM (
+    SELECT id, pos, sum(val)::BIGINT AS s FROM (
       SELECT id, pos, val FROM f0
       UNION ALL
       SELECT e.dst AS id, f.pos, f.val FROM f0 f JOIN sym e ON e.src = f.id
@@ -3951,16 +3958,16 @@ it1 AS MATERIALIZED (
   ) s LEFT JOIN deg g ON g.id = s.id
 ),
 it2 AS (
-  SELECT s.id, s.pos, s.s / coalesce(g.d, 1) AS val
+  SELECT s.id, s.pos, floor(s.s / coalesce(g.d, 1))::BIGINT AS val
   FROM (
-    SELECT id, pos, sum(val) AS s FROM (
+    SELECT id, pos, sum(val)::BIGINT AS s FROM (
       SELECT id, pos, val FROM it1
       UNION ALL
       SELECT e.dst AS id, f.pos, f.val FROM it1 f JOIN sym e ON e.src = f.id
     ) GROUP BY id, pos
   ) s LEFT JOIN deg g ON g.id = s.id
 )
-SELECT id, pos, round(val, 6) AS val FROM it2
+SELECT id, pos, (val / 1048576.0) AS val FROM it2
 """
 
 _SQL_CHUNK_DOCUMENTS = """
@@ -5068,8 +5075,9 @@ SELECT user_id,
        count(*) FILTER (event_type = 'purchase') AS n_purchase,
        coalesce(sum(CAST(json_extract(props, '$.k') AS BIGINT))
                 FILTER (event_type = 'click'), 0) AS click_k_sum,
-       round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0.0), 6)
-         AS purchase_value,
+       (coalesce(sum(floor(value * 1048576.0)::BIGINT)
+                 FILTER (event_type = 'purchase'), 0)::BIGINT
+        / 1048576.0) AS purchase_value,
        CASE WHEN min(ts) FILTER (event_type = 'view')
                  < min(ts) FILTER (event_type = 'click')
              AND min(ts) FILTER (event_type = 'click')

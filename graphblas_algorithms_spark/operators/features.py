@@ -37,6 +37,7 @@ def propagate_features(
     iters: int = 2,
     vec_col: str = "vec",
     id_col: str = "id",
+    dyadic_bits: int | None = None,
 ) -> DataFrame:
     """(id, pos, val) — ``iters`` rounds of self-loop mean smoothing of
     ``feats`` (``id_col``, ``vec_col``: array<numeric>) over ``G``.
@@ -48,6 +49,16 @@ def propagate_features(
     is long-format with ``val`` as double — pivot back with
     ``collect_list(struct(pos, val))``/``array_sort`` at the boundary if
     an array column is needed.
+
+    ``dyadic_bits`` (e.g. 20) switches the arithmetic to the
+    engine-determinism contract used by the ANF sketch: inputs are
+    snapped to the 2**-bits dyadic grid, each round's neighborhood sum
+    is carried as an exact BIGINT (order-independent — float sums are
+    not), the mean is a floor-division snap back to the grid, and the
+    final values are the scaled integers divided by 2**bits (an exact
+    power-of-two division).  The result is bit-identical across run
+    orders, core counts, and engines; the price is a <=2**-bits
+    truncation per round, which is noise for ML feature smoothing.
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
@@ -55,7 +66,14 @@ def propagate_features(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
     )
+    if dyadic_bits is not None:
+        scale = F.lit(float(2**dyadic_bits))
+        long0 = long0.select(
+            "id", "pos", F.floor(F.col("val") * scale).cast("long").alias("val")
+        )
     if iters == 0:
+        if dyadic_bits is not None:
+            return long0.select("id", "pos", (F.col("val") / scale).alias("val"))
         return long0
 
     sym = G.get_property("sym_offdiag").select("src", "dst")
@@ -70,13 +88,18 @@ def propagate_features(
             cur.join(sym, cur["id"] == sym["src"])
             .select(F.col("dst").alias("id"), "pos", "val")
         )
+        mean = F.col("_s") / F.coalesce(F.col("_d"), F.lit(1))
+        if dyadic_bits is not None:
+            # BIGINT sum is exact; floor of the correctly-rounded IEEE
+            # quotient is deterministic and engine-portable (|_s| << 2^53)
+            mean = F.floor(mean).cast("long")
         cur = (
             cur.unionByName(nbr)
             .groupBy("id", "pos")
             .agg(F.sum("val").alias("_s"))
             .join(deg, "id", "left")
-            .select(
-                "id", "pos", (F.col("_s") / F.coalesce(F.col("_d"), F.lit(1))).alias("val")
-            )
+            .select("id", "pos", mean.alias("val"))
         )
+    if dyadic_bits is not None:
+        return cur.select("id", "pos", (F.col("val") / scale).alias("val"))
     return cur

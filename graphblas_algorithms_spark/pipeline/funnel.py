@@ -42,15 +42,22 @@ def funnel_conversion(
             F.sum(F.when(F.col("event_type") == json_sum_stage, k)), F.lit(0)
         ).alias(f"{json_sum_stage}_{json_field}_sum")
     )
+    # Value sums are carried on the 2^-20 dyadic grid as exact BIGINTs
+    # (float SUM is aggregation-order-dependent; a value at a half-ULP
+    # rounding boundary flips across partitionings/core counts).  The
+    # snap (floor of an exact power-of-two scaling) and the final /2^20
+    # are both exact IEEE ops, so the result is bit-identical across
+    # runs and engines — the ANF dyadic scaled-integer contract.
+    v_scaled = F.floor(F.col("value") * F.lit(1048576.0)).cast("long")
     aggs.append(
-        F.round(
+        (
             F.coalesce(
                 F.sum(
-                    F.when(F.col("event_type") == value_sum_stage, F.col("value"))
+                    F.when(F.col("event_type") == value_sum_stage, v_scaled)
                 ),
-                F.lit(0.0),
-            ),
-            6,
+                F.lit(0),
+            )
+            / F.lit(1048576.0)
         ).alias(f"{value_sum_stage}_value")
     )
     out = events.groupBy("user_id").agg(*aggs)
