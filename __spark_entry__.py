@@ -239,22 +239,17 @@ def _q_ppr_multi(spark, sf_dir):
 def _q_ppr_push(spark, sf_dir):
     """Forward-push PPR (Andersen-Chung-Lang), the many-seed scale path
     (operators/ppr.py:111): sparse (seed,id) state only on TOUCHED
-    pairs.  Fixed deterministic trajectory — bulk-synchronous pushes,
-    no sampling, md5-free — so the oracle replays the rounds verbatim;
-    extra replay rounds past convergence are exact no-ops (nothing is
-    above threshold), so the unroll depth only needs to be >= the
-    observed convergence (10 rounds at sf0.01, 24 unrolled)."""
+    pairs.  r5: p/r carried as 2^-40 dyadic scaled BIGINTs (exact
+    integer mass balance, order-independent spread sums — the ANF
+    recipe), so the trajectory is bit-identical across run orders and
+    engines; the oracle replays ALL 40 rounds (== max_rounds) as exact
+    BIGINT CTEs — rounds past convergence are exact no-ops, so parity
+    holds at ANY convergence depth, and the output needs no rounding."""
     from graphblas_algorithms_spark.operators.ppr import forward_push_ppr
 
     G = _part_graph(spark, sf_dir)
     seeds = [r["id"] for r in G.nodes.orderBy("id").limit(4).collect()]
-    r = forward_push_ppr(G, seeds, alpha=0.15, eps=1e-3, max_rounds=40)
-    return r.select(
-        "seed",
-        "id",
-        F.round("p", 6).alias("p"),
-        F.round("residual", 6).alias("residual"),
-    )
+    return forward_push_ppr(G, seeds, alpha=0.15, eps=1e-3, max_rounds=40)
 
 
 def _q_components(spark, sf_dir):
@@ -3057,18 +3052,22 @@ l{r + 1} AS MATERIALIZED (
     return joined + f"\nSELECT id, wl FROM l{iters}"
 
 
-def _sql_ppr_push(rounds: int = 24, alpha: float = 0.15, eps: float = 1e-3) -> str:
-    """Forward-push PPR replay (r4): same bulk-synchronous push rounds
-    over the symmetrized part graph, same literals (0.15 / 0.85 / 0.001
-    parse to identical doubles in both engines), same full-outer merge
-    of spread into state.  Rounds past convergence are no-ops, so a
-    fixed unroll >= the sf0.01 convergence depth reproduces the kernel's
-    early-stopped state exactly."""
+def _sql_ppr_push(rounds: int = 40, alpha: float = 0.15, eps: float = 1e-3) -> str:
+    """Forward-push PPR replay (r5, dyadic): p/r as 2^-40 scaled BIGINTs.
+    Per push: floor(alpha*r) units to p, q = floor((1-alpha)*r/deg)
+    units to EACH neighbor, crumbs stay in the pusher's r — exact
+    integer mass balance, and the spread SUM is a BIGINT sum (DuckDB
+    widens to HUGEINT; cast back).  The floats involved (one multiply,
+    one divide, floor, the eps*2^40 threshold literal) are all
+    correctly-rounded IEEE, so every round is bit-identical to Spark.
+    Unrolled to the engine's max_rounds=40: rounds past convergence are
+    exact no-ops, so parity holds at any convergence depth (ADVICE r4)."""
     one_m = repr(1.0 - alpha)
     a = repr(alpha)
-    e = repr(eps)
+    et = repr(eps * float(2**40))  # threshold in scaled units
+    sc = str(int(2**40))
     parts = [
-        """WITH part_pairs AS MATERIALIZED (
+        f"""WITH part_pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -3081,7 +3080,7 @@ sym AS MATERIALIZED (
 deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
 seeds AS MATERIALIZED (SELECT p_partkey AS id FROM part ORDER BY 1 LIMIT 4),
 st0 AS MATERIALIZED (
-  SELECT s.id AS seed, s.id AS id, 0.0 AS p, 1.0 AS r,
+  SELECT s.id AS seed, s.id AS id, 0::BIGINT AS p, {sc}::BIGINT AS r,
          COALESCE(d.deg, 0) AS deg
   FROM seeds s LEFT JOIN deg d ON d.id = s.id
 ),""",
@@ -3089,30 +3088,33 @@ st0 AS MATERIALIZED (
     for k in range(1, rounds + 1):
         parts.append(
             f"""sp{k} AS MATERIALIZED (
-  SELECT s.seed, e.dst AS id, sum({one_m} * s.r / s.deg) AS _in
+  SELECT s.seed, e.dst AS id,
+         sum(floor({one_m} * s.r / s.deg)::BIGINT)::BIGINT AS _in
   FROM st{k - 1} s JOIN sym e ON e.src = s.id
-  WHERE s.r > {e} * s.deg AND s.deg > 0
+  WHERE s.r > {et} * s.deg AND s.deg > 0
   GROUP BY s.seed, e.dst
 ),
 mg{k} AS MATERIALIZED (
   SELECT COALESCE(a.seed, b.seed) AS seed, COALESCE(a.id, b.id) AS id,
-         COALESCE(a.p, 0) + CASE WHEN COALESCE(a.r, 0) > {e} * COALESCE(a.deg, 0)
+         COALESCE(a.p, 0) + CASE WHEN COALESCE(a.r, 0) > {et} * COALESCE(a.deg, 0)
                                       AND COALESCE(a.deg, 0) > 0
-                                 THEN {a} * a.r ELSE 0 END AS p,
-         CASE WHEN COALESCE(a.r, 0) > {e} * COALESCE(a.deg, 0)
+                                 THEN floor({a} * a.r)::BIGINT ELSE 0 END AS p,
+         CASE WHEN COALESCE(a.r, 0) > {et} * COALESCE(a.deg, 0)
                    AND COALESCE(a.deg, 0) > 0
-              THEN 0.0 ELSE COALESCE(a.r, 0) END + COALESCE(b._in, 0) AS r,
+              THEN a.r - floor({a} * a.r)::BIGINT
+                   - a.deg * floor({one_m} * a.r / a.deg)::BIGINT
+              ELSE COALESCE(a.r, 0) END + COALESCE(b._in, 0) AS r,
          a.deg AS olddeg
   FROM st{k - 1} a FULL OUTER JOIN sp{k} b ON a.seed = b.seed AND a.id = b.id
 ),
 st{k} AS MATERIALIZED (
-  SELECT m.seed, m.id, m.p, m.r,
+  SELECT m.seed, m.id, m.p::BIGINT AS p, m.r::BIGINT AS r,
          COALESCE(m.olddeg, COALESCE(d.deg, 0)) AS deg
   FROM mg{k} m LEFT JOIN deg d ON d.id = m.id
 ),"""
         )
     parts.append(
-        f"fin AS (SELECT seed, id, round(p, 6) AS p, round(r, 6) AS residual FROM st{rounds})\n"
+        f"fin AS (SELECT seed, id, (p / {sc}.0) AS p, (r / {sc}.0) AS residual FROM st{rounds})\n"
         "SELECT seed, id, p, residual FROM fin"
     )
     return "\n".join(parts)

@@ -114,6 +114,7 @@ def forward_push_ppr(
     alpha: float = 0.15,
     eps: float = 1e-4,
     max_rounds: int = 200,
+    dyadic_bits: int = 40,
 ) -> DataFrame:
     """(seed, id, p, residual) — sparse approximate PPR via batched
     forward push (Andersen-Chung-Lang local clustering push, run
@@ -128,7 +129,21 @@ def forward_push_ppr(
     spreads uniformly over out-neighbors).  At termination every
     residual is <= eps * deg(node), giving the standard per-node
     approximation bound |ppr(v) - p(v)| <= eps * deg(v) on undirected
-    graphs.  Deterministic: pure arithmetic, no sampling."""
+    graphs.
+
+    Determinism contract (the ANF dyadic scaled-integer recipe): p and r
+    are carried as BIGINTs on the 2^-dyadic_bits grid.  A push moves
+    floor(alpha*r) units to p and q = floor((1-alpha)*r/deg) units to
+    EACH neighbor; the <= deg+1 leftover units stay in the pusher's r,
+    so total mass p+r is conserved EXACTLY in integer units and the
+    incoming-spread SUM is a BIGINT sum — aggregation-order-independent,
+    where a float sum is not.  Every float op involved (power-of-two
+    scaling, one multiply, one divide, floor) is correctly-rounded IEEE
+    and thus bit-identical across engines; a residual can therefore
+    never sit within a ULP of the push threshold differently on two
+    runs, which is what made the float formulation's whole trajectory
+    run-order-sensitive.  The per-push truncation (~2^-40) is absorbed
+    by the eps*deg approximation bound."""
     spark = G.spark
     if G.is_directed_flag:
         adj = G.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
@@ -138,67 +153,86 @@ def forward_push_ppr(
     deg = adj.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
         "src", "id"
     ).persist()
+    scale = float(2**dyadic_bits)
+    # threshold in scaled units: r_s > (eps*scale) * deg — one exact
+    # BIGINT->double conversion and one correctly-rounded product
+    thresh = F.lit(eps * scale)
     state = (
         spark.createDataFrame([(int(s), int(s)) for s in seeds], "seed long, id long")
         .join(deg, "id", "left")
         .select(
             "seed",
             "id",
-            F.lit(0.0).alias("p"),
-            F.lit(1.0).alias("r"),
+            F.lit(0).cast("long").alias("p"),
+            F.lit(int(scale)).cast("long").alias("r"),
             F.coalesce("deg", F.lit(0)).alias("deg"),
         )
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
-        active = F.col("r") > F.lit(eps) * F.col("deg")
-        # sink nodes (deg 0) cannot push: their residual is terminal mass
-        can_push = active & (F.col("deg") > 0)
-        n_active = state.filter(can_push).limit(1).count()
-        if n_active == 0:
-            break
-        pushing = state.filter(can_push)
-        spread = (
-            pushing.join(adj, pushing["id"] == adj["src"])
-            .groupBy("seed", "dst")
-            .agg(F.sum(F.lit(1.0 - alpha) * F.col("r") / F.col("deg")).alias("_in"))
-            .withColumnRenamed("dst", "id")
-        )
-        merged = state.join(spread, ["seed", "id"], "full_outer").select(
-            "seed",
-            "id",
-            (
-                F.coalesce("p", F.lit(0.0))
-                + F.when(
-                    F.coalesce("r", F.lit(0.0)) > F.lit(eps) * F.coalesce("deg", F.lit(0)),
-                    F.when(F.coalesce("deg", F.lit(0)) > 0, F.lit(alpha) * F.col("r")).otherwise(0.0),
-                ).otherwise(0.0)
-            ).alias("p"),
-            (
-                F.when(
-                    (F.coalesce("r", F.lit(0.0)) > F.lit(eps) * F.coalesce("deg", F.lit(0)))
-                    & (F.coalesce("deg", F.lit(0)) > 0),
-                    F.lit(0.0),
-                ).otherwise(F.coalesce("r", F.lit(0.0)))
-                + F.coalesce("_in", F.lit(0.0))
-            ).alias("r"),
-            F.col("deg").alias("_olddeg"),
-        )
-        state = (
-            merged.join(deg, "id", "left")
-            .select(
+    try:
+        for _ in range(max_rounds):
+            active = F.col("r") > thresh * F.col("deg")
+            # sink nodes (deg 0) cannot push: their residual is terminal mass
+            can_push = active & (F.col("deg") > 0)
+            n_active = state.filter(can_push).limit(1).count()
+            if n_active == 0:
+                break
+            pushing = state.filter(can_push)
+            # identical per-edge quantum q for all deg neighbors
+            q = F.floor(F.lit(1.0 - alpha) * F.col("r") / F.col("deg")).cast("long")
+            spread = (
+                pushing.join(adj, pushing["id"] == adj["src"])
+                .groupBy("seed", "dst")
+                .agg(F.sum(q).alias("_in"))
+                .withColumnRenamed("dst", "id")
+            )
+            is_push = (
+                (F.coalesce("r", F.lit(0)) > thresh * F.coalesce("deg", F.lit(0)))
+                & (F.coalesce("deg", F.lit(0)) > 0)
+            )
+            pa = F.floor(F.lit(alpha) * F.col("r")).cast("long")
+            qm = F.floor(
+                F.lit(1.0 - alpha) * F.col("r") / F.col("deg")
+            ).cast("long")
+            merged = state.join(spread, ["seed", "id"], "full_outer").select(
                 "seed",
                 "id",
-                "p",
-                "r",
-                F.coalesce("_olddeg", F.coalesce("deg", F.lit(0))).alias("deg"),
+                (
+                    F.coalesce("p", F.lit(0))
+                    + F.when(is_push, pa).otherwise(F.lit(0))
+                ).alias("p"),
+                (
+                    F.when(
+                        is_push,
+                        # keep the floor crumbs: exact integer mass balance
+                        F.col("r") - pa - F.col("deg") * qm,
+                    ).otherwise(F.coalesce("r", F.lit(0)))
+                    + F.coalesce("_in", F.lit(0))
+                ).alias("r"),
+                F.col("deg").alias("_olddeg"),
             )
-            .transform(lineage_cut)
-        )
-    else:
+            state = (
+                merged.join(deg, "id", "left")
+                .select(
+                    "seed",
+                    "id",
+                    "p",
+                    "r",
+                    F.coalesce("_olddeg", F.coalesce("deg", F.lit(0))).alias("deg"),
+                )
+                .transform(lineage_cut)
+            )
+        else:
+            raise RuntimeError(
+                f"forward_push_ppr did not settle in {max_rounds} rounds"
+            )
+    finally:
+        # release on BOTH the normal and the did-not-converge path
         adj.unpersist()
         deg.unpersist()
-        raise RuntimeError(f"forward_push_ppr did not settle in {max_rounds} rounds")
-    adj.unpersist()
-    deg.unpersist()
-    return state.select("seed", "id", "p", F.col("r").alias("residual"))
+    return state.select(
+        "seed",
+        "id",
+        (F.col("p") / F.lit(scale)).alias("p"),
+        (F.col("r") / F.lit(scale)).alias("residual"),
+    )

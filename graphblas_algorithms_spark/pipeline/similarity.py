@@ -417,9 +417,18 @@ def pq_train(
         chosen = [0]
         dist = ((X - X[0]) ** 2).sum(axis=1)
         for _ in range(kk - 1):
+            if dist.max() == 0.0:
+                # fewer distinct rows than codes: argmax would return
+                # row 0 forever, silently duplicating centers (dead
+                # codes, ADVICE r4).  Fill from unused rows instead and
+                # truncate the codebook to what the sample supports.
+                unused = [i for i in range(len(X)) if i not in set(chosen)]
+                chosen.extend(unused[: kk - len(chosen)])
+                break
             nxt = int(np.argmax(dist))
             chosen.append(nxt)
             dist = np.minimum(dist, ((X - X[nxt]) ** 2).sum(axis=1))
+        kk = len(chosen)
         C = X[chosen].copy()
         for _ in range(iters):
             # argmin ||x-c||^2 = argmax x.c - 0.5||c||^2

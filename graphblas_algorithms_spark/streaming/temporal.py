@@ -34,6 +34,14 @@ def _relax_to_fixpoint(
     while frontier.limit(1).count() > 0:
         rounds += 1
         if rounds > max_rounds:
+            # release owned frames on the error path too (ADVICE r4):
+            # exiting with the current frontier/arrival pinned leaks the
+            # exact block-manager state this module's per-round release
+            # discipline exists to prevent
+            if owned:
+                if frontier is not arrival:
+                    _release_state(frontier)
+                _release_state(arrival)
             raise RuntimeError("temporal relaxation did not converge")
         prop = (
             edges.join(
