@@ -1764,107 +1764,349 @@ def _q_rich_club(spark, sf_dir):
     return out.select("k", "n_nodes", "n_edges", F.round("phi", 6).alias("phi"))
 
 
+# ---- r5 grouped long-tail queries ----------------------------------------
+# VERDICT r4 "What's missing #2": the pytest-only [x] groups get driver
+# rows via grouped queries emitting labeled scalars / tagged rows, so
+# EVERY SURVEY §2.2 component has a driver attestation.
+
+
+def _min_part_id(spark, sf_dir) -> int:
+    return int(
+        _part_nodes(spark, sf_dir).agg(F.min("id").alias("m")).collect()[0]["m"]
+    )
+
+
+def _level_dag(spark, sf_dir) -> DiGraph:
+    """Bounded-depth DAG from the co-purchase pairs: orient every pair
+    whose endpoints have distinct levels (lvl = id % 8) from lower to
+    higher level — acyclic by construction, longest path <= 7, so the
+    ancestor BFS is a bounded superstep loop and the oracle a bounded
+    recursive CTE."""
+    p = _part_pairs(spark, sf_dir)
+    lo_hi = p.filter(F.col("src") % 8 < F.col("dst") % 8).select("src", "dst")
+    hi_lo = p.filter(F.col("dst") % 8 < F.col("src") % 8).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return DiGraph(
+        lo_hi.unionByName(hi_lo), _part_nodes(spark, sf_dir), dedup=False
+    )
+
+
+def _tournament8(spark, sf_dir) -> DiGraph:
+    """Tournament on the 8 lowest part ids: pair a<b oriented a->b iff
+    (a+b)%2==0 else b->a — exactly one arc per pair by construction."""
+    t = _part_nodes(spark, sf_dir).orderBy("id").limit(8)
+    a = t.select(F.col("id").alias("a"))
+    b = t.select(F.col("id").alias("b"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    e = pairs.select(
+        F.when((F.col("a") + F.col("b")) % 2 == 0, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when((F.col("a") + F.col("b")) % 2 == 0, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    return DiGraph(e, t, dedup=False)
+
+
+def _q_structure_suite(spark, sf_dir):
+    """Structure predicates as labeled scalars (metric, value) — the
+    reference's misc surface (simple_paths.py, efficiency_measures.py,
+    structuralholes.py mutual_weight, lowest_common_ancestors.py,
+    tournament.py, dominating.py, triads.py is_triad, isomorphism
+    profiles), each exercised on a deterministic fixture and replayed
+    by the oracle in pure SQL."""
+    from graphblas_algorithms_spark.operators.structure import (
+        could_be_isomorphic,
+        efficiency,
+        is_dominating_set,
+        is_simple_path,
+        is_tournament,
+        is_triad,
+        lowest_common_ancestor,
+        mutual_weight,
+        score_sequence,
+        tournament_matrix,
+    )
+
+    G = _part_graph(spark, sf_dir)
+    Gw = _part_graph_weighted(spark, sf_dir)
+    u = _min_part_id(spark, sf_dir)
+    rows: list[tuple[str, float]] = []
+    rows.append(("efficiency_u_v5", float(efficiency(G, u, u + 5))))
+    rows.append(("mutual_weight_u_v1", float(mutual_weight(Gw, u, u + 1))))
+    rows.append(
+        ("is_simple_path_3", 1.0 if is_simple_path(G, [u, u + 1, u + 2]) else 0.0)
+    )
+    dag = _level_dag(spark, sf_dir)
+    hi = dag.nodes.agg(F.max("id").alias("m")).collect()[0]["m"]
+    lca_u = int(hi)
+    lca_v = int(hi) - 1
+    lca = lowest_common_ancestor(dag, lca_u, lca_v, default=-1)
+    rows.append(("lca_hi_pair", float(lca if lca is not None else -1)))
+    S = G.nodes.filter(F.col("id") % 10 == 0)
+    rows.append(("is_dominating_mod10", 1.0 if is_dominating_set(G, S) else 0.0))
+    T = _tournament8(spark, sf_dir)
+    rows.append(("is_tournament8", 1.0 if is_tournament(T) else 0.0))
+    seq = score_sequence(T)
+    rows.append(("tourn_score_sumsq", float(sum(d * d for d in seq))))
+    rows.append(("tourn_matrix_nnz", float(tournament_matrix(T).count())))
+    tri_ids = [u, u + 1, u + 2]
+    tri_nodes = spark.createDataFrame([(int(i),) for i in tri_ids], "id long")
+    dE = _part_digraph(spark, sf_dir).edges
+    tri_e = dE.join(
+        tri_nodes.withColumnRenamed("id", "src"), "src", "left_semi"
+    ).join(tri_nodes.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    rows.append(
+        ("is_triad_low3", 1.0 if is_triad(DiGraph(tri_e, tri_nodes, dedup=False)) else 0.0)
+    )
+    rows.append(("iso_self", 1.0 if could_be_isomorphic(G, G) else 0.0))
+    rows.append(
+        ("iso_chain", 1.0 if could_be_isomorphic(G, _chain_graph(spark, sf_dir)) else 0.0)
+    )
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+def _q_setops_rest(spark, sf_dir):
+    """The setops not yet driver-attested (binary.py:16-155, unary.py:
+    8-18, digraph.py:604-612) as (op, n_nodes, n_edges, checksum) rows:
+    union / disjoint_union / compose (weighted right-bias branch) /
+    full_join / complement / reverse / to_undirected, each built by the
+    operator and reduced to counts the oracle reproduces arithmetically."""
+    from graphblas_algorithms_spark.operators.setops import (
+        complement,
+        compose,
+        disjoint_union,
+        full_join,
+        reverse,
+        to_undirected,
+        union,
+    )
+
+    G = _part_graph(spark, sf_dir)
+    Gw = _part_graph_weighted(spark, sf_dir)
+    C = _chain_graph(spark, sf_dir)
+    D = _part_digraph(spark, sf_dir)
+    rows = []
+    U = union(G, C)
+    rows.append(("union", U.n, U.m, 0.0))
+    DJ = disjoint_union(G, C)
+    rows.append(("disjoint_union", DJ.n, DJ.m, 0.0))
+    CO = compose(Gw, C)  # right-biased weight merge: chain edges win at 1.0
+    w_sum = float(
+        CO.edges.agg(F.sum("weight").alias("s")).collect()[0]["s"] or 0.0
+    )
+    rows.append(("compose_w", CO.n, CO.m, w_sum))
+    FJ = full_join(G, C)
+    rows.append(("full_join", FJ.n, FJ.m, 0.0))
+    CP = complement(C)
+    rows.append(("complement_chain", CP.n, CP.m, 0.0))
+    RV = reverse(D)
+    rows.append(("reverse", RV.n, RV.m, 0.0))
+    TU = to_undirected(D)
+    rows.append(("to_undirected", TU.n, TU.m, 0.0))
+    return spark.createDataFrame(
+        rows, "op string, n_nodes long, n_edges long, checksum double"
+    )
+
+
+def _q_bf_path(spark, sf_dir):
+    """Bellman-Ford with path reconstruction (weighted.py:268-284 parity;
+    shortest_paths.py:250): (id, dist, parent) from the lowest part id
+    over the weighted co-purchase graph.  The per-round min(struct(dist,
+    parent)) argmin and the frontier-delta trajectory are deterministic,
+    so the oracle replays the rounds verbatim (no-op rounds past
+    convergence are exact; integer weights keep every dist double
+    exact)."""
+    from graphblas_algorithms_spark.operators.shortest_paths import bellman_ford_path
+
+    Gw = _part_graph_weighted(spark, sf_dir)
+    u = _min_part_id(spark, sf_dir)
+    return bellman_ford_path(Gw, u)
+
+
+def _q_paths_suite(spark, sf_dir):
+    """Shortest-path scalars (metric, value): negative_edge_cycle on the
+    all-positive weighted digraph (False in one round) AND on a crafted
+    3-node negative cycle from the lowest part ids (True);
+    bidirectional_shortest_path_length + has_path for a reachable pair;
+    has_path to an isolated part (False).  weighted.py:311-348,
+    unweighted.py:32-64, generic.py:7-12 parity."""
+    from graphblas_algorithms_spark.operators.shortest_paths import (
+        bidirectional_shortest_path_length,
+        has_path,
+        negative_edge_cycle,
+    )
+
+    Dw = DiGraph(
+        _part_digraph(spark, sf_dir).edges.select(
+            "src",
+            "dst",
+            (1 + (F.col("src") + F.col("dst")) % 5).cast("double").alias("weight"),
+        ),
+        _part_nodes(spark, sf_dir),
+        dedup=False,
+    )
+    u = _min_part_id(spark, sf_dir)
+    rows = []
+    rows.append(("neg_cycle_positive", 1.0 if negative_edge_cycle(Dw) else 0.0))
+    a, b, c = u, u + 1, u + 2
+    neg = DiGraph(
+        spark.createDataFrame(
+            [(a, b, 1.0), (b, c, -2.0), (c, a, -1.0)],
+            "src long, dst long, weight double",
+        ),
+        dedup=False,
+    )
+    rows.append(("neg_cycle_crafted", 1.0 if negative_edge_cycle(neg) else 0.0))
+    G = _part_graph(spark, sf_dir)
+    d = bidirectional_shortest_path_length(G, u, u + 5)
+    rows.append(("bidir_u_v5", float(d if d is not None else -1)))
+    rows.append(("has_path_u_v5", 1.0 if has_path(G, u, u + 5) else 0.0))
+    iso = (
+        _part_nodes(spark, sf_dir)
+        .join(
+            _part_pairs(spark, sf_dir)
+            .select(F.col("src").alias("id"))
+            .unionByName(_part_pairs(spark, sf_dir).select(F.col("dst").alias("id")))
+            .distinct(),
+            "id",
+            "left_anti",
+        )
+        .agg(F.min("id").alias("m"))
+        .collect()[0]["m"]
+    )
+    if iso is None:
+        rows.append(("has_path_u_isolated", -1.0))
+    else:
+        rows.append(
+            ("has_path_u_isolated", 1.0 if has_path(G, u, int(iso)) else 0.0)
+        )
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+def _q_floyd_warshall(spark, sf_dir):
+    """floyd_warshall (dense.py:9-111 parity, tiny-n guarded) on the
+    weighted co-purchase subgraph induced by the 60 lowest part ids;
+    oracle is 7 unrolled min-plus squaring rounds (covers 2^7 hops —
+    far past the subgraph's weighted hop diameter; integer weights keep
+    mins exact)."""
+    from graphblas_algorithms_spark.operators.shortest_paths import floyd_warshall
+
+    u = _min_part_id(spark, sf_dir)
+    hi = u + 60
+    nodes = _part_nodes(spark, sf_dir).filter(F.col("id") < hi)
+    e = (
+        _part_pairs(spark, sf_dir)
+        .filter((F.col("src") < hi) & (F.col("dst") < hi))
+        .select(
+            "src",
+            "dst",
+            (1 + (F.col("src") + F.col("dst")) % 5).cast("double").alias("weight"),
+        )
+    )
+    Gs = Graph(e, nodes, canonicalize=False)
+    return floyd_warshall(Gs)
+
+
+def _q_traversal_rest(spark, sf_dir):
+    """bfs_layers / descendants_at_distance / descendants / ancestors
+    (breadth_first_search.py:10-45, dag.py:6-17) as tagged (metric, id)
+    rows: layer_k membership from the lowest part id on the undirected
+    graph; 2-step frontier, reachable set, and co-reachable set on the
+    part digraph."""
+    from graphblas_algorithms_spark.operators.traversal import (
+        ancestors,
+        bfs_layers,
+        descendants,
+        descendants_at_distance,
+    )
+
+    G = _part_graph(spark, sf_dir)
+    D = _part_digraph(spark, sf_dir)
+    u = _min_part_id(spark, sf_dir)
+    layers = bfs_layers(G, u)
+    parts = []
+    for k, layer in enumerate(layers):
+        parts.append(layer.select(F.lit(f"layer_{k}").alias("metric"), "id"))
+    parts.append(
+        descendants_at_distance(D, u, 2).select(
+            F.lit("desc_at_2").alias("metric"), "id"
+        )
+    )
+    parts.append(descendants(D, u).select(F.lit("descendants").alias("metric"), "id"))
+    parts.append(ancestors(D, u).select(F.lit("ancestors").alias("metric"), "id"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_cuts_suite(spark, sf_dir):
+    """The cut-arithmetic surface not yet driver-attested (cuts.py:41-??):
+    normalized_cut_size, edge/mixing/node/boundary expansion on
+    S = {id % 4 == 0}, plus cut_size with an explicit T = {id % 4 == 1}
+    — labeled scalars; every value is a ratio of the oracle's own
+    integer counts."""
+    from graphblas_algorithms_spark.operators.boundary import (
+        boundary_expansion,
+        cut_size,
+        edge_expansion,
+        mixing_expansion,
+        node_expansion,
+        normalized_cut_size,
+    )
+
+    G = _part_graph(spark, sf_dir)
+    S = G.nodes.filter(F.col("id") % 4 == 0)
+    T = G.nodes.filter(F.col("id") % 4 == 1)
+    rows = [
+        ("normalized_cut", float(normalized_cut_size(G, S))),
+        ("edge_expansion", float(edge_expansion(G, S))),
+        ("mixing_expansion", float(mixing_expansion(G, S))),
+        ("node_expansion", float(node_expansion(G, S))),
+        ("boundary_expansion", float(boundary_expansion(G, S))),
+        ("cut_size_S_T", float(cut_size(G, S, T))),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+def _q_google_matrix(spark, sf_dir):
+    """google_matrix (pagerank_alg.py:104-162 parity; tiny-n guarded
+    dense form) on the co-purchase subgraph induced by the 100 lowest
+    part ids — every entry is a closed-form scan-side expression
+    (alpha*S + dangling + teleport), no accumulation, so raw doubles
+    are engine-exact."""
+    from graphblas_algorithms_spark.operators.linalg import google_matrix
+
+    u = _min_part_id(spark, sf_dir)
+    hi = u + 100
+    nodes = _part_nodes(spark, sf_dir).filter(F.col("id") < hi)
+    e = _part_pairs(spark, sf_dir).filter(
+        (F.col("src") < hi) & (F.col("dst") < hi)
+    )
+    Gs = Graph(e, nodes, canonicalize=False)
+    return google_matrix(Gs, alpha=0.85)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order IS the driver's attestation window (first 50 rows).
+    # r5 window (ROTATION.md): the 3 queries changed this round (the two
+    # r4 hash-fails, now dyadic-deterministic, + the dyadic ppr_push),
+    # the 8 NEW grouped long-tail queries, the 33 stale/never-checked
+    # entries the r4 plan deferred, and 6 north-rule kernel re-attests.
     return {
-        "graph_ppr_push": _q_ppr_push,
-        "graph_bowtie": _q_bowtie,
-        "graph_effective_size": _q_effective_size,
-        "graph_local_bridges": _q_local_bridges,
-        "graph_trussness": _q_trussness,
-        "graph_kcore": _q_kcore,
-        "graph_core_number": _q_core_number,
-        "graph_densest": _q_densest,
-        "graph_diameter": _q_diameter,
-        "graph_triad_census": _q_triad_census,
-        "graph_onion": _q_onion,
-        "graph_linkpred": _q_linkpred,
-        "graph_negative_sample": _q_negative_sample,
-        "graph_linkpred_trainset": _q_linkpred_trainset,
-        "graph_khop_sample": _q_khop_sample,
+        # -- changed this round (must re-attest) --
         "graph_feature_prop": _q_feature_prop,
-        "graph_closeness": _q_closeness,
-        "graph_harmonic": _q_harmonic,
-        "graph_betweenness": _q_betweenness,
-        "graph_edge_betweenness": _q_edge_betweenness,
-        "graph_walks": _q_walks,
-        "graph_node2vec": _q_node2vec,
-        "graph_mis": _q_mis,
-        "graph_matching": _q_matching,
-        "graph_coloring": _q_coloring,
-        "graph_assortativity": _q_assortativity,
-        "graph_modularity": _q_modularity,
-        "pipe_lm_score": _q_lm_score,
-        "pipe_repetition": _q_repetition,
-        "pipe_source_mix": _q_source_mix,
-        "pipe_domain_cap": _q_domain_cap,
-        "pipe_common_ngrams": _q_common_ngrams,
-        "pipe_tfidf_topterms": _q_tfidf_topterms,
-        "pipe_pmi_bigrams": _q_pmi_bigrams,
-        "pipe_doc_entropy": _q_doc_entropy,
-        "pipe_span_dedup": _q_span_dedup,
-        "pipe_decontaminate": _q_decontaminate,
-        "pipe_token_budget_sample": _q_token_budget_sample,
-        "pipe_pack_sequences": _q_pack_sequences,
-        "pipe_shard_manifest": _q_shard_manifest,
-        "pipe_weighted_sample": _q_weighted_sample,
-        "pipe_chunk_documents": _q_chunk_documents,
-        "pipe_dedup_incremental": _q_dedup_incremental,
-        "pipe_dedup_clusters": _q_dedup_clusters,
-        "pipe_semdedup": _q_semdedup,
         "events_funnel": _q_events_funnel,
-        "events_windowed_closed": _q_events_windowed_closed,
-        "events_sessions_closed": _q_events_sessions_closed,
-        "graph_keyed_pagerank": _q_keyed_pagerank,
-        "graph_neighborhood_function": _q_neighborhood_function,
-        "graph_pagerank": _q_pagerank,
-        "graph_ppr_multi": _q_ppr_multi,
-        "graph_pagerank_weighted": _q_pagerank_weighted,
-        "graph_pagerank_personalized": _q_pagerank_personalized,
-        "graph_spam_mass": _q_spam_mass,
-        "graph_pagerank_incremental": _q_pagerank_incremental,
-        "graph_components": _q_components,
-        "graph_components_star": _q_components_star,
-        "graph_components_incremental": _q_components_incremental,
-        "graph_wcc": _q_wcc,
-        "graph_scc": _q_scc,
-        "graph_labelprop": _q_labelprop,
-        "graph_wl": _q_wl,
-        "graph_fiedler": _q_fiedler,
-        "graph_topo_generations": _q_topo,
-        "graph_hyperball": _q_hyperball,
-        "graph_bridges": _q_bridges,
-        "graph_2ecc": _q_2ecc,
-        "graph_eulerian": _q_eulerian,
-        "graph_condensation_layers": _q_condensation,
-        "graph_degree_hist": _q_degree_hist,
-        "events_temporal_reach": _q_temporal_reach,
-        "graph_butterflies": _q_butterflies,
-        "graph_landmarks": _q_landmarks,
-        "graph_louvain": _q_louvain,
-        "graph_triangles_total": _q_triangles_total,
-        "graph_triangles_incremental": _q_triangles_incremental,
-        "graph_triangles": _q_triangles,
-        "graph_four_cliques": _q_four_cliques,
-        "graph_triangles_weighted": _q_triangles_weighted,
-        "graph_clustering": _q_clustering,
-        "graph_transitivity": _q_transitivity,
-        "graph_degree_centrality": _q_degree_centrality,
-        "graph_inout_degrees": _q_inout_degrees,
-        "graph_katz": _q_katz,
-        "graph_bfs": _q_bfs,
-        "graph_sssp": _q_sssp,
-        "graph_hits": _q_hits,
-        "graph_eigenvector": _q_eigenvector,
-        "graph_setops_intersection": _q_setops_intersection,
-        "graph_setops_difference": _q_setops_difference,
-        "graph_setops_symdiff": _q_setops_symdiff,
-        "graph_bfs_parent": _q_bfs_parent,
-        "graph_bfs_multi": _q_bfs_multi,
-        "graph_ego": _q_ego,
-        "graph_square_clustering": _q_square_clustering,
-        "graph_clustering_directed": _q_clustering_directed,
-        "graph_generalized_degree": _q_generalized_degree,
-        "graph_edge_support": _q_edge_support,
+        "graph_ppr_push": _q_ppr_push,
+        # -- new r5 grouped long-tail queries --
+        "graph_structure_suite": _q_structure_suite,
+        "graph_setops_rest": _q_setops_rest,
+        "graph_bf_path": _q_bf_path,
+        "graph_paths_suite": _q_paths_suite,
+        "graph_floyd_warshall": _q_floyd_warshall,
+        "graph_traversal_rest": _q_traversal_rest,
+        "graph_cuts_suite": _q_cuts_suite,
+        "graph_google_matrix": _q_google_matrix,
+        # -- r5 rotation: stale (r1/r2) + never-checked --
         "graph_ktruss": _q_ktruss,
         "graph_walks_weighted": _q_walks_weighted,
         "graph_coarsen": _q_coarsen,
@@ -1898,6 +2140,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_top_customers": _q_olap_top_customers,
         "pipe_multimodal_features": _q_multimodal_features,
         "pipe_frame_sample": _q_frame_sample,
+        # -- north-rule kernel re-attests (freshness) --
+        "graph_pagerank": _q_pagerank,
+        "graph_components": _q_components,
+        "graph_scc": _q_scc,
+        "graph_labelprop": _q_labelprop,
+        "graph_triangles": _q_triangles,
+        "graph_bfs": _q_bfs,
+        # -- window boundary (entries below keep their r3/r4 green rows) --
+        "graph_bowtie": _q_bowtie,
+        "graph_effective_size": _q_effective_size,
+        "graph_local_bridges": _q_local_bridges,
+        "graph_trussness": _q_trussness,
+        "graph_kcore": _q_kcore,
+        "graph_core_number": _q_core_number,
+        "graph_densest": _q_densest,
+        "graph_diameter": _q_diameter,
+        "graph_triad_census": _q_triad_census,
+        "graph_onion": _q_onion,
+        "graph_linkpred": _q_linkpred,
+        "graph_negative_sample": _q_negative_sample,
+        "graph_linkpred_trainset": _q_linkpred_trainset,
+        "graph_khop_sample": _q_khop_sample,
+        "graph_closeness": _q_closeness,
+        "graph_harmonic": _q_harmonic,
+        "graph_betweenness": _q_betweenness,
+        "graph_edge_betweenness": _q_edge_betweenness,
+        "graph_walks": _q_walks,
+        "graph_node2vec": _q_node2vec,
+        "graph_mis": _q_mis,
+        "graph_matching": _q_matching,
+        "graph_coloring": _q_coloring,
+        "graph_assortativity": _q_assortativity,
+        "graph_modularity": _q_modularity,
+        "pipe_lm_score": _q_lm_score,
+        "pipe_repetition": _q_repetition,
+        "pipe_source_mix": _q_source_mix,
+        "pipe_domain_cap": _q_domain_cap,
+        "pipe_common_ngrams": _q_common_ngrams,
+        "pipe_tfidf_topterms": _q_tfidf_topterms,
+        "pipe_pmi_bigrams": _q_pmi_bigrams,
+        "pipe_doc_entropy": _q_doc_entropy,
+        "pipe_span_dedup": _q_span_dedup,
+        "pipe_decontaminate": _q_decontaminate,
+        "pipe_token_budget_sample": _q_token_budget_sample,
+        "pipe_pack_sequences": _q_pack_sequences,
+        "pipe_shard_manifest": _q_shard_manifest,
+        "pipe_weighted_sample": _q_weighted_sample,
+        "pipe_chunk_documents": _q_chunk_documents,
+        "pipe_dedup_incremental": _q_dedup_incremental,
+        "pipe_dedup_clusters": _q_dedup_clusters,
+        "pipe_semdedup": _q_semdedup,
+        "events_windowed_closed": _q_events_windowed_closed,
+        "events_sessions_closed": _q_events_sessions_closed,
+        "graph_keyed_pagerank": _q_keyed_pagerank,
+        "graph_neighborhood_function": _q_neighborhood_function,
+        "graph_ppr_multi": _q_ppr_multi,
+        "graph_pagerank_weighted": _q_pagerank_weighted,
+        "graph_pagerank_personalized": _q_pagerank_personalized,
+        "graph_spam_mass": _q_spam_mass,
+        "graph_pagerank_incremental": _q_pagerank_incremental,
+        "graph_components_star": _q_components_star,
+        "graph_components_incremental": _q_components_incremental,
+        "graph_wcc": _q_wcc,
+        "graph_wl": _q_wl,
+        "graph_fiedler": _q_fiedler,
+        "graph_topo_generations": _q_topo,
+        "graph_hyperball": _q_hyperball,
+        "graph_bridges": _q_bridges,
+        "graph_2ecc": _q_2ecc,
+        "graph_eulerian": _q_eulerian,
+        "graph_condensation_layers": _q_condensation,
+        "graph_degree_hist": _q_degree_hist,
+        "events_temporal_reach": _q_temporal_reach,
+        "graph_butterflies": _q_butterflies,
+        "graph_landmarks": _q_landmarks,
+        "graph_louvain": _q_louvain,
+        "graph_triangles_total": _q_triangles_total,
+        "graph_triangles_incremental": _q_triangles_incremental,
+        "graph_four_cliques": _q_four_cliques,
+        "graph_triangles_weighted": _q_triangles_weighted,
+        "graph_clustering": _q_clustering,
+        "graph_transitivity": _q_transitivity,
+        "graph_degree_centrality": _q_degree_centrality,
+        "graph_inout_degrees": _q_inout_degrees,
+        "graph_katz": _q_katz,
+        "graph_sssp": _q_sssp,
+        "graph_hits": _q_hits,
+        "graph_eigenvector": _q_eigenvector,
+        "graph_setops_intersection": _q_setops_intersection,
+        "graph_setops_difference": _q_setops_difference,
+        "graph_setops_symdiff": _q_setops_symdiff,
+        "graph_bfs_parent": _q_bfs_parent,
+        "graph_bfs_multi": _q_bfs_multi,
+        "graph_ego": _q_ego,
+        "graph_square_clustering": _q_square_clustering,
+        "graph_clustering_directed": _q_clustering_directed,
+        "graph_generalized_degree": _q_generalized_degree,
+        "graph_edge_support": _q_edge_support,
     }
 
 
@@ -5407,6 +5747,432 @@ ORDER BY k
 """
 
 
+# ---- r5 grouped long-tail oracles ----------------------------------------
+
+#: Shared CTE fragment: the part digraph edges (same as _SQL_PART_DIGRAPH's
+#: dedges but composable AFTER _SQL_PART, which already defines part_pairs).
+_SQL_DEDGES_FRAG = """
+dedges AS (
+  SELECT src, dst FROM part_pairs WHERE (src + dst) % 2 = 0
+  UNION
+  SELECT dst AS src, src AS dst FROM part_pairs WHERE (src + dst) % 3 = 0
+)
+"""
+
+_SQL_STRUCTURE_SUITE = f"""
+WITH RECURSIVE {_SQL_PART.strip()},
+{_SQL_CHAIN.strip()},
+{_SQL_DEDGES_FRAG.strip()},
+u0 AS (SELECT min(id) AS u FROM part_nodes),
+eff_reach(id, lvl) AS (
+  SELECT u, 0::BIGINT FROM u0
+  UNION
+  SELECT e.dst, r.lvl + 1 FROM eff_reach r JOIN sym e ON e.src = r.id
+  WHERE r.lvl < 6
+),
+eff_l AS (
+  SELECT min(lvl) AS l FROM eff_reach WHERE id = (SELECT u + 5 FROM u0)
+),
+dag AS (
+  SELECT src, dst FROM part_pairs WHERE src % 8 < dst % 8
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs WHERE dst % 8 < src % 8
+),
+hi0 AS (SELECT max(id) AS hi FROM part_nodes),
+anc_u(id) AS (
+  SELECT hi FROM hi0
+  UNION
+  SELECT e.src FROM dag e JOIN anc_u a ON e.dst = a.id
+),
+anc_v(id) AS (
+  SELECT hi - 1 FROM hi0
+  UNION
+  SELECT e.src FROM dag e JOIN anc_v a ON e.dst = a.id
+),
+lca_common AS (SELECT a.id FROM anc_u a JOIN anc_v b ON b.id = a.id),
+lca_succ AS (
+  SELECT DISTINCT e.src AS id FROM dag e
+  WHERE e.src IN (SELECT id FROM lca_common)
+    AND e.dst IN (SELECT id FROM lca_common)
+),
+lca0 AS (
+  SELECT coalesce(max(id), -1) AS v FROM lca_common
+  WHERE id NOT IN (SELECT id FROM lca_succ)
+),
+sdom AS (SELECT id FROM part_nodes WHERE id % 10 = 0),
+ndom AS (
+  SELECT DISTINCT e.dst AS id FROM sym e JOIN sdom s ON e.src = s.id
+  WHERE e.dst NOT IN (SELECT id FROM sdom)
+),
+t8 AS (SELECT id FROM part_nodes ORDER BY id LIMIT 8),
+tedges AS (
+  SELECT CASE WHEN (a.id + b.id) % 2 = 0 THEN a.id ELSE b.id END AS src,
+         CASE WHEN (a.id + b.id) % 2 = 0 THEN b.id ELSE a.id END AS dst
+  FROM t8 a JOIN t8 b ON a.id < b.id
+),
+tn AS (SELECT count(*) AS n FROM t8),
+tdeg AS (
+  SELECT t.id, (SELECT count(*) FROM tedges e WHERE e.src = t.id) AS d FROM t8 t
+),
+tmat AS (
+  SELECT row_, col_, sum(val) AS value FROM (
+    SELECT src AS row_, dst AS col_, 1.0 AS val FROM tedges
+    UNION ALL
+    SELECT dst AS row_, src AS col_, -1.0 AS val FROM tedges
+  ) GROUP BY row_, col_
+),
+tri_self AS (
+  SELECT count(*) AS c FROM dedges d, u0
+  WHERE d.src = d.dst AND d.src IN (u, u + 1, u + 2) AND d.dst IN (u, u + 1, u + 2)
+),
+gdeg AS (
+  SELECT n.id, (SELECT count(*) FROM sym e WHERE e.src = n.id) AS d
+  FROM part_nodes n
+),
+cdeg AS (
+  SELECT n.id,
+         (SELECT count(*) FROM chain c WHERE c.src = n.id OR c.dst = n.id) AS d
+  FROM part_nodes n
+)
+SELECT 'efficiency_u_v5' AS metric,
+       (SELECT CASE WHEN l IS NULL THEN 0.0 ELSE 1.0 / l END FROM eff_l) AS value
+UNION ALL
+SELECT 'mutual_weight_u_v1',
+       (SELECT coalesce(sum((1 + (src + dst) % 5)::DOUBLE), 0.0) FROM sym, u0
+        WHERE (src = u AND dst = u + 1) OR (src = u + 1 AND dst = u))
+UNION ALL
+SELECT 'is_simple_path_3',
+       (SELECT CASE WHEN EXISTS (SELECT 1 FROM sym, u0 WHERE src = u AND dst = u + 1)
+                     AND EXISTS (SELECT 1 FROM sym, u0 WHERE src = u + 1 AND dst = u + 2)
+               THEN 1.0 ELSE 0.0 END)
+UNION ALL
+SELECT 'lca_hi_pair', (SELECT v::DOUBLE FROM lca0)
+UNION ALL
+SELECT 'is_dominating_mod10',
+       CASE WHEN (SELECT count(*) FROM (SELECT id FROM sdom UNION SELECT id FROM ndom))
+                 = (SELECT count(*) FROM part_nodes)
+            THEN 1.0 ELSE 0.0 END
+UNION ALL
+SELECT 'is_tournament8',
+       CASE WHEN NOT EXISTS (SELECT 1 FROM tedges WHERE src = dst)
+             AND (SELECT count(*) FROM tedges) = (SELECT (n * (n - 1)) // 2 FROM tn)
+             AND NOT EXISTS (SELECT 1 FROM tedges e
+                             JOIN tedges r ON r.src = e.dst AND r.dst = e.src)
+            THEN 1.0 ELSE 0.0 END
+UNION ALL
+SELECT 'tourn_score_sumsq', (SELECT sum(d * d)::DOUBLE FROM tdeg)
+UNION ALL
+SELECT 'tourn_matrix_nnz', (SELECT count(*)::DOUBLE FROM tmat WHERE value <> 0)
+UNION ALL
+SELECT 'is_triad_low3', (SELECT CASE WHEN c = 0 THEN 1.0 ELSE 0.0 END FROM tri_self)
+UNION ALL
+SELECT 'iso_self',
+       CASE WHEN (SELECT list_sort(list(d)) FROM gdeg)
+                 = (SELECT list_sort(list(d)) FROM gdeg)
+            THEN 1.0 ELSE 0.0 END
+UNION ALL
+SELECT 'iso_chain',
+       CASE WHEN (SELECT count(*) FROM part_nodes) = (SELECT count(*) FROM part_nodes)
+             AND (SELECT count(*) FROM part_pairs) = (SELECT count(*) FROM chain)
+             AND (SELECT list_sort(list(d)) FROM gdeg)
+                 = (SELECT list_sort(list(d)) FROM cdeg)
+            THEN 1.0 ELSE 0.0 END
+"""
+
+_SQL_SETOPS_REST = f"""
+WITH {_SQL_PART.strip()},
+{_SQL_CHAIN.strip()},
+{_SQL_DEDGES_FRAG.strip()},
+nn AS (SELECT count(*) AS n FROM part_nodes),
+pp_n AS (SELECT count(*) AS m FROM part_pairs),
+ch_n AS (SELECT count(*) AS m FROM chain),
+un_n AS (
+  SELECT count(*) AS m FROM (
+    SELECT src, dst FROM part_pairs UNION SELECT src, dst FROM chain
+  )
+),
+de_n AS (SELECT count(*) AS m FROM dedges),
+tu_n AS (
+  SELECT count(*) AS m FROM (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dedges
+  )
+),
+comp_w AS (
+  SELECT sum(CASE WHEN EXISTS (SELECT 1 FROM chain c
+                               WHERE c.src = e.src AND c.dst = e.dst)
+                  THEN 1.0 ELSE (1 + (e.src + e.dst) % 5)::DOUBLE END) AS s
+  FROM (SELECT src, dst FROM part_pairs UNION SELECT src, dst FROM chain) e
+)
+SELECT 'union' AS op, (SELECT n FROM nn) AS n_nodes,
+       (SELECT m FROM un_n) AS n_edges, 0.0 AS checksum
+UNION ALL
+SELECT 'disjoint_union', 2 * (SELECT n FROM nn),
+       (SELECT m FROM pp_n) + (SELECT m FROM ch_n), 0.0
+UNION ALL
+SELECT 'compose_w', (SELECT n FROM nn), (SELECT m FROM un_n), (SELECT s FROM comp_w)
+UNION ALL
+SELECT 'full_join', 2 * (SELECT n FROM nn),
+       (SELECT m FROM pp_n) + (SELECT m FROM ch_n) + (SELECT n * n FROM nn), 0.0
+UNION ALL
+SELECT 'complement_chain', (SELECT n FROM nn),
+       (SELECT (n * (n - 1)) // 2 FROM nn) - (SELECT m FROM ch_n), 0.0
+UNION ALL
+SELECT 'reverse', (SELECT n FROM nn), (SELECT m FROM de_n), 0.0
+UNION ALL
+SELECT 'to_undirected', (SELECT n FROM nn), (SELECT m FROM tu_n), 0.0
+"""
+
+
+def _sql_bf_path(rounds: int = 14) -> str:
+    """Bellman-Ford path-reconstruction replay: the kernel's per-round
+    min(struct(dist, parent)) argmin becomes a two-step min: cd = min
+    candidate dist per node, cp = min parent among candidates achieving
+    cd; the frontier-delta trajectory (frontier = strictly-improved rows)
+    is replayed verbatim so the trajectory-dependent parent column
+    matches.  Integer weights keep every dist double exact; rounds past
+    convergence are exact no-ops (empty frontier)."""
+    parts = [
+        f"""WITH {_SQL_PART.strip()},
+u0 AS (SELECT min(id) AS u FROM part_nodes),
+symw AS MATERIALIZED (
+  SELECT src, dst, (1 + (src + dst) % 5)::DOUBLE AS w FROM sym
+),
+st0 AS MATERIALIZED (SELECT u AS id, 0.0 AS dist, u AS parent FROM u0),
+fr0 AS MATERIALIZED (SELECT u AS id, 0.0 AS dist FROM u0),"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""cd{k} AS MATERIALIZED (
+  SELECT e.dst AS id, min(f.dist + e.w) AS cd
+  FROM fr{k - 1} f JOIN symw e ON e.src = f.id
+  GROUP BY e.dst
+),
+cp{k} AS MATERIALIZED (
+  SELECT c.id, c.cd, min(f.id) AS cp
+  FROM cd{k} c JOIN symw e ON e.dst = c.id JOIN fr{k - 1} f ON f.id = e.src
+  WHERE f.dist + e.w = c.cd
+  GROUP BY c.id, c.cd
+),
+im{k} AS MATERIALIZED (
+  SELECT c.id, c.cd AS dist, c.cp AS parent
+  FROM cp{k} c LEFT JOIN st{k - 1} s ON s.id = c.id
+  WHERE s.id IS NULL OR c.cd < s.dist
+),
+st{k} AS MATERIALIZED (
+  SELECT COALESCE(s.id, i.id) AS id,
+         CASE WHEN i.id IS NOT NULL AND (s.id IS NULL OR i.dist < s.dist)
+              THEN i.dist ELSE s.dist END AS dist,
+         CASE WHEN i.id IS NOT NULL AND (s.id IS NULL OR i.dist < s.dist)
+              THEN i.parent ELSE s.parent END AS parent
+  FROM st{k - 1} s FULL OUTER JOIN im{k} i ON i.id = s.id
+),
+fr{k} AS MATERIALIZED (SELECT id, dist FROM im{k}),"""
+        )
+    joined = "\n".join(parts)
+    if joined.endswith(","):
+        joined = joined[:-1]
+    return joined + f"\nSELECT id, dist, parent FROM st{rounds}"
+
+
+_SQL_PATHS_SUITE = f"""
+WITH RECURSIVE {_SQL_PART.strip()},
+{_SQL_DEDGES_FRAG.strip()},
+u0 AS (SELECT min(id) AS u FROM part_nodes),
+dwedges AS (SELECT src, dst, (1 + (src + dst) % 5)::DOUBLE AS w FROM dedges),
+crafted AS (
+  SELECT u AS src, u + 1 AS dst, 1.0 AS w FROM u0
+  UNION ALL SELECT u + 1, u + 2, -2.0 FROM u0
+  UNION ALL SELECT u + 2, u, -1.0 FROM u0
+),
+bidir_reach(id, lvl) AS (
+  SELECT u, 0::BIGINT FROM u0
+  UNION
+  SELECT e.dst, r.lvl + 1 FROM bidir_reach r JOIN sym e ON e.src = r.id
+  WHERE r.lvl < 8
+),
+bidir_l AS (
+  SELECT min(lvl) AS l FROM bidir_reach WHERE id = (SELECT u + 5 FROM u0)
+),
+reach_u(id) AS (
+  SELECT u FROM u0
+  UNION
+  SELECT e.dst FROM sym e JOIN reach_u r ON e.src = r.id
+),
+iso0 AS (
+  SELECT min(id) AS iso FROM part_nodes
+  WHERE id NOT IN (SELECT src FROM part_pairs)
+    AND id NOT IN (SELECT dst FROM part_pairs)
+)
+SELECT 'neg_cycle_positive' AS metric,
+       CASE WHEN EXISTS (SELECT 1 FROM dwedges WHERE w < 0) THEN 1.0 ELSE 0.0 END
+         AS value
+UNION ALL
+SELECT 'neg_cycle_crafted',
+       CASE WHEN (SELECT sum(w) FROM crafted) < 0 THEN 1.0 ELSE 0.0 END
+UNION ALL
+SELECT 'bidir_u_v5', (SELECT coalesce(l, -1)::DOUBLE FROM bidir_l)
+UNION ALL
+SELECT 'has_path_u_v5',
+       CASE WHEN (SELECT u + 5 FROM u0) IN (SELECT id FROM reach_u)
+            THEN 1.0 ELSE 0.0 END
+UNION ALL
+SELECT 'has_path_u_isolated',
+       (SELECT CASE WHEN iso IS NULL THEN -1.0
+                    WHEN iso IN (SELECT id FROM reach_u) THEN 1.0
+                    ELSE 0.0 END FROM iso0)
+"""
+
+
+def _sql_floyd_warshall(rounds: int = 7) -> str:
+    """Min-plus matrix-squaring replay of floyd_warshall on the 60-node
+    weighted subgraph: d_{{k+1}}(i,j) = min(d_k(i,j), min_m d_k(i,m) +
+    d_k(m,j)) — 7 squarings cover 2^7 hops, far past the subgraph's hop
+    diameter; integer weights keep every min exact; extra rounds are
+    exact no-ops at the fixpoint."""
+    parts = [
+        f"""WITH {_SQL_PART.strip()},
+u0 AS (SELECT min(id) AS u FROM part_nodes),
+sub_nodes AS MATERIALIZED (SELECT id FROM part_nodes, u0 WHERE id < u + 60),
+sube AS MATERIALIZED (
+  SELECT src, dst, (1 + (src + dst) % 5)::DOUBLE AS w
+  FROM part_pairs, u0 WHERE src < u + 60 AND dst < u + 60
+),
+d0 AS MATERIALIZED (
+  SELECT r, c, min(d) AS d FROM (
+    SELECT id AS r, id AS c, 0.0 AS d FROM sub_nodes
+    UNION ALL SELECT src, dst, w FROM sube
+    UNION ALL SELECT dst, src, w FROM sube
+  ) GROUP BY r, c
+),"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT r, c, min(d) AS d FROM (
+    SELECT a.r, b.c, a.d + b.d AS d FROM d{k - 1} a JOIN d{k - 1} b ON a.c = b.r
+    UNION ALL
+    SELECT r, c, d FROM d{k - 1}
+  ) GROUP BY r, c
+),"""
+        )
+    joined = "\n".join(parts)
+    if joined.endswith(","):
+        joined = joined[:-1]
+    return joined + f"\nSELECT r AS row, c AS col, d AS value FROM d{rounds}"
+
+
+_SQL_TRAVERSAL_REST = f"""
+WITH RECURSIVE {_SQL_PART.strip()},
+{_SQL_DEDGES_FRAG.strip()},
+u0 AS (SELECT min(id) AS u FROM part_nodes),
+lay_reach(id, lvl) AS (
+  SELECT u, 0::BIGINT FROM u0
+  UNION
+  SELECT e.dst, r.lvl + 1 FROM lay_reach r JOIN sym e ON e.src = r.id
+  WHERE r.lvl < 12
+),
+lay AS (SELECT id, min(lvl) AS lvl FROM lay_reach GROUP BY id),
+d2_reach(id, lvl) AS (
+  SELECT u, 0::BIGINT FROM u0
+  UNION
+  SELECT e.dst, r.lvl + 1 FROM d2_reach r JOIN dedges e ON e.src = r.id
+  WHERE r.lvl < 2
+),
+d2 AS (SELECT id, min(lvl) AS lvl FROM d2_reach GROUP BY id),
+desc_u(id) AS (
+  SELECT u FROM u0
+  UNION
+  SELECT e.dst FROM dedges e JOIN desc_u r ON e.src = r.id
+),
+anc_su(id) AS (
+  SELECT u FROM u0
+  UNION
+  SELECT e.src FROM dedges e JOIN anc_su r ON e.dst = r.id
+)
+SELECT 'layer_' || lvl AS metric, id FROM lay
+UNION ALL
+SELECT 'desc_at_2', id FROM d2 WHERE lvl = 2
+UNION ALL
+SELECT 'descendants', id FROM desc_u WHERE id <> (SELECT u FROM u0)
+UNION ALL
+SELECT 'ancestors', id FROM anc_su WHERE id <> (SELECT u FROM u0)
+"""
+
+_SQL_CUTS_SUITE = f"""
+WITH {_SQL_PART.strip()},
+s AS (SELECT id FROM part_nodes WHERE id % 4 = 0),
+t AS (SELECT id FROM part_nodes WHERE id % 4 = 1),
+nn AS (SELECT count(*) AS n FROM part_nodes),
+mm AS (SELECT count(*) AS m FROM part_pairs),
+cut AS (
+  SELECT count(*)::BIGINT AS c FROM sym
+  WHERE src IN (SELECT id FROM s) AND dst NOT IN (SELECT id FROM s)
+),
+cut_st AS (
+  SELECT count(*)::BIGINT AS c FROM sym
+  WHERE src IN (SELECT id FROM s) AND dst IN (SELECT id FROM t)
+),
+vol_s AS (SELECT count(*)::BIGINT AS v FROM sym WHERE src IN (SELECT id FROM s)),
+vol_t AS (
+  SELECT count(*)::BIGINT AS v FROM sym WHERE src NOT IN (SELECT id FROM s)
+),
+sn AS (SELECT count(*)::BIGINT AS c FROM s),
+nb AS (
+  SELECT count(*)::BIGINT AS c FROM (
+    SELECT DISTINCT dst AS id FROM sym
+    WHERE src IN (SELECT id FROM s) AND dst NOT IN (SELECT id FROM s)
+  )
+)
+SELECT 'normalized_cut' AS metric,
+       (SELECT c FROM cut) * (1.0 / (SELECT v FROM vol_s)
+                              + 1.0 / (SELECT v FROM vol_t)) AS value
+UNION ALL
+SELECT 'edge_expansion',
+       (SELECT c FROM cut)
+       / least((SELECT c FROM sn), (SELECT n FROM nn) - (SELECT c FROM sn))
+UNION ALL
+SELECT 'mixing_expansion', (SELECT c FROM cut) / (2.0 * (SELECT m FROM mm))
+UNION ALL
+SELECT 'node_expansion',
+       ((SELECT c FROM nb) + (SELECT c FROM sn)) / (SELECT c FROM sn)
+UNION ALL
+SELECT 'boundary_expansion', (SELECT c FROM nb) / (SELECT c FROM sn)
+UNION ALL
+SELECT 'cut_size_S_T', (SELECT c FROM cut_st)::DOUBLE
+"""
+
+#: 1.0 - 0.85 computed in Python is 0.15000000000000002; the oracle must
+#: use the same literal for bit-exact teleport terms.
+_SQL_GOOGLE_MATRIX = f"""
+WITH {_SQL_PART.strip()},
+u0 AS (SELECT min(id) AS u FROM part_nodes),
+gm_nodes AS (SELECT id FROM part_nodes, u0 WHERE id < u + 100),
+gme AS (
+  SELECT src, dst FROM part_pairs, u0 WHERE src < u + 100 AND dst < u + 100
+),
+gmsym AS (
+  SELECT src, dst, 1.0 AS w FROM gme
+  UNION ALL
+  SELECT dst AS src, src AS dst, 1.0 AS w FROM gme
+),
+od AS (SELECT src, sum(w) AS od FROM gmsym GROUP BY src),
+pn AS (SELECT 1.0 / count(*) AS p FROM gm_nodes),
+dang AS (
+  SELECT id FROM gm_nodes WHERE id NOT IN (SELECT src FROM gmsym)
+)
+SELECT a.id AS row, b.id AS col,
+       0.85 * coalesce(s.v, 0.0)
+       + (CASE WHEN a.id IN (SELECT id FROM dang)
+               THEN 0.85 * (SELECT p FROM pn) ELSE 0.0 END)
+       + {1.0 - 0.85!r} * (SELECT p FROM pn) AS value
+FROM gm_nodes a
+CROSS JOIN gm_nodes b
+LEFT JOIN (
+  SELECT e.src, e.dst, e.w / o.od AS v FROM gmsym e JOIN od o ON o.src = e.src
+) s ON s.src = a.id AND s.dst = b.id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_pagerank": _sql_pagerank(),
@@ -5415,6 +6181,14 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_personalized": _sql_pagerank_personalized(),
         "graph_spam_mass": _sql_spam_mass(),
         "graph_pagerank_incremental": _sql_pagerank_incremental(),
+        "graph_structure_suite": _SQL_STRUCTURE_SUITE,
+        "graph_setops_rest": _SQL_SETOPS_REST,
+        "graph_bf_path": _sql_bf_path(),
+        "graph_paths_suite": _SQL_PATHS_SUITE,
+        "graph_floyd_warshall": _sql_floyd_warshall(),
+        "graph_traversal_rest": _SQL_TRAVERSAL_REST,
+        "graph_cuts_suite": _SQL_CUTS_SUITE,
+        "graph_google_matrix": _SQL_GOOGLE_MATRIX,
         "graph_components": _SQL_COMPONENTS,
         "graph_components_star": _SQL_COMPONENTS,
         "graph_components_incremental": _SQL_COMPONENTS,
