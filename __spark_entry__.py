@@ -23,6 +23,7 @@ sides.  Every hash used by dedup ops is md5 (engine-portable).
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1494,7 +1495,11 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """IVF ANN (approximate — no SQL oracle; rows-only check).
+    """IVF ANN — VALUE-oracled since r5: the centroid refinement's
+    per-dimension means are dyadic scaled-integer exact (similarity.py
+    deterministic_centroids), so the seeded-centroid -> one-Lloyd-step ->
+    assign/probe -> per-cell exact-cosine pipeline is a deterministic
+    trajectory the oracle replays in pure SQL (seeds, refine, rank).
 
     Operating point m=16 / n_probe=8 per the measured sf0.1 recall grid
     (scripts/ivf_recall.py, BENCH/BASELINE.md round-3 recall section):
@@ -1515,13 +1520,28 @@ def _q_ann_ivf_pandas(spark, sf_dir):
 
 
 def _q_ann_ivf_pq(spark, sf_dir):
-    """IVF + product quantization with exact re-rank (approximate — no
-    SQL oracle; rows-only check; pytest gates recall >= 0.85 on clustered
-    data and proves reported cosines are exact)."""
+    """IVF + product quantization with exact re-rank — VALUE-oracled
+    since r5: dyadic_bits=20 carries the whole ADC (snapped queries x
+    snapped codebook, integer LUT sums) in int64, so candidate selection
+    is bit-identical across runs/engines.  The oracle replays centroids/
+    assignment/probes in SQL (dyadic Lloyd means, shared with
+    pipe_ann_ivf), pins the TRAINED codebook from
+    fixtures/pq_codebook_sf001.json (Lloyd's numpy means are a tiny
+    local model, not SQL-expressible; drift is guarded by
+    test_pq_codebook_matches_fixture), and replays encode + ADC + both
+    top-40 stages + the exact-cosine re-rank independently.  pytest
+    gates recall >= 0.85 on clustered data and exactness of reported
+    cosines."""
     from graphblas_algorithms_spark.pipeline.similarity import ivf_pq_topk
 
     return ivf_pq_topk(
-        _read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=8, m_sub=8, k_codes=256
+        _read(spark, sf_dir, "embeddings"),
+        k=10,
+        m=16,
+        n_probe=8,
+        m_sub=8,
+        k_codes=256,
+        dyadic_bits=20,
     )
 
 
@@ -5400,6 +5420,173 @@ SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine
 FROM ranked WHERE rank <= 10
 """
 
+#: Full SQL replay of ivf_topk (m=16, n_probe=8, refine_iters=1, k=10):
+#: residue-class seeds -> one Lloyd step with DYADIC per-dimension means
+#: (exact BIGINT sums, r5 similarity.py change) -> normalized refined
+#: centroids -> assignment (rank 1) / probes (rank <= 8) from ONE scored
+#: pass -> per-cell exact cosines -> global top-10.  Vectors are
+#: normalized per-element exactly like Spark's transform(x -> x /
+#: greatest(nrm, 1e-12)); sims order UNROUNDED like the kernel; final
+#: cosines round to 6 on both sides.
+_SQL_IVF_PREFIX = """
+nv AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / greatest(
+                  sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y))),
+                  1e-12)
+         ) AS v
+  FROM embeddings
+),
+iseeds AS MATERIALIZED (
+  SELECT id % 16 AS centroid_id, min(id) AS id FROM nv GROUP BY 1
+),
+icents0 AS MATERIALIZED (
+  SELECT s.centroid_id, n.v AS cv FROM iseeds s JOIN nv n USING (id)
+),
+iasg0 AS MATERIALIZED (
+  SELECT id, v, centroid_id FROM (
+    SELECT n.id, n.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY n.id
+             ORDER BY list_dot_product(n.v, c.cv) DESC, c.centroid_id ASC
+           ) AS rk
+    FROM nv n CROSS JOIN icents0 c
+  ) WHERE rk = 1
+),
+imeans AS MATERIALIZED (
+  SELECT centroid_id, list(mx ORDER BY pos) AS mean_v FROM (
+    SELECT centroid_id, pos,
+           (floor(sum(floor(x * 1048576.0)::BIGINT)::BIGINT / count(*))::BIGINT
+            / 1048576.0) AS mx
+    FROM (
+      SELECT centroid_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+      FROM iasg0
+    ) GROUP BY centroid_id, pos
+  ) GROUP BY centroid_id
+),
+irefined AS MATERIALIZED (
+  SELECT centroid_id,
+         CASE WHEN sqrt(list_sum(list_transform(mean_v, x -> x * x))) > 0
+              THEN list_transform(
+                     mean_v,
+                     x -> x / sqrt(list_sum(list_transform(mean_v, y -> y * y))))
+         END AS cvn
+  FROM imeans
+),
+icents AS MATERIALIZED (
+  SELECT c.centroid_id, coalesce(r.cvn, c.cv) AS cv
+  FROM icents0 c LEFT JOIN irefined r USING (centroid_id)
+),
+iscored AS MATERIALIZED (
+  SELECT id, v, centroid_id, rk FROM (
+    SELECT n.id, n.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY n.id
+             ORDER BY list_dot_product(n.v, c.cv) DESC, c.centroid_id ASC
+           ) AS rk
+    FROM nv n CROSS JOIN icents c
+  ) WHERE rk <= 8
+)
+"""
+
+_SQL_ANN_IVF = f"""
+WITH {_SQL_IVF_PREFIX.strip()},
+icand AS (
+  SELECT p.id AS query_id, a.id AS neighbor_id,
+         round(list_dot_product(p.v, a.v), 6) AS cosine
+  FROM iscored p
+  JOIN (SELECT id, v, centroid_id FROM iscored WHERE rk = 1) a
+    ON a.centroid_id = p.centroid_id AND a.id <> p.id
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM icand
+) WHERE rank <= 10
+"""
+
+#: The PQ codebook is a tiny trained model (Lloyd means in numpy — not
+#: SQL-expressible); the oracle pins the trained, 2^-20-snapped codebook
+#: from this fixture (regenerate: scripts/gen_pq_fixture.py; drift guard:
+#: test_pq_codebook_matches_fixture) and replays encode + integer ADC +
+#: candidate windows + exact re-rank independently.
+_PQ_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "fixtures", "pq_codebook_sf001.json"
+)
+
+_SQL_ANN_IVF_PQ = f"""
+WITH {_SQL_IVF_PREFIX.strip()},
+cbrows AS MATERIALIZED (
+  SELECT s::INT AS s, k::INT AS k, c::BIGINT[] AS c
+  FROM read_json_auto('{_PQ_FIXTURE}')
+),
+xslices AS MATERIALIZED (
+  SELECT xi.id, ss.s, list_slice(xi.x, ss.s * 8 + 1, ss.s * 8 + 8) AS xs
+  FROM (SELECT id, list_transform(v, x -> floor(x * 1048576.0)::BIGINT) AS x
+        FROM nv) xi,
+       (SELECT DISTINCT s FROM cbrows) ss
+),
+enc AS MATERIALIZED (
+  SELECT id, s, k AS code FROM (
+    SELECT xs.id, xs.s, cb.k,
+           row_number() OVER (
+             PARTITION BY xs.id, xs.s
+             ORDER BY 2 * list_dot_product(xs.xs, cb.c)
+                      - list_dot_product(cb.c, cb.c) DESC,
+                      cb.k ASC
+           ) AS rk
+    FROM xslices xs JOIN cbrows cb ON cb.s = xs.s
+  ) WHERE rk = 1
+),
+pqpairs AS MATERIALIZED (
+  SELECT p.id AS query_id, a.id AS neighbor_id, p.centroid_id AS cell
+  FROM iscored p
+  JOIN (SELECT id, centroid_id FROM iscored WHERE rk = 1) a
+    ON a.centroid_id = p.centroid_id AND a.id <> p.id
+),
+adc AS MATERIALIZED (
+  SELECT pr.query_id, pr.neighbor_id, pr.cell,
+         sum(list_dot_product(xs.xs, cb.c)) AS approx
+  FROM pqpairs pr
+  JOIN enc e ON e.id = pr.neighbor_id
+  JOIN xslices xs ON xs.id = pr.query_id AND xs.s = e.s
+  JOIN cbrows cb ON cb.s = e.s AND cb.k = e.code
+  GROUP BY pr.query_id, pr.neighbor_id, pr.cell
+),
+cell_top AS MATERIALIZED (
+  SELECT query_id, neighbor_id, approx FROM (
+    SELECT query_id, neighbor_id, approx,
+           row_number() OVER (PARTITION BY query_id, cell
+                              ORDER BY approx DESC, neighbor_id ASC) AS rk
+    FROM adc
+  ) WHERE rk <= 40
+),
+gcand AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx DESC, neighbor_id ASC) AS rk
+    FROM cell_top
+  ) WHERE rk <= 40
+),
+rr AS (
+  SELECT g.query_id, g.neighbor_id,
+         round(list_dot_product(q.v, n.v), 6) AS cosine
+  FROM gcand g
+  JOIN nv q ON q.id = g.query_id
+  JOIN nv n ON n.id = g.neighbor_id
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rr
+) WHERE rank <= 10
+"""
+
 _SQL_EVENTS_WINDOWED = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*)::BIGINT AS n_events,
@@ -6302,6 +6489,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_embedding_lsh": _sql_embedding_lsh(),
         "pipe_semdedup": _SQL_SEMDEDUP,
         "pipe_ann_topk": _SQL_ANN_TOPK,
+        "pipe_ann_ivf": _SQL_ANN_IVF,
+        "pipe_ann_ivf_pq": _SQL_ANN_IVF_PQ,
         # pipe_ann_ivf: approximate — rows-only check
         "events_windowed": _SQL_EVENTS_WINDOWED,
         "events_sessions": _SQL_EVENTS_SESSIONS,

@@ -560,8 +560,10 @@ def semantic_dedup(
     With ``refine_iters=0`` the centroids are exact normalized corpus
     vectors, so every comparison is a round-6 vector-vector cosine and
     the driver oracle (``pipe_semdedup``) replays the full pipeline in
-    SQL; ``refine_iters>=1`` is the quality path (float cell means are
-    engine-local — pytest-gated, like IVF recall).
+    SQL; ``refine_iters>=1`` is the quality path (since r5 the Lloyd
+    cell means are dyadic scaled-integer exact — see
+    ``deterministic_centroids`` — so this path is SQL-replayable too,
+    as ``pipe_ann_ivf``'s oracle demonstrates).
     """
     from pyspark.sql import Window
 

@@ -123,11 +123,24 @@ def deterministic_centroids(emb: DataFrame, m: int, refine_iters: int = 1) -> Da
             )
             .filter(F.col("_rk") == 1)
         )
-        # cell means: posexplode -> per-dimension avg -> reassemble sorted
+        # cell means: posexplode -> per-dimension mean -> reassemble sorted.
+        # The mean is carried on the 2^-20 dyadic grid as an exact BIGINT
+        # sum + floor division (the ANF recipe): a float avg() is
+        # aggregation-order-dependent, which made the refined centroids —
+        # and everything downstream of them — differ across runs at the
+        # last ULP and blocked a value oracle for the whole IVF family.
         means = (
             assigned.select("centroid_id", F.posexplode("v").alias("_pos", "_x"))
             .groupBy("centroid_id", "_pos")
-            .agg(F.avg("_x").alias("_mx"))
+            .agg(
+                (
+                    F.floor(
+                        F.sum(F.floor(F.col("_x") * F.lit(1048576.0)).cast("long"))
+                        / F.count("*")
+                    ).cast("long")
+                    / F.lit(1048576.0)
+                ).alias("_mx")
+            )
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(
@@ -486,7 +499,10 @@ def _codebook_np(codebooks: DataFrame):
 
 
 def pq_encode(
-    vecs: DataFrame, codebooks: DataFrame, rotation_seed: int | None = None
+    vecs: DataFrame,
+    codebooks: DataFrame,
+    rotation_seed: int | None = None,
+    dyadic_bits: int | None = None,
 ) -> DataFrame:
     """(id, codes: array<int>) — each vector compressed to m_sub code
     ids (argmin L2 per subspace).  One Arrow-batched numpy pass; the
@@ -494,14 +510,39 @@ def pq_encode(
     uint8 codes this is a ~768x memory cut on the candidate-scoring
     side, which is what lets a 100 TB corpus's index live in cluster
     RAM.  ``vecs`` must be (id, v) as produced by ``_norm_vec``.
+
+    ``dyadic_bits``: snap vectors AND codebook to the 2^-bits grid and
+    argmax over the integer score 2*(x.c) - ||c||^2 (same ordering,
+    doubled to stay integral) — int64-exact, so the chosen codes are
+    bit-identical across runs/engines and SQL-replayable (the ANF
+    determinism contract).
     """
     import numpy as np
 
     cb = _codebook_np(codebooks)
     m_sub, k_codes, d_sub = cb.shape
+    R = _pq_rotation(m_sub * d_sub, rotation_seed) if rotation_seed is not None else None
+    if dyadic_bits is not None:
+        cbi = np.floor(cb * float(2**dyadic_bits)).astype(np.int64)
+        cnorm = (cbi * cbi).sum(axis=2)  # (s, k) int64
+
+        def encode(batches):
+            for pdf in batches:
+                X = np.vstack(pdf["v"].to_numpy())
+                if R is not None:
+                    X = X @ R.T
+                Xi = np.floor(X * float(2**dyadic_bits)).astype(np.int64)
+                Xs = Xi.reshape(len(Xi), m_sub, d_sub)
+                # integer argmax of 2*x.c - ||c||^2 == argmax x.c - 0.5||c||^2
+                scores = 2 * np.einsum("bsd,skd->bsk", Xs, cbi) - cnorm
+                codes = np.argmax(scores, axis=2).astype("int32")
+                yield pd.DataFrame(
+                    {"id": pdf["id"].to_numpy(), "codes": [c.tolist() for c in codes]}
+                )
+
+        return vecs.mapInPandas(encode, schema="id long, codes array<int>")
     flat = cb.reshape(m_sub * k_codes, d_sub)
     half_norm = 0.5 * (flat * flat).sum(axis=1).reshape(m_sub, k_codes)
-    R = _pq_rotation(m_sub * d_sub, rotation_seed) if rotation_seed is not None else None
 
     def encode(batches):
         for pdf in batches:
@@ -528,6 +569,7 @@ def ivf_pq_topk(
     k_codes: int = 256,
     rerank: int = 4,
     rotation_seed: int | None = None,
+    dyadic_bits: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cosine) — IVF + product quantization.
 
@@ -542,6 +584,12 @@ def ivf_pq_topk(
     which candidates reach the re-rank, trading recall for a ~(8B*d/m_sub)
     per-vector memory cut.  Deterministic end-to-end (seeded centroids,
     seeded codebooks, id tie-breaks).
+
+    ``dyadic_bits``: carry the ADC entirely in int64 on the 2^-bits grid
+    (snapped queries x snapped codebook; approx = exact integer LUT sum),
+    making the candidate-selection trajectory bit-identical across
+    runs/engines — the contract that lets the driver value-oracle this
+    query (the float path's einsum sums are order-dependent).
     """
     import numpy as np
 
@@ -550,8 +598,18 @@ def ivf_pq_topk(
     cb = _codebook_np(codebooks)
     ms, kc, d_sub = cb.shape
     R = _pq_rotation(ms * d_sub, rotation_seed) if rotation_seed is not None else None
+    cbi = (
+        np.floor(cb * float(2**dyadic_bits)).astype(np.int64)
+        if dyadic_bits is not None
+        else None
+    )
 
-    codes = pq_encode(assigned.select("id", "v"), codebooks, rotation_seed=rotation_seed)
+    codes = pq_encode(
+        assigned.select("id", "v"),
+        codebooks,
+        rotation_seed=rotation_seed,
+        dyadic_bits=dyadic_bits,
+    )
     members = assigned.select(
         F.col("centroid_id").alias("cell"), F.col("id").alias("neighbor_id")
     ).join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
@@ -564,8 +622,13 @@ def ivf_pq_topk(
         Q = np.vstack(qpdf["vq"].to_numpy())  # (q, d)
         if R is not None:
             Q = Q @ R.T  # rotated LUT vs rotated codes: q.x == Rq.Rx
-        Qs = Q.reshape(len(Q), ms, d_sub)
-        lut = np.einsum("qsd,skd->qsk", Qs, cb)  # (q, s, k_codes)
+        if cbi is not None:
+            Qi = np.floor(Q * float(2**dyadic_bits)).astype(np.int64)
+            Qs = Qi.reshape(len(Qi), ms, d_sub)
+            lut = np.einsum("qsd,skd->qsk", Qs, cbi)  # int64-exact
+        else:
+            Qs = Q.reshape(len(Q), ms, d_sub)
+            lut = np.einsum("qsd,skd->qsk", Qs, cb)  # (q, s, k_codes)
         C = np.vstack(mpdf["codes"].to_numpy())  # (c, s) int
         nids = mpdf["neighbor_id"].to_numpy()
         rows = []
@@ -574,7 +637,11 @@ def ivf_pq_topk(
             approx = lut[i, np.arange(ms), C].sum(axis=1)  # (c,)
             keep = nids != qid
             kn, ks = nids[keep], approx[keep]
-            order = np.lexsort((kn, -np.round(ks, 6)))[:n_cand]
+            if cbi is not None:
+                # integer scores: exact, no rounding needed for the sort
+                order = np.lexsort((kn, -ks))[:n_cand]
+            else:
+                order = np.lexsort((kn, -np.round(ks, 6)))[:n_cand]
             for j in order:
                 rows.append((int(qid), int(kn[j]), float(ks[j])))
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "approx"])

@@ -676,6 +676,37 @@ def _clustered_emb(spark, n_clusters=20, per=30, d=32, sigma=0.05):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def test_pq_codebook_matches_fixture(spark):
+    """Drift guard for the pinned pipe_ann_ivf_pq oracle codebook
+    (fixtures/pq_codebook_sf001.json): retrain on the same sf0.01
+    corpus and assert snapped-int equality.  If this fails after an
+    intentional pq_train change, regenerate with
+    scripts/gen_pq_fixture.py."""
+    import json
+    import os
+
+    import numpy as np
+
+    from graphblas_algorithms_spark.pipeline.similarity import pq_train
+
+    sf_dir = "/root/testdata/sf0.01"
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "pq_codebook_sf001.json",
+    )
+    if not (os.path.exists(f"{sf_dir}/embeddings.parquet") and os.path.exists(fixture)):
+        pytest.skip("sf0.01 testdata or fixture not present")
+    with open(fixture) as f:
+        want = {(r["s"], r["k"]): r["c"] for r in json.load(f)}
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {}
+    for r in pq_train(e, m_sub=8, k_codes=256).collect():
+        vec = np.floor(np.asarray(r["code_vec"]) * float(2**20)).astype(np.int64)
+        got[(r["sub_id"], r["code_id"])] = vec.tolist()
+    assert got == want
+
+
 def test_pq_encode_roundtrip_properties(spark, emb):
     """Codebooks are deterministic and complete (m_sub x k_codes rows);
     codes are valid ids; encoding twice (and under a different input
