@@ -1680,17 +1680,22 @@ MM_FEATURE_DIM = 8
 
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal surface end-to-end: binary payload -> mapInPandas decode
-    (deterministic fake: sha256-seeded floats — no codec libs in this
-    container; the Arrow batch plumbing is what this row value-checks) ->
-    exploded (asset_id, kind, dim_idx, v).  Input is the deterministic
-    synthetic asset table, independent of sf_dir."""
+    -> exploded (asset_id, kind, dim_idx, v).  Since r5 the image and
+    audio paths do REAL byte-level work: the payloads are genuine P6 PPM
+    images / RIFF-WAVE PCM16 audio built from deterministic pixel/sample
+    formulas, and the registered decoders parse the actual containers
+    (pure-numpy header walk + frombuffer) before reducing to exact
+    integer-aggregate features; only video keeps the sha256 stand-in
+    (container demux needs ffmpeg).  The oracle re-derives the features
+    from the same formulas in SQL.  Input is the deterministic synthetic
+    asset table, independent of sf_dir."""
     from graphblas_algorithms_spark.pipeline.multimodal import (
         extract_features,
-        register_fake_decoders,
+        register_builtin_decoders,
         synth_assets,
     )
 
-    register_fake_decoders(dim=MM_FEATURE_DIM)
+    register_builtin_decoders(dim=MM_FEATURE_DIM)
     assets = synth_assets(spark, n=MM_N_ASSETS)
     feats = extract_features(assets, dim=MM_FEATURE_DIM)
     return feats.select(
@@ -5705,25 +5710,90 @@ SELECT n_name, c_custkey, revenue, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
 """
 
 
-# Replicates pipeline.multimodal exactly: payload = utf-8 bytes of
-# sha2('asset:'||id, 256) lowercase hex; fake decode = sha256(payload)
-# digest bytes scaled /255 (DuckDB sha256(VARCHAR) hashes the utf-8 bytes,
-# matching Spark's encode(..., 'utf-8') payload).
+# Replicates pipeline.multimodal exactly.  Image/audio (r5, REAL
+# decoders): the synthetic payloads encode deterministic formulas —
+# pixel v = (a*7 + x*3 + y*5 + c*11) % 256 over 64x48x3, sample
+# s_i = ((a*13 + i*7) % 65536) - 32768 over n = 800 + (a%5)*160 — and
+# the features are exact integer aggregates of them, so SQL re-derives
+# the identical values without touching bytes (the byte round-trip
+# itself is pytest-gated: encode->decode == formula).  Video keeps the
+# sha256-digest stand-in replay.
 _SQL_MULTIMODAL_FEATURES = f"""
 WITH ids AS (SELECT range AS asset_id FROM range({MM_N_ASSETS})),
-a AS (
-  SELECT asset_id,
-         CASE asset_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-              ELSE 'video' END AS kind,
-         sha256(sha256('asset:' || asset_id::VARCHAR)) AS digest
-  FROM ids
+img_px AS (
+  SELECT i.asset_id, c.c,
+         (i.asset_id * 7 + x.x * 3 + y.y * 5 + c.c * 11) % 256 AS v
+  FROM ids i,
+       (SELECT range AS x FROM range(64)) x,
+       (SELECT range AS y FROM range(48)) y,
+       (SELECT range AS c FROM range(3)) c
+  WHERE i.asset_id % 3 = 0
 ),
-dims AS (SELECT range AS dim_idx FROM range({MM_FEATURE_DIM}))
-SELECT a.asset_id, a.kind, dim_idx::BIGINT AS dim_idx,
-       round(((strpos('0123456789abcdef', substr(digest, dim_idx*2+1, 1)) - 1) * 16
-            + (strpos('0123456789abcdef', substr(digest, dim_idx*2+2, 1)) - 1))
-             / 255.0, 6) AS v
-FROM a CROSS JOIN dims
+img_agg AS (
+  SELECT asset_id,
+         sum(CASE WHEN c = 0 THEN v END)::BIGINT AS s0,
+         sum(CASE WHEN c = 1 THEN v END)::BIGINT AS s1,
+         sum(CASE WHEN c = 2 THEN v END)::BIGINT AS s2,
+         min(v)::BIGINT AS vmin, max(v)::BIGINT AS vmax,
+         sum(v)::BIGINT AS tot
+  FROM img_px GROUP BY asset_id
+),
+img_feats AS (
+  SELECT asset_id, 0 AS dim_idx, 64 / 256.0 AS v FROM img_agg
+  UNION ALL SELECT asset_id, 1, 48 / 256.0 FROM img_agg
+  UNION ALL SELECT asset_id, 2, s0 / (3072 * 255.0) FROM img_agg
+  UNION ALL SELECT asset_id, 3, s1 / (3072 * 255.0) FROM img_agg
+  UNION ALL SELECT asset_id, 4, s2 / (3072 * 255.0) FROM img_agg
+  UNION ALL SELECT asset_id, 5, vmin / 255.0 FROM img_agg
+  UNION ALL SELECT asset_id, 6, vmax / 255.0 FROM img_agg
+  UNION ALL SELECT asset_id, 7, (tot % 9973) / 9973.0 FROM img_agg
+),
+aud_smp AS (
+  SELECT i.asset_id, s.i,
+         ((i.asset_id * 13 + s.i * 7) % 65536) - 32768 AS v,
+         800 + (i.asset_id % 5) * 160 AS n
+  FROM ids i, (SELECT range AS i FROM range(1440)) s
+  WHERE i.asset_id % 3 = 1 AND s.i < 800 + (i.asset_id % 5) * 160
+),
+aud_agg AS (
+  SELECT asset_id, max(n) AS n,
+         sum(v)::BIGINT AS sv, sum(abs(v))::BIGINT AS sa,
+         min(v)::BIGINT AS vmin, max(v)::BIGINT AS vmax,
+         sum(CASE WHEN prev IS NOT NULL AND ((v < 0) <> (prev < 0))
+                  THEN 1 ELSE 0 END)::BIGINT AS zc
+  FROM (SELECT asset_id, n, i, v,
+               lag(v) OVER (PARTITION BY asset_id ORDER BY i) AS prev
+        FROM aud_smp)
+  GROUP BY asset_id
+),
+aud_feats AS (
+  SELECT asset_id, 0 AS dim_idx, 16000 / 48000.0 AS v FROM aud_agg
+  UNION ALL SELECT asset_id, 1, n / 65536.0 FROM aud_agg
+  UNION ALL SELECT asset_id, 2, sv / (n * 32768.0) FROM aud_agg
+  UNION ALL SELECT asset_id, 3, sa / (n * 32768.0) FROM aud_agg
+  UNION ALL SELECT asset_id, 4, vmin / 32768.0 FROM aud_agg
+  UNION ALL SELECT asset_id, 5, vmax / 32768.0 FROM aud_agg
+  UNION ALL SELECT asset_id, 6, zc / (1.0 * n) FROM aud_agg
+  UNION ALL SELECT asset_id, 7, (sa % 9973) / 9973.0 FROM aud_agg
+),
+vid AS (
+  SELECT asset_id, sha256(sha256('asset:' || asset_id::VARCHAR)) AS digest
+  FROM ids WHERE asset_id % 3 = 2
+),
+dims AS (SELECT range AS dim_idx FROM range({MM_FEATURE_DIM})),
+vid_feats AS (
+  SELECT v.asset_id, dim_idx,
+         ((strpos('0123456789abcdef', substr(digest, dim_idx*2+1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(digest, dim_idx*2+2, 1)) - 1))
+         / 255.0 AS v
+  FROM vid v CROSS JOIN dims
+),
+allf AS (
+  SELECT asset_id, 'image' AS kind, dim_idx, v FROM img_feats
+  UNION ALL SELECT asset_id, 'audio', dim_idx, v FROM aud_feats
+  UNION ALL SELECT asset_id, 'video', dim_idx, v FROM vid_feats
+)
+SELECT asset_id, kind, dim_idx::BIGINT AS dim_idx, round(v, 6) AS v FROM allf
 """
 
 _SQL_FRAME_SAMPLE = f"""

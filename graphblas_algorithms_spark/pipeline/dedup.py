@@ -536,6 +536,7 @@ def semantic_dedup(
     m: int = 16,
     threshold: float = 0.35,
     refine_iters: int = 0,
+    max_cell_pairs: int | None = 50_000_000,
 ) -> DataFrame:
     """(vec_id, centroid_id) — the KEPT corpus after SemDeDup-style
     cluster-then-dedup (Abbas et al., "SemDeDup: Data-efficient learning
@@ -556,6 +557,15 @@ def semantic_dedup(
     representative per epsilon-ball; we pin the deterministic,
     join-expressible variant "drop iff a smaller-id in-cell neighbor
     clears the threshold" (min-id representative).
+
+    ``max_cell_pairs`` prices the pair join from the assignment counts
+    BEFORE running it (one tiny agg — the wedge-budget pattern from
+    triadic_census): a pathological corpus whose vectors collapse into
+    one dominant cell re-creates the all-pairs join inside that cell,
+    and the right behavior at scale is to refuse with the measured
+    number rather than melt an executor.  Raise it deliberately (or
+    pass None) for a corpus known to be cell-balanced; the durable fix
+    for a dominant cell is a larger ``m`` or an extra Lloyd step.
 
     With ``refine_iters=0`` the centroids are exact normalized corpus
     vectors, so every comparison is a round-6 vector-vector cosine and
@@ -587,6 +597,22 @@ def semantic_dedup(
         .select("id", "v", "centroid_id")
         .persist()
     )
+    if max_cell_pairs is not None:
+        pairs_priced = (
+            assigned.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"))
+            .collect()[0]["p"]
+        )
+        pairs_priced = int(pairs_priced or 0)
+        if pairs_priced > max_cell_pairs:
+            assigned.unpersist()
+            raise ValueError(
+                f"semantic_dedup would materialize ~{pairs_priced:,} within-cell "
+                f"pairs (> max_cell_pairs={max_cell_pairs:,}) — the corpus "
+                "collapses into dominant cells.  Raise m / refine_iters to "
+                "split the cells, or raise max_cell_pairs deliberately."
+            )
     a = assigned.select(
         "centroid_id", F.col("id").alias("_ida"), F.col("v").alias("_va")
     )

@@ -57,7 +57,44 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _lineage_cut_canary(spark)
     return spark
+
+
+def _lineage_cut_canary(spark: SparkSession) -> None:
+    """Session-start canary for the private-API coupling in
+    plans/superstep.py: ``lineage_cut`` rebuilds frames through
+    ``SparkSession.internalCreateDataFrame``, which a Spark upgrade can
+    remove or change SILENTLY — the code falls back to plain
+    localCheckpoint (correct but re-poisons the stats estimate the cut
+    exists to drop, degrading iterative kernels by orders of magnitude
+    past ~17 supersteps).  Turn that silent degrade into a loud warning
+    once per session (VERDICT r4 #9); the pyproject pin (<4.2) marks the
+    validated range."""
+    if getattr(spark, "_gas_canary_ok", False):
+        return
+    try:
+        from .plans.superstep import _release_state, lineage_cut
+
+        probe = lineage_cut(spark.range(2).toDF("id"))
+        ok = getattr(probe, "_gas_ckpt", None) is not None and probe.count() == 2
+        _release_state(probe)
+    except Exception:
+        ok = False
+    if not ok:
+        import warnings
+
+        warnings.warn(
+            "lineage_cut fell back to plain localCheckpoint on this Spark "
+            f"version ({spark.version}): internalCreateDataFrame is missing "
+            "or changed.  Iterative kernels remain CORRECT but will slow "
+            "dramatically past ~17 supersteps (stats re-poisoning; see "
+            "plans/superstep.py).  Re-validate the private API against this "
+            "Spark release.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    spark._gas_canary_ok = True
 
 
 def stop_spark() -> None:

@@ -408,6 +408,58 @@ def test_multimodal_plumbing(spark):
         assert r["scale_x"] == pytest.approx(224 / 64, abs=1e-6)
 
 
+def test_multimodal_real_codecs_roundtrip(spark):
+    """The r5 REAL decoders: P6 PPM and RIFF/WAVE PCM16 byte round-trips
+    reproduce the synthesis formulas exactly, header quirks parse, and
+    the end-to-end extract_features values match a hand numpy replay."""
+    import numpy as np
+
+    from graphblas_algorithms_spark.pipeline.multimodal import (
+        _synth_pixels,
+        _synth_samples,
+        audio_features,
+        decode_ppm,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_wav_pcm16,
+        image_features,
+        register_builtin_decoders,
+    )
+
+    px = _synth_pixels(9)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    # comment + extra whitespace in the header still parses
+    hacked = b"P6\n# a comment\n 64  48\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(hacked), px)
+    s = _synth_samples(7)
+    rs, sr = decode_wav_pcm16(encode_wav_pcm16(s, 16000))
+    assert sr == 16000 and np.array_equal(rs, s)
+    with pytest.raises(ValueError):
+        decode_ppm(b"JFIF....")
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"OggS....")
+
+    # feature values == exact integer-aggregate replay
+    v = px.astype(np.int64)
+    f = image_features(encode_ppm(px), None)
+    assert f[2] == int(v[:, :, 0].sum()) / (3072 * 255.0)
+    assert f[7] == (int(v.sum()) % 9973) / 9973.0
+    a = s.astype(np.int64)
+    g = audio_features(encode_wav_pcm16(s, 16000), None)
+    assert g[3] == int(np.abs(a).sum()) / (len(a) * 32768.0)
+
+    register_builtin_decoders(dim=8)
+    feats = {
+        r["asset_id"]: (r["kind"], r["feature"])
+        for r in extract_features(synth_assets(spark, n=12)).collect()
+    }
+    assert len(feats) == 12
+    k9, f9 = feats[9]
+    assert k9 == "image" and f9 == pytest.approx(f, abs=0)
+    k7, f7 = feats[7]
+    assert k7 == "audio" and f7 == pytest.approx(g, abs=0)
+
+
 def test_multimodal_unregistered_kind_raises(spark):
     from graphblas_algorithms_spark.pipeline.multimodal import DecoderRegistry
 
@@ -943,6 +995,22 @@ def test_semantic_dedup_matches_python_replay(spark):
     assert got == _py_semdedup(rows, m=8, threshold=0.9)
     # tight clusters + high threshold: dedup must actually fire
     assert 0 < len(got) < len(rows)
+
+
+def test_semantic_dedup_cell_pair_budget(spark):
+    """The max_cell_pairs gate prices sum C(|cell|,2) from the assignment
+    counts and refuses BEFORE the pair join (triadic_census wedge-budget
+    pattern).  One dominant cluster -> one dominant cell -> refusal; a
+    generous budget or None runs normally."""
+    from graphblas_algorithms_spark.pipeline.dedup import semantic_dedup
+
+    # all 40 vectors in one tight cluster -> one cell holds ~everything
+    emb = _clustered_emb(spark, n_clusters=1, per=40, d=16, sigma=0.01)
+    with pytest.raises(ValueError, match="max_cell_pairs"):
+        semantic_dedup(emb, m=4, threshold=0.9, max_cell_pairs=100)
+    # same corpus passes with the budget raised / disabled
+    assert semantic_dedup(emb, m=4, threshold=0.9, max_cell_pairs=10_000).count() > 0
+    assert semantic_dedup(emb, m=4, threshold=0.9, max_cell_pairs=None).count() > 0
 
 
 def test_semantic_dedup_kept_set_properties(spark):
