@@ -68,29 +68,44 @@ def _corpus_pagerank(cores: int) -> dict:
     edges, nodes = build_link_graph(src)
     edges = edges.persist()
     m = edges.count()
+    node_ids = nodes.select("id").persist()
+    node_ids.count()
     # size-aware width: tiny graphs are scheduling-floor bound at full
     # core width (measured 2.4x; see session.tune_shuffle_partitions)
     parts = tune_shuffle_partitions(spark, m, max_parts=cores)
-    G = DiGraph(edges, nodes.select("id"), dedup=False)
-    G.partition_by_src(parts)
-    iters = []
-    t0 = time.time()
-    # check_every=3: convergence action every 3rd superstep — the lazy
-    # lineage cut rides the unchecked steps inside the next convergence
-    # job, so the scheduling-floor-bound bench graph pays ~1/3 of the
-    # driver actions at the same 1e-6 criterion (README "check_every").
-    ranks = pagerank(G, alpha=0.85, tol=1e-6, max_iter=100, check_every=3,
-                     iteration_hook=lambda it, err: iters.append(it))
-    ranks.count()
-    wall = time.time() - t0
-    n_iter = len(iters)
-    spark.catalog.clearCache()
+    # min-of-reps headline (VERDICT r4 #5): a single-shot wall on this
+    # noisy host swung r3->r4 by +24% on UNCHANGED code; min over a few
+    # cold-plan reps filters the host window like scaling_evidence does.
+    reps = int(os.environ.get("SPARK_GRAFT_HEAD_REPS", "3"))
+    walls, iter_counts = [], []
+    best_n = None
+    for _ in range(max(reps, 1)):
+        G = DiGraph(edges, node_ids, dedup=False)
+        G.partition_by_src(parts)
+        iters = []
+        t0 = time.time()
+        # check_every=3: convergence action every 3rd superstep — the lazy
+        # lineage cut rides the unchecked steps inside the next convergence
+        # job, so the scheduling-floor-bound bench graph pays ~1/3 of the
+        # driver actions at the same 1e-6 criterion (README "check_every").
+        ranks = pagerank(G, alpha=0.85, tol=1e-6, max_iter=100, check_every=3,
+                         iteration_hook=lambda it, err: iters.append(it))
+        ranks.count()
+        walls.append(time.time() - t0)
+        iter_counts.append(len(iters))
+        best_n = G.n
+        G.edges.unpersist()
+        spark.catalog.clearCache()
+        edges.persist().count()  # re-pin the shared input for the next rep
+    wall = min(walls)
+    n_iter = iter_counts[walls.index(wall)]
     return {
         "cores": cores,
         "edges": m,
-        "nodes": G.n,
+        "nodes": best_n,
         "iterations": n_iter,
         "wall_s": round(wall, 3),
+        "walls_all": [round(w, 3) for w in walls],
         "iters_per_sec": round(n_iter / wall, 4),
         "edges_per_sec": round(m * n_iter / wall, 1),
     }

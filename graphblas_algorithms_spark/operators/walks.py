@@ -155,6 +155,8 @@ def node2vec_walks(
     starts: DataFrame | list[int] | None = None,
     seed: int = 42,
     weighted: bool = False,
+    method: str = "es",
+    attempts: int = 4,
 ) -> DataFrame:
     """Second-order biased walks (node2vec, Grover & Leskovec 2016):
     from edge (prev -> cur), candidate dst is drawn proportional to
@@ -164,10 +166,32 @@ def node2vec_walks(
     :func:`random_walks` (argmax of ln(u)/(w*alpha)) so corpora replay
     across engines.
 
-    Per hop: one edge join + one LEFT join against the neighbor-pair
-    set (the prev-adjacency test) + one argmax agg — still a bounded
-    number of shuffles per superstep with all chains batched.
+    ``method="es"`` (default, the oracle-replayed contract): per hop,
+    one edge join producing sum(deg) candidate rows + one LEFT join of
+    ALL candidates against the neighbor-pair set (the prev-adjacency
+    test) + one argmax agg.  That second pair-keyed join over sum(deg)
+    rows is the measured scale price (120.5 s/hop at 111M edges vs
+    first-order's 14.4; r3/r4 layout changes made it WORSE — skew-bound,
+    BENCH/BASELINE.md).
+
+    ``method="rejection"`` (KnightKing-style, VERDICT r4 #6): draw up to
+    ``attempts`` first-order proposals per (walk, node) in ONE edge pass
+    (T min_by/max_by aggregates in the same groupBy), then test the
+    prev-adjacency of the T PROPOSED nodes only — |states| x T pair
+    probes instead of sum(deg) — accepting proposal t with probability
+    alpha(cand_t)/alpha_max via an independent md5 uniform; the rare
+    state with T rejections falls back to the exact ES draw, so the
+    sampled law is EXACTLY the node2vec distribution (proposal ~ w,
+    accept ~ alpha/alpha_max, residual exact).  Still md5-deterministic
+    and engine-replayable, just a different (documented) draw sequence
+    than "es".
     """
+    if method not in ("es", "rejection"):
+        raise ValueError(f"method must be 'es' or 'rejection', got {method!r}")
+    if method == "rejection":
+        return _node2vec_walks_rejection(
+            G, walk_length, p, q, num_walks, starts, seed, weighted, attempts
+        )
     sdf, adj, use_w = _walk_inputs(G, starts, weighted)
     nbr = adj.select(
         F.col("src").alias("_np"), F.col("dst").alias("_nd"), F.lit(1).alias("_is_nbr")
@@ -214,6 +238,172 @@ def node2vec_walks(
             .agg(F.max_by("dst", key).alias("_next"))
             .withColumnsRenamed({"walk": "_hw", "prev": "_hp", "node": "_hn"})
         )
+        nxt = cur.join(
+            hop,
+            (cur["walk"] == F.col("_hw"))
+            & cur["prev"].eqNullSafe(F.col("_hp"))
+            & (cur["node"] == F.col("_hn")),
+        ).select(
+            "start", "walk", F.col("node").alias("prev"), F.col("_next").alias("node")
+        )
+        cur = nxt.transform(lineage_cut)
+        steps.append(cur.select("start", "walk", F.lit(step).alias("step"), "node"))
+    adj.unpersist()
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _node2vec_walks_rejection(
+    G,
+    walk_length: int,
+    p: float,
+    q: float,
+    num_walks: int,
+    starts,
+    seed: int,
+    weighted: bool,
+    attempts: int,
+) -> DataFrame:
+    """The ``method="rejection"`` body of :func:`node2vec_walks` — see
+    its docstring for the algorithm and the scale rationale."""
+    if attempts < 1:
+        raise ValueError(f"attempts must be >= 1, got {attempts}")
+    sdf, adj, use_w = _walk_inputs(G, starts, weighted)
+    nbr = adj.select(
+        F.col("src").alias("_np"), F.col("dst").alias("_nd"), F.lit(1).alias("_is_nbr")
+    )
+    a_ret, a_nbr, a_oth = 1.0 / p, 1.0, 1.0 / q
+    a_max = max(a_ret, a_nbr, a_oth)
+    # acceptance probabilities as python-float literals (engine-portable:
+    # an oracle replays the identical repr)
+    acc_ret, acc_nbr, acc_oth = a_ret / a_max, a_nbr / a_max, a_oth / a_max
+    walks = G.spark.range(num_walks).select(F.col("id").alias("walk"))
+    cur = sdf.select(F.col("id").alias("start")).crossJoin(walks).select(
+        "start", "walk", F.lit(None).cast("long").alias("prev"), F.col("start").alias("node")
+    )
+    steps = [cur.select("start", "walk", F.lit(0).alias("step"), "node")]
+    wexpr = F.col("weight") if use_w else F.lit(1.0)
+    for step in range(1, walk_length + 1):
+        states = cur.select("walk", "prev", "node").distinct()
+        if step == 1:
+            # first-order, exactly the es path's step 1
+            cand = states.join(adj, states["node"] == adj["src"])
+            draw = F.md5(
+                F.concat_ws(
+                    "|", F.lit(int(seed)), F.col("walk"), F.lit(step),
+                    F.col("node"), F.col("dst"),
+                )
+            )
+            if use_w:
+                u = F.conv(F.substring(draw, 1, 15), 16, 10).cast("double") / F.lit(_HEX15)
+                pick = F.max_by("dst", F.log(u) / wexpr)
+            else:
+                pick = F.min_by("dst", draw)
+            hop = cand.groupBy("walk", "prev", "node").agg(pick.alias("_next"))
+        else:
+            # ONE edge pass draws all T proposals per (walk, node): the
+            # T aggregates share the single sum(deg)-row shuffle
+            dstates = states.select("walk", "node").distinct()
+            cand = dstates.join(adj, dstates["node"] == adj["src"])
+            aggs = []
+            for t in range(1, attempts + 1):
+                draw_t = F.md5(
+                    F.concat_ws(
+                        "|", F.lit(int(seed)), F.col("walk"), F.lit(step),
+                        F.lit(t), F.col("node"), F.col("dst"),
+                    )
+                )
+                if use_w:
+                    u_t = (
+                        F.conv(F.substring(draw_t, 1, 15), 16, 10).cast("double")
+                        / F.lit(_HEX15)
+                    )
+                    aggs.append(F.max_by("dst", F.log(u_t) / wexpr).alias(f"_c{t}"))
+                else:
+                    aggs.append(F.min_by("dst", draw_t).alias(f"_c{t}"))
+            props = cand.groupBy("walk", "node").agg(*aggs)
+            expanded = states.join(props, ["walk", "node"]).select(
+                "walk",
+                "prev",
+                "node",
+                F.posexplode(
+                    F.array(*[F.col(f"_c{t}") for t in range(1, attempts + 1)])
+                ).alias("_tpos", "_cand"),
+            )
+            # prev-adjacency probe of the T PROPOSED nodes only:
+            # |states| x T pair lookups instead of sum(deg)
+            probed = expanded.join(
+                nbr,
+                (expanded["prev"] == F.col("_np"))
+                & (expanded["_cand"] == F.col("_nd")),
+                "left",
+            )
+            acc_p = (
+                F.when(F.col("_cand") == F.col("prev"), F.lit(acc_ret))
+                .when(F.col("_is_nbr") == 1, F.lit(acc_nbr))
+                .otherwise(F.lit(acc_oth))
+            )
+            ua = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit(int(seed)), F.col("walk"), F.lit(step),
+                                F.col("_tpos") + 1, F.lit("a"), F.col("prev"),
+                                F.col("node"), F.col("_cand"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(_HEX15)
+            )
+            hop_acc = (
+                probed.filter(ua < acc_p)
+                .groupBy("walk", "prev", "node")
+                .agg(
+                    F.min(
+                        F.struct(F.col("_tpos").alias("t"), F.col("_cand").alias("c"))
+                    ).alias("_m")
+                )
+                .select("walk", "prev", "node", F.col("_m.c").alias("_next"))
+            )
+            # residual (all T proposals rejected): exact ES draw — keeps
+            # the sampled law exactly node2vec (proposal ~ w, accept
+            # ~ alpha/a_max, residual exact)
+            resid = states.join(
+                hop_acc.select("walk", "prev", "node"),
+                ["walk", "prev", "node"],
+                "left_anti",
+            )
+            rc0 = resid.join(adj, resid["node"] == adj["src"])
+            rcand = rc0.join(
+                nbr,
+                (rc0["prev"] == F.col("_np")) & (rc0["dst"] == F.col("_nd")),
+                "left",
+            )
+            draw = F.md5(
+                F.concat_ws(
+                    "|", F.lit(int(seed)), F.col("walk"), F.lit(step),
+                    F.col("node"), F.col("dst"),
+                )
+            )
+            u = F.conv(F.substring(draw, 1, 15), 16, 10).cast("double") / F.lit(_HEX15)
+            alpha = (
+                F.when(F.col("dst") == F.col("prev"), F.lit(a_ret))
+                .when(F.col("_is_nbr") == 1, F.lit(a_nbr))
+                .otherwise(F.lit(a_oth))
+            )
+            hop_res = rcand.groupBy("walk", "prev", "node").agg(
+                F.max_by("dst", F.log(u) / (wexpr * alpha)).alias("_next")
+            )
+            hop = hop_acc.unionByName(hop_res)
+        hop = hop.withColumnsRenamed({"walk": "_hw", "prev": "_hp", "node": "_hn"})
         nxt = cur.join(
             hop,
             (cur["walk"] == F.col("_hw"))

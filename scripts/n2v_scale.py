@@ -2,8 +2,9 @@
 co-located prev-adjacency join — VERDICT r3 'Next round' #4; r3's
 unbucketed join cost 120.5 s/hop vs first-order's 14.4).
 
-Usage: python scripts/n2v_scale.py [edges_parquet] [cores] [n_starts] [hops]
-Writes /tmp/n2v_scale.json.  Build the edge parquet with
+Usage: python scripts/n2v_scale.py [edges_parquet] [cores] [n_starts] [hops] [method]
+``method``: es (default) or rejection (r5, KnightKing-style — VERDICT r4 #6).
+Writes /tmp/n2v_scale_<method>.json.  Build the edge parquet with
 SPARK_GRAFT_SCALING=1 python bench.py (bench._scaling_build) or any
 (src, dst) parquet of comparable size.
 """
@@ -28,6 +29,7 @@ def main():
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     n_starts = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
     hops = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    method = sys.argv[5] if len(sys.argv) > 5 else "es"
     spark = get_spark(cores=cores, shuffle_partitions=2 * cores, driver_memory="48g")
     raw = spark.read.parquet(edges_path).select("src", "dst")
     nodes = (
@@ -42,17 +44,19 @@ def main():
     starts = G.nodes.orderBy("id").limit(n_starts).select("id")
     t0 = time.time()
     w = node2vec_walks(
-        G, walk_length=hops, p=2.0, q=0.5, num_walks=1, starts=starts
+        G, walk_length=hops, p=2.0, q=0.5, num_walks=1, starts=starts,
+        method=method,
     ).persist()
     rows = w.count()
     wall = time.time() - t0
     print(
-        f"node2vec: {n_starts} starts x {hops} hops -> {rows} positions in "
-        f"{wall:.1f}s ({wall / hops:.1f}s/hop)",
+        f"node2vec[{method}]: {n_starts} starts x {hops} hops -> {rows} positions "
+        f"in {wall:.1f}s ({wall / hops:.1f}s/hop)",
         flush=True,
     )
     out = {
         "cores": cores,
+        "method": method,
         "edges_canonical": m,
         "n_starts": n_starts,
         "hops": hops,
@@ -60,7 +64,7 @@ def main():
         "wall_s": round(wall, 1),
         "s_per_hop": round(wall / hops, 2),
     }
-    with open("/tmp/n2v_scale.json", "w") as f:
+    with open(f"/tmp/n2v_scale_{method}.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out), flush=True)
     spark.stop()

@@ -230,3 +230,63 @@ def test_node2vec_weighted_matches_python_replay(spark):
     }
     want = _n2v_py(nxg, 5, 1, [0, 5], p=0.5, q=4.0, weighted=True)
     assert got == want
+
+
+def test_node2vec_rejection_valid_and_deterministic(spark):
+    """method='rejection' (the scale path): every hop is a real edge,
+    the corpus is bit-identical across runs, and dead ends truncate."""
+    import networkx as nx
+
+    from graphblas_algorithms_spark import from_networkx
+    from graphblas_algorithms_spark.operators.walks import node2vec_walks
+
+    nxg = nx.gnp_random_graph(40, 0.12, seed=11)
+    G = from_networkx(spark, nxg)
+    a = node2vec_walks(
+        G, walk_length=5, p=2.0, q=0.5, num_walks=2, starts=[0, 1, 2, 3],
+        method="rejection",
+    ).collect()
+    b = node2vec_walks(
+        G, walk_length=5, p=2.0, q=0.5, num_walks=2, starts=[0, 1, 2, 3],
+        method="rejection",
+    ).collect()
+    key = lambda r: (r["start"], r["walk"], r["step"], r["node"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    chains = {}
+    for r in a:
+        chains.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["node"]
+    for (s, w), seq in chains.items():
+        assert seq[0] == s
+        for st in range(1, max(seq) + 1):
+            assert nxg.has_edge(seq[st - 1], seq[st]), (s, w, st)
+
+
+def test_node2vec_rejection_distribution(spark):
+    """Exactness of the rejection sampler's law: conditioned on walks
+    whose step 1 went v0 -> v1, the step-2 draw from (prev=v0, node=v1)
+    must follow alpha-weights {return 1/p, shared-nbr 1, other 1/q}
+    over {v0, v2, v3}.  ~1500 of 3000 deterministic walks qualify
+    (step 1 is a fair draw between v0's neighbors {v1, v2});
+    +-0.05 tolerance (3 sigma ~ 0.04)."""
+    from graphblas_algorithms_spark import from_edgelist
+    from graphblas_algorithms_spark.operators.walks import node2vec_walks
+
+    # v1-{v0,v2,v3}; v0-v2 makes v2 a shared neighbor of (v0, v1);
+    # v3 is the DFS-ish 'other'
+    G = from_edgelist(spark, [(0, 1), (1, 2), (1, 3), (0, 2)])
+    p, q = 2.0, 0.5
+    out = node2vec_walks(
+        G, walk_length=2, p=p, q=q, num_walks=3000, starts=[0], method="rejection"
+    ).persist()
+    via_v1 = {r["walk"] for r in out.filter("step = 1 AND node = 1").collect()}
+    step2 = [
+        r["node"] for r in out.filter("step = 2").collect() if r["walk"] in via_v1
+    ]
+    n = len(step2)
+    assert 1000 < n < 2000  # fair-ish split of 3000 between v1 and v2
+    w = {0: 1.0 / p, 2: 1.0, 3: 1.0 / q}
+    tot = sum(w.values())
+    for v, wv in w.items():
+        frac = step2.count(v) / n
+        assert abs(frac - wv / tot) < 0.05, (v, frac, wv / tot)
+    out.unpersist()
