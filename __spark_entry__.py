@@ -941,6 +941,24 @@ def _q_node2vec(spark, sf_dir):
     return node2vec_walks(G, walk_length=6, p=2.0, q=0.5, num_walks=2, starts=starts)
 
 
+def _q_node2vec_rejection(spark, sf_dir):
+    """The r5 KnightKing-style rejection-sampling node2vec (the scale
+    path: 29.8 vs 103.6 s/hop at 28M edges — operators/walks.py
+    method='rejection'): T=4 batched first-order proposals per
+    (walk, node), prev-adjacency probed for the PROPOSED nodes only,
+    md5-uniform acceptance at alpha/alpha_max, exact-ES fallback for
+    all-rejected states.  Fully deterministic, so the oracle replays
+    proposals, acceptance, and fallback verbatim."""
+    from graphblas_algorithms_spark.operators.walks import node2vec_walks
+
+    G = _part_graph(spark, sf_dir)
+    starts = [r["id"] for r in G.nodes.orderBy("id").limit(16).collect()]
+    return node2vec_walks(
+        G, walk_length=6, p=2.0, q=0.5, num_walks=2, starts=starts,
+        method="rejection", attempts=4,
+    )
+
+
 def _q_mis(spark, sf_dir):
     """Luby maximal independent set with md5 priorities — deterministic
     in (graph, seed); oracle unrolls the same rounds (over-unrolled past
@@ -2171,8 +2189,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": _q_scc,
         "graph_labelprop": _q_labelprop,
         "graph_triangles": _q_triangles,
-        "graph_bfs": _q_bfs,
+        # -- new r5 scale path (first attestation) --
+        "graph_node2vec_rejection": _q_node2vec_rejection,
         # -- window boundary (entries below keep their r3/r4 green rows) --
+        "graph_bfs": _q_bfs,
         "graph_bowtie": _q_bowtie,
         "graph_effective_size": _q_effective_size,
         "graph_local_bridges": _q_local_bridges,
@@ -4196,6 +4216,130 @@ sym AS MATERIALIZED (
     parts.append(f"allsteps AS ({union})")
     parts.append("SELECT start, walk, step, node FROM allsteps")
     return "\n".join(parts)
+
+
+def _sql_node2vec_rejection(
+    n_starts: int = 16,
+    num_walks: int = 2,
+    walk_length: int = 6,
+    p: float = 2.0,
+    q: float = 0.5,
+    seed: int = 42,
+    attempts: int = 4,
+) -> str:
+    """Replay of walks.py method='rejection': per hop, T md5 min_by
+    proposals per (walk, node); acceptance iff md5-uniform ua <
+    alpha/alpha_max (alpha class via prev-equality + pair EXISTS);
+    first accepted t wins (min_by over t); all-rejected states fall
+    back to the exact ES arg_max(ln(u)/alpha) draw — line for line the
+    kernel's arithmetic, so walks are bit-identical."""
+    a_ret, a_nbr, a_oth = 1.0 / p, 1.0, 1.0 / q
+    a_max = max(a_ret, a_nbr, a_oth)
+    acc_ret, acc_nbr, acc_oth = a_ret / a_max, a_nbr / a_max, a_oth / a_max
+    hexdiv = "1152921504606846976.0"
+    parts = [
+        f"""WITH part_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+part_nodes AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM part_pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM part_pairs
+),
+starts AS (SELECT id AS start FROM part_nodes ORDER BY id LIMIT {n_starts}),
+wk AS (SELECT unnest(range({num_walks})) AS walk),
+c0 AS MATERIALIZED (
+  SELECT start, walk, NULL::BIGINT AS prev, start AS node
+  FROM starts CROSS JOIN wk
+),
+c1 AS MATERIALIZED (
+  SELECT c.start, c.walk, c.node AS prev,
+         min_by(e.dst, md5(concat_ws('|', {seed}, c.walk, 1, c.node, e.dst))) AS node
+  FROM c0 c JOIN sym e ON e.src = c.node
+  GROUP BY c.start, c.walk, c.node
+),""",
+    ]
+    for k in range(2, walk_length + 1):
+        prop_cols = ",\n         ".join(
+            f"min_by(e.dst, md5(concat_ws('|', {seed}, d.walk, {k}, {t}, d.node, e.dst))) AS _c{t}"
+            for t in range(1, attempts + 1)
+        )
+        exp_union = "\n    UNION ALL ".join(
+            f"SELECT s.walk, s.prev, s.node, {t} AS t, p._c{t} AS cand "
+            f"FROM st{k} s JOIN pr{k} p ON p.walk = s.walk AND p.node = s.node"
+            for t in range(1, attempts + 1)
+        )
+        parts.append(
+            f"""st{k} AS MATERIALIZED (
+  SELECT DISTINCT walk, prev, node FROM c{k - 1}
+),
+pr{k} AS MATERIALIZED (
+  SELECT d.walk, d.node,
+         {prop_cols}
+  FROM (SELECT DISTINCT walk, node FROM st{k}) d
+  JOIN sym e ON e.src = d.node
+  GROUP BY d.walk, d.node
+),
+ex{k} AS MATERIALIZED (
+    {exp_union}
+),
+ac{k} AS MATERIALIZED (
+  SELECT walk, prev, node, t, cand,
+         CASE WHEN cand = prev THEN {acc_ret!r}
+              WHEN EXISTS (SELECT 1 FROM sym n
+                           WHERE n.src = ex{k}.prev AND n.dst = ex{k}.cand)
+                   THEN {acc_nbr!r}
+              ELSE {acc_oth!r} END AS ap,
+         ((('0x' || substr(md5(concat_ws('|', {seed}, walk, {k}, t, 'a', prev,
+                                         node, cand)), 1, 15))::UBIGINT)::DOUBLE
+          / {hexdiv}) AS ua
+  FROM ex{k}
+),
+fi{k} AS MATERIALIZED (
+  SELECT walk, prev, node, min_by(cand, t) AS nxt
+  FROM ac{k} WHERE ua < ap
+  GROUP BY walk, prev, node
+),
+rs{k} AS MATERIALIZED (
+  SELECT s.walk, s.prev, s.node,
+         arg_max(e.dst,
+                 ln((('0x' || substr(md5(concat_ws('|', {seed}, s.walk, {k},
+                                                   s.node, e.dst)), 1, 15))
+                     ::UBIGINT)::DOUBLE / {hexdiv})
+                 / (CASE WHEN e.dst = s.prev THEN {a_ret!r}
+                         WHEN n.src IS NOT NULL THEN {a_nbr!r}
+                         ELSE {a_oth!r} END)) AS nxt
+  FROM (SELECT t.* FROM st{k} t
+        WHERE NOT EXISTS (SELECT 1 FROM fi{k} f
+                          WHERE f.walk = t.walk AND f.prev IS NOT DISTINCT FROM t.prev
+                            AND f.node = t.node)) s
+  JOIN sym e ON e.src = s.node
+  LEFT JOIN sym n ON n.src = s.prev AND n.dst = e.dst
+  GROUP BY s.walk, s.prev, s.node
+),
+hp{k} AS MATERIALIZED (
+  SELECT walk, prev, node, nxt FROM fi{k}
+  UNION ALL
+  SELECT walk, prev, node, nxt FROM rs{k}
+),
+c{k} AS MATERIALIZED (
+  SELECT c.start, c.walk, c.node AS prev, h.nxt AS node
+  FROM c{k - 1} c
+  JOIN hp{k} h ON h.walk = c.walk AND h.prev IS NOT DISTINCT FROM c.prev
+              AND h.node = c.node
+),"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT start, walk, {k}::BIGINT AS step, node FROM c{k}"
+        for k in range(0, walk_length + 1)
+    )
+    joined = "\n".join(parts)
+    if joined.endswith(","):
+        joined = joined[:-1]
+    return joined + f",\nallsteps AS ({union})\nSELECT start, walk, step, node FROM allsteps"
 
 
 # sampled harmonic centrality: 48 lowest-id pivots, sum(1/dist) per node
@@ -6500,6 +6644,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks": _sql_walks(),
         "graph_walks_weighted": _sql_walks(weighted=True),
         "graph_node2vec": _sql_node2vec(),
+        "graph_node2vec_rejection": _sql_node2vec_rejection(),
         "graph_mis": _sql_mis(),
         "graph_wl": _sql_wl(),
         "graph_fiedler": _sql_fiedler(),
