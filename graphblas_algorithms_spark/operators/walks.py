@@ -23,6 +23,8 @@ n beyond the join itself.  Dead ends (sink nodes) end their walk early.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -285,11 +287,24 @@ def _node2vec_walks_rejection(
     )
     steps = [cur.select("start", "walk", F.lit(0).alias("step"), "node")]
     wexpr = F.col("weight") if use_w else F.lit(1.0)
+    # Broadcast decision per hop: the rejection path's whole advantage at
+    # scale is that its probe side is |states| x T rows (vs es's
+    # sum(deg)) — small enough to BROADCAST against the giant adjacency,
+    # which then never shuffles (222M-row exchanges per hop dominated
+    # both methods at 111M edges).  Guarded by an exact count so an
+    # all-nodes start set degrades to plain shuffled joins instead of
+    # OOMing the driver.
+    # env override is the A/B lever (0 forces the shuffled-join path)
+    bcast_max = int(os.environ.get("SPARK_GRAFT_N2V_BCAST_MAX", "5000000"))
     for step in range(1, walk_length + 1):
-        states = cur.select("walk", "prev", "node").distinct()
+        states = cur.select("walk", "prev", "node").distinct().persist()
+        hop_release = [states]
+        n_states = states.count()
+        small = n_states * attempts <= bcast_max
         if step == 1:
             # first-order, exactly the es path's step 1
-            cand = states.join(adj, states["node"] == adj["src"])
+            srcst = F.broadcast(states) if small else states
+            cand = srcst.join(adj, srcst["node"] == adj["src"])
             draw = F.md5(
                 F.concat_ws(
                     "|", F.lit(int(seed)), F.col("walk"), F.lit(step),
@@ -306,6 +321,8 @@ def _node2vec_walks_rejection(
             # ONE edge pass draws all T proposals per (walk, node): the
             # T aggregates share the single sum(deg)-row shuffle
             dstates = states.select("walk", "node").distinct()
+            if small:
+                dstates = F.broadcast(dstates)
             cand = dstates.join(adj, dstates["node"] == adj["src"])
             aggs = []
             for t in range(1, attempts + 1):
@@ -333,13 +350,18 @@ def _node2vec_walks_rejection(
                 ).alias("_tpos", "_cand"),
             )
             # prev-adjacency probe of the T PROPOSED nodes only:
-            # |states| x T pair lookups instead of sum(deg)
-            probed = expanded.join(
-                nbr,
-                (expanded["prev"] == F.col("_np"))
-                & (expanded["_cand"] == F.col("_nd")),
-                "left",
+            # |states| x T pair lookups instead of sum(deg).  When the
+            # probe side is broadcastable, flip the join to right_outer
+            # with the probe side as the broadcast build side — the
+            # giant adjacency then streams in place with NO exchange
+            # (the per-hop 2m-row shuffle that dominated 111M edges).
+            cond_cols = (F.col("prev") == F.col("_np")) & (
+                F.col("_cand") == F.col("_nd")
             )
+            if small:
+                probed = nbr.join(F.broadcast(expanded), cond_cols, "right_outer")
+            else:
+                probed = expanded.join(nbr, cond_cols, "left")
             acc_p = (
                 F.when(F.col("_cand") == F.col("prev"), F.lit(acc_ret))
                 .when(F.col("_is_nbr") == 1, F.lit(acc_nbr))
@@ -381,12 +403,24 @@ def _node2vec_walks_rejection(
                 ["walk", "prev", "node"],
                 "left_anti",
             )
+            if small:
+                resid = F.broadcast(resid)
             rc0 = resid.join(adj, resid["node"] == adj["src"])
-            rcand = rc0.join(
-                nbr,
-                (rc0["prev"] == F.col("_np")) & (rc0["dst"] == F.col("_nd")),
-                "left",
+            if small:
+                # sum(deg) over the (rare) all-rejected states — count it
+                # exactly and keep the adjacency exchange-free if it fits
+                rc0 = rc0.persist()
+                hop_release.append(rc0)
+                rc_small = rc0.count() <= bcast_max
+            else:
+                rc_small = False
+            rcond = (F.col("prev") == F.col("_np")) & (
+                F.col("dst") == F.col("_nd")
             )
+            if rc_small:
+                rcand = nbr.join(F.broadcast(rc0), rcond, "right_outer")
+            else:
+                rcand = rc0.join(nbr, rcond, "left")
             draw = F.md5(
                 F.concat_ws(
                     "|", F.lit(int(seed)), F.col("walk"), F.lit(step),
@@ -413,6 +447,8 @@ def _node2vec_walks_rejection(
             "start", "walk", F.col("node").alias("prev"), F.col("_next").alias("node")
         )
         cur = nxt.transform(lineage_cut)
+        for _df in hop_release:
+            _df.unpersist()
         steps.append(cur.select("start", "walk", F.lit(step).alias("step"), "node"))
     adj.unpersist()
     out = steps[0]
