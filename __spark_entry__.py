@@ -1529,9 +1529,13 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_ann_ivf_pandas(spark, sf_dir):
-    """IVF ANN, per-cell numpy-matmul scoring via cogrouped applyInPandas
-    (approximate — no SQL oracle; rows-only check; pytest proves it equals
-    ivf_topk rank-for-rank)."""
+    """IVF ANN, per-cell scoring via cogrouped applyInPandas — VALUE-
+    oracled since r5: the cell matmul runs on 2^-26 dyadic-snapped
+    int64 vectors, so every similarity is one exact integer (no float
+    summation order anywhere — the reason this path was rows-only) and
+    _SQL_ANN_IVF_PANDAS replays centroids/assignment/probes plus the
+    same BIGINT dot products in pure SQL.  pytest still proves parity
+    with ivf_topk rank-for-rank at the 2e-6 snap tolerance."""
     from graphblas_algorithms_spark.pipeline.similarity import ivf_topk_pandas
 
     return ivf_topk_pandas(_read(spark, sf_dir, "embeddings"), k=10, m=16, n_probe=8)
@@ -5657,6 +5661,41 @@ SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine FROM (
 ) WHERE rank <= 10
 """
 
+#: Full SQL replay of ivf_topk_pandas (m=16, n_probe=8, k=10): same
+#: centroid/assign/probe trajectory as _SQL_ANN_IVF, but the per-cell
+#: scoring is the kernel's EXACT 2^-26 dyadic-integer dot product —
+#: both sides snap the normalized vectors with floor(x * 2^26) to
+#: BIGINT and sum the 64 products as exact integers (DuckDB's BIGINT
+#: sum uses a HUGEINT accumulator; the kernel's numpy int64 matmul is
+#: exact), so the similarity is a single integer on both engines and
+#: rank order is bit-identical regardless of summation order.  The
+#: reported cosine is round(dint / 2^52, 6) on both sides.
+_SQL_ANN_IVF_PANDAS = f"""
+WITH {_SQL_IVF_PREFIX.strip()},
+piexp AS MATERIALIZED (
+  SELECT id, centroid_id, rk, generate_subscripts(v, 1) AS pos,
+         floor(unnest(v) * 67108864.0)::BIGINT AS x
+  FROM iscored
+),
+picand AS MATERIALIZED (
+  SELECT p.id AS query_id, a.id AS neighbor_id,
+         sum(p.x * a.x)::BIGINT AS dint
+  FROM piexp p
+  JOIN piexp a
+    ON a.centroid_id = p.centroid_id AND a.pos = p.pos
+   AND a.rk = 1 AND a.id <> p.id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+       round(dint / 4503599627370496.0, 6) AS cosine
+FROM (
+  SELECT query_id, neighbor_id, dint,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dint DESC, neighbor_id ASC) AS rank
+  FROM picand
+) WHERE rank <= 10
+"""
+
 #: The PQ codebook is a tiny trained model (Lloyd means in numpy — not
 #: SQL-expressible); the oracle pins the trained, 2^-20-snapped codebook
 #: from this fixture (regenerate: scripts/gen_pq_fixture.py; drift guard:
@@ -6705,8 +6744,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_semdedup": _SQL_SEMDEDUP,
         "pipe_ann_topk": _SQL_ANN_TOPK,
         "pipe_ann_ivf": _SQL_ANN_IVF,
+        "pipe_ann_ivf_pandas": _SQL_ANN_IVF_PANDAS,
         "pipe_ann_ivf_pq": _SQL_ANN_IVF_PQ,
-        # pipe_ann_ivf: approximate — rows-only check
         "events_windowed": _SQL_EVENTS_WINDOWED,
         "events_sessions": _SQL_EVENTS_SESSIONS,
         "events_funnel": _SQL_EVENTS_FUNNEL,

@@ -252,9 +252,24 @@ def ivf_topk_pandas(
     the SQL variant's candidate join), each cell scores Q @ M.T in a
     single Arrow-batched matmul and emits only its per-cell top-k
     candidates, then a global window merges the <= n_probe partial
-    lists per query.  Same candidates and tie-break as ``ivf_topk``;
-    no driver collect, no full-corpus broadcast — per-task memory is
-    O(|cell|·d), bounded by the centroid count m.
+    lists per query.  Same candidates as ``ivf_topk``; no driver
+    collect, no full-corpus broadcast — per-task memory is O(|cell|·d),
+    bounded by the centroid count m.
+
+    Scoring is EXACT integer arithmetic on the 2^-26 dyadic grid (r5):
+    both matrices are snapped with ``floor(x * 2^26)`` to int64 and the
+    matmul runs in int64, so every dot product is a single exact
+    integer — no float-summation order anywhere (numpy's BLAS float
+    matmul blocks sums in an implementation-defined order, which is why
+    this path was the one remaining rows-only oracle).  Bounds: after
+    L2 normalization |x| <= 1, so each product <= 2^52 and a 64-dim sum
+    <= 2^58 < int64 max; the snap error per cosine is <= 2d/2^26 ≈
+    2e-6 worst-case (~1.5e-8 typical), inside the parity test's
+    tolerance vs the float-fold SQL path.  The reported cosine is the
+    dyadic quotient ``dint / 2^52`` rounded to 6, and the rank window
+    orders by the UNROUNDED integer — bit-identical across runs,
+    partitionings, and engines (DuckDB replays the same snapped sums as
+    exact BIGINTs; see ``_SQL_ANN_IVF_PANDAS`` in __spark_entry__.py).
     """
     import numpy as np
 
@@ -268,37 +283,46 @@ def ivf_topk_pandas(
         F.col("v").alias("vc"),
     )
 
+    scale = float(1 << 26)  # dyadic grid: 2^26
+
     def score_cell(key, qpdf: pd.DataFrame, mpdf: pd.DataFrame):
         if qpdf.empty or mpdf.empty:
-            return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
-        qm = np.vstack(qpdf["vq"].to_numpy())  # (q, d)
-        mm = np.vstack(mpdf["vc"].to_numpy())  # (c, d)
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "dint"])
+        qm = np.floor(np.vstack(qpdf["vq"].to_numpy()) * scale).astype(np.int64)
+        mm = np.floor(np.vstack(mpdf["vc"].to_numpy()) * scale).astype(np.int64)
         nids = mpdf["neighbor_id"].to_numpy()
-        sims = np.round(qm @ mm.T, 6)  # (q, c)
+        sims = qm @ mm.T  # (q, c) exact int64 — order-independent
         rows = []
         for i, qid in enumerate(qpdf["query_id"].to_numpy()):
             s = sims[i]
             keep = nids != qid
             # per-cell partial top-k, same tie-break as the SQL path:
-            # cosine desc, neighbor_id asc
+            # similarity desc, neighbor_id asc
             order = np.lexsort((nids[keep], -s[keep]))[:k]
             kn, ks = nids[keep], s[keep]
             for j in order:
-                rows.append((int(qid), int(kn[j]), float(ks[j])))
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+                rows.append((int(qid), int(kn[j]), int(ks[j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "dint"])
 
     partial = (
         probes.groupBy("centroid_id")
         .cogroup(members.groupBy("cell"))
-        .applyInPandas(score_cell, schema="query_id long, neighbor_id long, cosine double")
+        .applyInPandas(score_cell, schema="query_id long, neighbor_id long, dint long")
     )
     # Same uniqueness argument as ivf_topk: one cell per neighbor, distinct
     # probe cells per query — no dedup shuffle needed before the merge.
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # Rank on the exact integer; surface the dyadic cosine (exact double:
+    # dint < 2^53, and division by 2^52 is a power-of-two scale).
+    w = Window.partitionBy("query_id").orderBy(F.desc("dint"), F.asc("neighbor_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("dint") / F.lit(float(1 << 52)), 6).alias("cosine"),
+        )
     )
 
 
