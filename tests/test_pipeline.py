@@ -357,6 +357,26 @@ def test_ivf_recall_reasonable(spark, emb):
     assert mean_recall >= 1.3 * (3 / 8)  # beats random bucketing by 30%+
 
 
+def test_ivf_pandas_partitioning_invariant(spark, emb):
+    """The dyadic-integer cell scoring (r5) makes ivf_topk_pandas
+    bit-identical across input partitionings: every similarity is one
+    exact int64 (no float summation order), so the Arrow batch
+    composition seen by each cogroup task cannot change a value or a
+    rank.  This is the engine-side half of the _SQL_ANN_IVF_PANDAS
+    value-oracle claim."""
+    from graphblas_algorithms_spark.pipeline.similarity import ivf_topk_pandas
+
+    def run(parts):
+        return sorted(
+            tuple(r)
+            for r in ivf_topk_pandas(
+                emb.repartition(parts), k=5, m=8, n_probe=3
+            ).collect()
+        )
+
+    assert run(3) == run(11)
+
+
 def test_ivf_pandas_matches_ivf_sql(spark, emb):
     """The cogrouped per-cell matmul path scores the exact same candidate
     set with the same tie-break as the SQL IVF, so ranked results match."""
