@@ -17,8 +17,17 @@ they are kept only at their minimum-id center; 2-path triples are kept
 at their unique center.  The two one-pair classes (012 from each
 asymmetric pair, 102 from each mutual pair) are pure arithmetic per
 linked pair: ``n - d(u) - d(v) + common(u, v)`` third nodes are
-adjacent to neither endpoint, with ``common`` read off the same wedge
-table.  003 is the complement of everything else against C(n,3).
+adjacent to neither endpoint.  The ``common`` term never needs its own
+pass over the wedge table (r5): a common neighbor of a LINKED pair
+closes a support triangle, so summed over linked pairs it is a
+triangle-census identity — each enumerated triangle class contributes
+``count x (#asym pairs in class)`` to the 012 correction and
+``count x (#mutual pairs in class)`` to 102 (030T/C: 3 asym; 120D/U/C:
+1 mutual + 2 asym; 210: 2 mutual + 1 asym; 300: 3 mutual).  Replacing
+the former ``wedges.groupBy(x, z)`` with this arithmetic deletes a
+second full shuffle of the Σ C(d,2)-row wedge table (and the cache that
+fed it) — the wedge stream is consumed exactly once.  003 is the
+complement of everything else against C(n,3).
 
 Wedge enumeration is the same sum-of-d(v)^2 cost family as triangle
 counting (operators/triangles.py) — hubs dominate; the wedge join keys
@@ -125,7 +134,11 @@ def triadic_census(G, max_wedges: int | None = 2_000_000_000) -> DataFrame:
         )
     )
 
-    # wedges: center c, endpoints x < z, with both pair orientations
+    # wedges: center c, endpoints x < z, with both pair orientations.
+    # NOT persisted: the stream has exactly one consumer (the third-pair
+    # join below) — the 012/102 common-neighbor correction that used to
+    # re-aggregate this table is pure arithmetic on the enumerated
+    # census (module docstring, r5).
     e1 = lpo.select(
         F.col("a").alias("c"), F.col("b").alias("x"),
         F.col("ab").alias("f_cx"), F.col("ba").alias("f_xc"),
@@ -134,7 +147,7 @@ def triadic_census(G, max_wedges: int | None = 2_000_000_000) -> DataFrame:
         F.col("a").alias("c"), F.col("b").alias("z"),
         F.col("ab").alias("f_cz"), F.col("ba").alias("f_zc"),
     )
-    wedges = e1.join(e2, "c").filter(F.col("x") < F.col("z")).persist()
+    wedges = e1.join(e2, "c").filter(F.col("x") < F.col("z"))
 
     # third pair (x, z) if linked; triangles kept only at their min center
     third = lp.select(
@@ -169,43 +182,41 @@ def triadic_census(G, max_wedges: int | None = 2_000_000_000) -> DataFrame:
     name = F.element_at(
         F.array(*[F.lit(s) for s in CODE_NAME]), code.cast("int") + 1
     )
-    enumerated = (
+    enumerated = dict(
         trip.select(name.alias("triad_type"))
         .groupBy("triad_type")
         .agg(F.count("*").alias("n"))
+        .collect()
     )
 
     # one-pair classes: per linked pair, # nodes adjacent to neither end
+    # = n - d(u) - d(v) + common(u, v).  The degree part is one tiny agg
+    # over the linked-pair table; the common part is the triangle-census
+    # arithmetic (module docstring) — no wedge re-aggregation.
     deg = lpo.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("d"))
-    common = wedges.groupBy("x", "z").agg(F.count("*").alias("cm"))
-    lonely = (
+    lonely = dict(
         lp.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
-        .join(common.withColumnRenamed("x", "u").withColumnRenamed("z", "v"),
-              ["u", "v"], "left")
         .select(
             F.when((F.col("f") == 1) & (F.col("b") == 1), F.lit("102"))
             .otherwise(F.lit("012"))
             .alias("triad_type"),
-            (
-                F.lit(n) - F.col("du") - F.col("dv")
-                + F.coalesce("cm", F.lit(0))
-            ).alias("_w"),
+            (F.lit(n) - F.col("du") - F.col("dv")).alias("_w"),
         )
         .groupBy("triad_type")
         .agg(F.sum("_w").alias("n"))
-    )
-
-    counted = enumerated.unionByName(lonely).persist()
-    other = counted.agg(F.sum("n")).collect()[0][0] or 0
-    null_row = spark.createDataFrame(
-        [("003", int(c_n3 - other))], "triad_type string, n long"
-    )
-    zeros = spark.createDataFrame(
-        [(t,) for t in TRIAD_TYPES], "triad_type string"
-    ).join(counted.unionByName(null_row), "triad_type", "left_anti").select(
-        "triad_type", F.lit(0).cast("long").alias("n")
+        .collect()
     )
     lp.unpersist()
-    wedges.unpersist()
-    return counted.unionByName(null_row).unionByName(zeros)
+
+    e = lambda t: int(enumerated.get(t, 0))
+    tri_120 = e("120D") + e("120U") + e("120C")
+    # Σ common(u,v) over asymmetric / mutual linked pairs
+    common_asym = 3 * (e("030T") + e("030C")) + 2 * tri_120 + e("210")
+    common_mut = tri_120 + 2 * e("210") + 3 * e("300")
+    counts = dict(enumerated)
+    counts["012"] = int(lonely.get("012", 0)) + common_asym
+    counts["102"] = int(lonely.get("102", 0)) + common_mut
+    counts["003"] = int(c_n3 - sum(counts.values()))
+    rows = [(t, int(counts.get(t, 0))) for t in TRIAD_TYPES]
+    return spark.createDataFrame(rows, "triad_type string, n long")
