@@ -2192,7 +2192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": _q_components,
         "graph_scc": _q_scc,
         "graph_labelprop": _q_labelprop,
-        "graph_triangles": _q_triangles,
+        # changed late in r5 (common-neighbor triangle arithmetic —
+        # values byte-identical, but the implementation must re-attest;
+        # displaces the graph_triangles freshness re-attest, whose whole
+        # 7-query family is r3-green)
+        "graph_triad_census": _q_triad_census,
         # -- new r5 scale path (first attestation) --
         "graph_node2vec_rejection": _q_node2vec_rejection,
         # -- window boundary (entries below keep their r3/r4 green rows) --
@@ -2205,7 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_core_number": _q_core_number,
         "graph_densest": _q_densest,
         "graph_diameter": _q_diameter,
-        "graph_triad_census": _q_triad_census,
+        "graph_triangles": _q_triangles,
         "graph_onion": _q_onion,
         "graph_linkpred": _q_linkpred,
         "graph_negative_sample": _q_negative_sample,
