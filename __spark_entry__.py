@@ -1633,18 +1633,28 @@ def _q_events_sessions_closed(spark, sf_dir):
 
 
 def _q_olap_pricing(spark, sf_dir):
-    """TPC-H Q1-style scan+agg (engine breadth check)."""
+    """TPC-H Q1-style scan+agg (engine breadth check).
+
+    Money columns are DECIMAL(15,2) in the TPC-H spec, so the sums run
+    in exact cents-integer arithmetic (round-half-up x100 recovers the
+    exact decimal; BIGINT SUM is order-independent — float SUM over
+    non-dyadic 2-decimal values is the r4 hash-flip class).  disc_price
+    scales discount by 100 too (units of 10^-4)."""
     li = _read(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
+    qint = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    d100 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            F.sum(qint).cast("double").alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("sum_base_price"),
+            (
+                F.sum(cents("l_extendedprice") * (F.lit(100) - d100))
+                / F.lit(10000.0)
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.sum(qint).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -1660,7 +1670,14 @@ def _q_olap_top_customers(spark, sf_dir):
         o.join(c, o.o_custkey == c.c_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "c_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+        # exact cents-integer revenue: the rank window below orders by it,
+        # so float sum-order wobble could silently reorder near-ties
+        .agg(
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+                / F.lit(100.0)
+            ).alias("revenue")
+        )
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return (
@@ -5782,7 +5799,7 @@ SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine FROM (
 _SQL_EVENTS_WINDOWED = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*)::BIGINT AS n_events,
-       round(sum(value), 6) AS sum_value
+       (sum(floor(value * 1048576.0)::BIGINT)::BIGINT / 1048576.0) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -5825,14 +5842,14 @@ sessions AS (
 SELECT user_id, session_id::BIGINT AS session_id,
        min(ts) AS session_start,
        count(*)::BIGINT AS n_events,
-       round(sum(value), 6) AS sum_value
+       (sum(floor(value * 1048576.0)::BIGINT)::BIGINT / 1048576.0) AS sum_value
 FROM sessions GROUP BY user_id, session_id
 """
 
 _SQL_EVENTS_WINDOWED_CLOSED = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*)::BIGINT AS n_events,
-       round(sum(value), 6) AS sum_value
+       (sum(floor(value * 1048576.0)::BIGINT)::BIGINT / 1048576.0) AS sum_value
 FROM events
 GROUP BY 1, 2
 HAVING date_trunc('hour', ts) + INTERVAL 60 MINUTE
@@ -5858,7 +5875,7 @@ agg AS (
   SELECT user_id, session_id,
          min(ts) AS session_start,
          count(*)::BIGINT AS n_events,
-         round(sum(value), 6) AS sum_value
+         (sum(floor(value * 1048576.0)::BIGINT)::BIGINT / 1048576.0) AS sum_value
   FROM sessions GROUP BY user_id, session_id
 )
 SELECT user_id, session_start, n_events, sum_value
@@ -5869,10 +5886,14 @@ WHERE session_id < (SELECT max(b.session_id) FROM agg b
 
 _SQL_OLAP_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(avg(l_quantity), 6) AS avg_qty,
+       sum(floor(l_quantity + 0.5)::BIGINT)::DOUBLE AS sum_qty,
+       (sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+        / 100.0) AS sum_base_price,
+       (sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+            * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT
+        / 10000.0) AS sum_disc_price,
+       round(sum(floor(l_quantity + 0.5)::BIGINT)::DOUBLE / count(*), 6)
+         AS avg_qty,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -5881,7 +5902,9 @@ GROUP BY l_returnflag, l_linestatus
 
 _SQL_OLAP_TOPCUST = """
 WITH agg AS (
-  SELECT n_name, c_custkey, round(sum(o_totalprice), 6) AS revenue
+  SELECT n_name, c_custkey,
+         (sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT / 100.0)
+           AS revenue
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey

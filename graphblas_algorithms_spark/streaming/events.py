@@ -18,6 +18,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: 2^20 — the dyadic grid shared with the funnel/ANF/feature-prop contract.
+_DY = 1048576.0
+
+
+def _sum_value():
+    """Order-independent ``SUM(value)``: floor-snap each value to the
+    2^-20 dyadic grid (exact power-of-two scaling), SUM as exact BIGINT,
+    divide once (sum < 2^53, so the quotient is an exact double).  Float
+    SUM is aggregation-order-dependent — the r4 ``events_funnel`` hash
+    flip — and ``events.value`` is 2-decimal (non-dyadic), so every
+    value-sum on this surface carries the same scaled-integer contract
+    (pipeline/funnel.py, operators/features.py, anf.py)."""
+    return (
+        F.sum(F.floor(F.col("value") * F.lit(_DY)).cast("long")) / F.lit(_DY)
+    ).alias("sum_value")
+
+
 def _stream_source_path(path: str) -> str:
     """Resolve a user path into a FileStreamSource-safe pattern.
 
@@ -63,7 +80,7 @@ def windowed_counts_batch(events: DataFrame, minutes: int = 60) -> DataFrame:
         events.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _sum_value(),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -90,7 +107,7 @@ def windowed_counts_stream(
         src.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _sum_value(),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -132,7 +149,7 @@ def windowed_counts_stream_append(
         src.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _sum_value(),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -186,7 +203,9 @@ def sessionize_stateful(
     out_schema = (
         "user_id long, session_start timestamp, n_events long, sum_value double"
     )
-    state_schema = "start_us long, last_us long, n long, s double"
+    # s carries the session's value sum as a scaled BIGINT on the 2^-20
+    # dyadic grid (the _sum_value contract) — exact across batch splits
+    state_schema = "start_us long, last_us long, n long, s long"
 
     def _fn(key, pdf_iter, state):
         (user_id,) = key
@@ -204,7 +223,11 @@ def sessionize_stateful(
                     pd.to_datetime(pdf["ts"]).astype("int64") // 1000
                 ).to_numpy()  # microseconds since epoch
                 order = ts_us.argsort(kind="stable")
-                vals = pdf["value"].to_numpy(dtype=np.float64)[order]
+                # snap to the dyadic grid BEFORE summing (the _sum_value
+                # contract): int64 accumulation is order-exact
+                vals = np.floor(
+                    pdf["value"].to_numpy(dtype=np.float64)[order] * _DY
+                ).astype(np.int64)
                 ts_us = ts_us[order]
                 # Vectorized gap split: a session boundary sits wherever
                 # the inter-event gap exceeds the threshold.  Segment
@@ -225,7 +248,7 @@ def sessionize_stateful(
                             cur[0],
                             int(seg_last[0]),
                             cur[2] + int(seg_n[0]),
-                            cur[3] + float(seg_sum[0]),
+                            cur[3] + int(seg_sum[0]),
                         )
                         i0 = 1
                     else:
@@ -237,14 +260,14 @@ def sessionize_stateful(
                         rows.append((cur[0], cur[2], cur[3]))
                     for j in range(i0, len(starts) - 1):
                         rows.append(
-                            (int(seg_start[j]), int(seg_n[j]), float(seg_sum[j]))
+                            (int(seg_start[j]), int(seg_n[j]), int(seg_sum[j]))
                         )
                     j = len(starts) - 1
                     cur = (
                         int(seg_start[j]),
                         int(seg_last[j]),
                         int(seg_n[j]),
-                        float(seg_sum[j]),
+                        int(seg_sum[j]),
                     )
             if cur is not None:
                 state.update(cur)
@@ -258,7 +281,7 @@ def sessionize_stateful(
                         [r[0] * 1000 for r in rows], unit="ns"
                     ),
                     "n_events": [r[1] for r in rows],
-                    "sum_value": [round(r[2], 6) for r in rows],
+                    "sum_value": [r[2] / _DY for r in rows],
                 }
             )
 
@@ -296,7 +319,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return marked.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        _sum_value(),
     )
 
 
@@ -313,7 +336,7 @@ def sessionize_stream(
         src.groupBy(
             F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id"
         )
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _sum_value())
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),

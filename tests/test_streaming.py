@@ -3,6 +3,8 @@ input must equal the batch-equivalent query."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from graphblas_algorithms_spark.streaming.events import (
@@ -52,12 +54,14 @@ def test_sessionize_batch_oracle(spark, events):
         for ts, val in evs:
             if prev is None or (ts - prev).total_seconds() > 30 * 60:
                 sid += 1
-                agg[sid] = [ts, 0, 0.0]
+                agg[sid] = [ts, 0, 0]
             agg[sid][1] += 1
-            agg[sid][2] += val
+            # the dyadic scaled-integer sum contract (events._sum_value):
+            # snap each value to the 2^-20 grid, accumulate exact ints
+            agg[sid][2] += math.floor(val * 1048576.0)
             prev = ts
         for sid, (start, n, sv) in agg.items():
-            want[(uid, sid)] = (start, n, round(sv, 6))
+            want[(uid, sid)] = (start, n, sv / 1048576.0)
     got = {
         (r["user_id"], r["session_id"]): (r["session_start"], r["n_events"], r["sum_value"])
         for r in rows
